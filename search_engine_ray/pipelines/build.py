@@ -1,0 +1,233 @@
+"""The index-build pipeline — Ray-Data-first (SURVEY §3.4, §7).
+
+    read_parquet(pages)                       # column-pruned at the read
+      -> map_batches(extract_batch)           # html -> title/text (vectorized RE2)
+      -> [map_batches(skip_filter_batch)]     # reference S2 skip rules (opt-in)
+      -> doc_id assignment                    # rank (scale) | replay (compat)
+      -> map_batches(TokenizeDocs, actor pool)
+      -> write_parquet(out/docs)              # checkpoint #1: the doc store
+    read_parquet(out/docs, cols=[doc_id,tokens,dl])
+      -> map_batches(EmitPostings, actor pool)  # partial agg (combiner)
+      -> groupby("key")                         # THE shuffle; key = term(+salt)
+      -> map_groups(merge_encode)               # sorted-run merge + delta-varint
+      -> write_parquet(out/segments)            # checkpoint #2: the index
+    manifest.json                               # lineage + stats + timings
+
+Design notes for cluster scale:
+- The only all-to-all exchange is groupby("key"); EmitPostings pre-aggregates
+  per batch so hot terms ship one row per (batch, salt-bucket), and
+  ``salt_shift`` splits head terms across reducers by doc_id range.
+- Both writes are directory-of-part-files; resume skips a stage whose
+  manifest matches the input fingerprint (per-partition lineage lives in the
+  parquet part files + manifest counters).
+- doc_id assignment: at crawl scale ranks are unique by construction
+  (doc_id = rank, a pure map); compat mode replays the reference's
+  sequential getSeed over the (url, rank) pairs driver-side — O(corpus)
+  but only used for conformance corpora (SURVEY §7.3.1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.stages.extract import extract_batch, skip_filter_batch
+from search_engine_ray.stages.postings import EmitPostings, TokenizeDocs
+from search_engine_ray.state.index import replay_seed_assignment
+from search_engine_ray.state.segments import (
+    CorpusStats,
+    make_merge_encode,
+    manifest_valid,
+    write_manifest,
+)
+
+DOCS_COLUMNS = ["doc_id", "url", "title", "tokens", "dl"]
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    avgdl: float
+    n_postings_rows: int
+    timings: dict[str, float]
+
+
+def _default_concurrency() -> int:
+    """Actor-pool size: leave headroom for the read/write stages so the pool
+    doesn't starve the pipeline (one actor per CPU minus 2, min 1)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, cpus - 2)
+
+
+def _assign_doc_ids_rank(batch: pa.Table) -> pa.Table:
+    return batch.append_column("doc_id", pc.cast(batch.column("rank"), pa.int64()))
+
+
+class _ReplayDocIds:
+    """Compat doc_id mapper: broadcast url->doc_id dict (ray.put once)."""
+
+    def __init__(self, mapping_ref) -> None:
+        self.mapping = ray.get(mapping_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ids = pa.array([self.mapping[u] for u in urls], pa.int64())
+        return batch.append_column("doc_id", ids)
+
+
+def _compat_replay_mapping(pages: rd.Dataset) -> dict[str, int]:
+    """Driver-side getSeed replay over (url, rank) in add order.
+
+    Deliberately materializes ONLY two narrow columns; used for conformance
+    corpora (thousands of rows), never the scale path."""
+    cols = pages.select_columns(["url", "rank", "add_order"]).take_all()
+    cols.sort(key=lambda r: r["add_order"])
+    ranks = [int(r["rank"]) for r in cols]
+    ids = replay_seed_assignment(ranks)
+    return {r["url"]: i for r, i in zip(cols, ids)}
+
+
+def build_index(
+    pages: rd.Dataset,
+    out_dir: str,
+    config: EngineConfig | None = None,
+    *,
+    doc_id_mode: str = "rank",  # "rank" | "replay"
+    skip_filter: bool = False,
+    fingerprint: str | None = None,
+    resume: bool = True,
+    tokenize_concurrency: int | tuple[int, int] | None = None,
+    postings_batch_size: int = 4096,
+) -> BuildResult:
+    """Build doc store + index segments from an input_hint-shaped Dataset."""
+    config = config or EngineConfig()
+    timings: dict[str, float] = {}
+    docs_dir = os.path.join(out_dir, "docs")
+    seg_dir = os.path.join(out_dir, "segments")
+    docs_manifest = os.path.join(out_dir, "docs_manifest.json")
+    manifest = os.path.join(out_dir, "manifest.json")
+
+    # ---- stage 1: docs table ------------------------------------------------
+    t0 = time.perf_counter()
+    if not (resume and manifest_valid(docs_manifest, fingerprint)):
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        ds = pages.map_batches(extract_batch, batch_format="pyarrow")
+        if skip_filter:
+            ds = ds.map_batches(skip_filter_batch, batch_format="pyarrow")
+
+        if doc_id_mode == "replay":
+            mapping_ref = ray.put(_compat_replay_mapping(pages))
+            ds = ds.map_batches(
+                _ReplayDocIds,
+                fn_constructor_args=(mapping_ref,),
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+        elif doc_id_mode == "rank":
+            ds = ds.map_batches(_assign_doc_ids_rank, batch_format="pyarrow")
+        else:
+            raise ValueError(f"unknown doc_id_mode: {doc_id_mode}")
+
+        if tokenize_concurrency is None:
+            tokenize_concurrency = _default_concurrency()
+        ds = ds.map_batches(
+            TokenizeDocs,
+            fn_constructor_args=(config,),
+            batch_format="pyarrow",
+            concurrency=tokenize_concurrency,
+        )
+        ds = ds.select_columns(DOCS_COLUMNS)
+        ds.write_parquet(docs_dir)
+        write_manifest(
+            docs_manifest,
+            {"fingerprint": fingerprint, "complete": True, "stage": "docs"},
+        )
+    timings["docs"] = time.perf_counter() - t0
+
+    # ---- corpus stats (columnar scan of dl only) ---------------------------
+    t0 = time.perf_counter()
+    from search_engine_ray.state.segments import parquet_files
+
+    dl_tbl = pq.read_table(parquet_files(docs_dir), columns=["dl"])
+    n_docs = dl_tbl.num_rows
+    sum_dl = pc.sum(dl_tbl.column("dl")).as_py() or 0
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
+    timings["stats"] = time.perf_counter() - t0
+
+    # ---- stage 2: postings shuffle + segments ------------------------------
+    t0 = time.perf_counter()
+    n_rows = -1
+    if not (resume and manifest_valid(manifest, fingerprint)):
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        docs_ds = rd.read_parquet(docs_dir, columns=["doc_id", "tokens", "dl"])
+        postings = docs_ds.map_batches(
+            EmitPostings,
+            fn_constructor_args=(config,),
+            batch_format="pyarrow",
+            batch_size=postings_batch_size,
+            concurrency=_default_concurrency(),
+        )
+        merged = postings.groupby("key").map_groups(
+            make_merge_encode(stats, config), batch_format="pyarrow"
+        )
+        merged.write_parquet(seg_dir)
+        timings["postings"] = time.perf_counter() - t0
+        n_rows = sum(
+            pq.read_metadata(os.path.join(seg_dir, f)).num_rows
+            for f in os.listdir(seg_dir)
+            if f.endswith(".parquet")
+        )
+        write_manifest(
+            manifest,
+            {
+                "fingerprint": fingerprint,
+                "complete": True,
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "n_segment_rows": n_rows,
+                "config": {
+                    "stop_words": sorted(config.stop_words),
+                    "bm25_k1": config.bm25_k1,
+                    "bm25_b": config.bm25_b,
+                    "block_size": config.block_size,
+                    "salt_shift": config.salt_shift,
+                },
+                "timings_sec": timings,
+            },
+        )
+    else:
+        timings["postings"] = 0.0
+
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_postings_rows=n_rows,
+        timings=timings,
+    )
+
+
+def make_searcher(out_dir: str, config: EngineConfig | None = None):
+    """Eager-loading Searcher over a built index (small/medium corpora)."""
+    from search_engine_ray.pipelines.query import Searcher
+    from search_engine_ray.state.segments import load_doc_store, load_inverted_index
+
+    return Searcher(
+        config or EngineConfig(), load_inverted_index(out_dir), load_doc_store(out_dir)
+    )

@@ -1,0 +1,155 @@
+"""Tokenize-docs and postings-emit stages (the index-build hot path).
+
+- ``TokenizeDocs``: actor-pool ``map_batches`` stage; html-extracted
+  (title, text) -> ``tokens: list<string>`` (original case, positions = list
+  index — the reference's Page.words, engine.ts:54) + ``dl``.
+- ``EmitPostings``: actor-pool stage; tokens -> per-batch PARTIALLY AGGREGATED
+  postings rows ``(term, doc_ids: list<int64>, tfs: list<int32>,
+  dls: list<int32>)`` with doc_ids ascending within the batch. One row per
+  distinct term per batch — the combiner that keeps the groupby("term")
+  shuffle small (SURVEY §4.3.1). Head-term salting appends
+  ``#<doc_id >> salt_shift>`` to the groupby key when configured.
+
+Everything is Arrow/numpy-vectorized; the only Python-level loop is over
+distinct terms per batch when building list offsets (numpy reduceat).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.tokenize import lower_tokens, tokenize_arrow
+
+
+class TokenizeDocs:
+    """(doc_id, url, title, text) -> + tokens list<string>, dl int32."""
+
+    def __init__(self, config: EngineConfig | None = None) -> None:
+        self.config = config or EngineConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        title = pc.coalesce(batch.column("title"), "")
+        text = pc.coalesce(batch.column("text"), "")
+        # Engine.add tokenizes title + ' ' + text (engine.ts:54)
+        joined = pc.binary_join_element_wise(title, text, " ")
+        tokens = tokenize_arrow(joined)
+        dl = pc.list_value_length(tokens).cast(pa.int32())
+        return batch.append_column("tokens", tokens).append_column("dl", dl)
+
+
+class EmitPostings:
+    """(doc_id, tokens) -> partial-agg postings rows.
+
+    Per doc: lowercase, drop stop words / 1-char terms (engine.ts:70,490-492),
+    term frequency = occurrence count. Per batch: group by term, collect
+    doc_id-ascending runs.
+    """
+
+    def __init__(self, config: EngineConfig | None = None) -> None:
+        self.config = config or EngineConfig()
+        self._stop = np.array(sorted(self.config.stop_words), dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tokens = batch.column("tokens")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        low = lower_tokens(tokens)
+        flat = low.flatten()
+        parents = pc.list_parent_indices(low).to_numpy(zero_copy_only=False)
+
+        # stop-word / short-word mask (vectorized)
+        ok = pc.greater_equal(pc.utf8_length(flat), 2)
+        if len(self._stop):
+            ok = pc.and_(
+                ok, pc.invert(pc.is_in(flat, value_set=pa.array(self._stop)))
+            )
+        ok_np = ok.to_numpy(zero_copy_only=False)
+        terms = flat.to_numpy(zero_copy_only=False)[ok_np]
+        term_parents = parents[ok_np]
+
+        if len(terms) == 0:
+            return _empty_postings_table()
+
+        # tf per (doc, term): sort by (parent, term) then run-length encode.
+        order = np.lexsort((terms, term_parents))
+        t_sorted = terms[order]
+        p_sorted = term_parents[order]
+        new_run = np.empty(len(t_sorted), dtype=bool)
+        new_run[0] = True
+        if len(t_sorted) > 1:
+            new_run[1:] = (t_sorted[1:] != t_sorted[:-1]) | (
+                p_sorted[1:] != p_sorted[:-1]
+            )
+        run_starts = np.flatnonzero(new_run)
+        tf = np.diff(np.append(run_starts, len(t_sorted))).astype(np.int32)
+        u_terms = t_sorted[run_starts]
+        u_parents = p_sorted[run_starts]
+        u_doc_ids = doc_ids[u_parents].astype(np.int64)
+        dls = (
+            batch.column("dl").to_numpy(zero_copy_only=False)[u_parents]
+        ).astype(np.int32)
+
+        # per-posting salt: doc_id >> salt_shift buckets a hot term's postings
+        # into DISJOINT doc_id ranges, so each (term, salt) merges on its own
+        # reducer and the reader simply concatenates runs in salt order —
+        # no second shuffle (SURVEY §4.3.1, head-term skew).
+        if self.config.salt_shift > 0:
+            salts = (u_doc_ids >> self.config.salt_shift).astype(np.int64)
+        else:
+            salts = np.zeros(len(u_doc_ids), dtype=np.int64)
+
+        # group by (term, salt); within each group keep doc_id ascending.
+        order2 = np.lexsort((u_doc_ids, salts, u_terms))
+        g_terms = u_terms[order2]
+        g_salts = salts[order2]
+        g_doc_ids = u_doc_ids[order2]
+        g_tfs = tf[order2]
+        g_dls = dls[order2]
+
+        change = np.empty(len(g_terms), dtype=bool)
+        change[0] = True
+        change[1:] = (g_terms[1:] != g_terms[:-1]) | (g_salts[1:] != g_salts[:-1])
+        starts = np.flatnonzero(change)
+        offsets = np.append(starts, len(g_terms)).astype(np.int64)
+        out_terms = g_terms[starts]
+        out_salts = g_salts[starts]
+
+        if self.config.salt_shift > 0:
+            # hex-padded so lexicographic key order == (term, numeric salt)
+            key = np.array(
+                [f"{t}\x00{s:016x}" for t, s in zip(out_terms, out_salts)],
+                dtype=object,
+            )
+        else:
+            key = out_terms
+
+        off_arr = pa.array(offsets, pa.int64())
+        return pa.table(
+            {
+                "key": pa.array(key, pa.string()),
+                "term": pa.array(out_terms, pa.string()),
+                "salt": pa.array(out_salts, pa.int64()),
+                "doc_ids": pa.ListArray.from_arrays(
+                    off_arr, pa.array(g_doc_ids, pa.int64())
+                ),
+                "tfs": pa.ListArray.from_arrays(off_arr, pa.array(g_tfs, pa.int32())),
+                "dls": pa.ListArray.from_arrays(off_arr, pa.array(g_dls, pa.int32())),
+            }
+        )
+
+
+def _empty_postings_table() -> pa.Table:
+    return pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "salt": pa.array([], pa.int64()),
+            "doc_ids": pa.array([], pa.list_(pa.int64())),
+            "tfs": pa.array([], pa.list_(pa.int32())),
+            "dls": pa.array([], pa.list_(pa.int32())),
+        }
+    )

@@ -1,0 +1,138 @@
+"""Ray Data build pipeline == sequential LocalEngine oracle, on every
+conformance corpus, plus determinism across parallelism levels and
+resume-from-manifest behavior (FIXTURES §5, SURVEY §5)."""
+
+import os
+
+import pytest
+
+import ray.data as rd
+
+from search_engine_ray.local_engine import LocalEngine
+from search_engine_ray.pipelines.build import build_index, make_searcher
+from search_engine_ray.sources.fixtures import CORPORA, pages_table
+
+QUERIES = {
+    "planets": [
+        "brightest",
+        "giant",
+        "Solar",
+        "ancient civilizations",
+        "planet sixth",
+        '"planet sixth"',
+        '"after Jupiter"',
+        '"from the Sun" Moon',
+        'moon "from the Sun"',
+        'fifth "from the sun"',
+        '"moon and venus"',
+    ],
+    "carl_friedrich": ['"carl friedrich"', "friedrich", "german"],
+    "carl_friedrich_binary": ['"carl friedrich"'],
+    "haber": ["process", "haber", "haber process"],
+    "star": ["star", "trek", "star trek"],
+}
+
+
+def _local(name):
+    docs, config = CORPORA[name]
+    eng = LocalEngine(config)
+    for title, text, url, rank in docs:
+        eng.add(title, text, url, rank)
+    return eng
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_ray_build_matches_local(name, ray_session, tmp_path):
+    docs, config = CORPORA[name]
+    pages = rd.from_arrow(pages_table(docs))
+    out = str(tmp_path / name)
+    res = build_index(pages, out, config, doc_id_mode="replay", resume=False)
+    assert res.n_docs == len(docs)
+
+    searcher = make_searcher(out, config)
+    local = _local(name)
+    for q in QUERIES[name]:
+        got = searcher.search(q)
+        want = local.search(q)
+        assert [(r.url, r.introduction, r.title, r.doc_id) for r in got] == [
+            (r.url, r.introduction, r.title, r.doc_id) for r in want
+        ], f"query {q!r} on {name}"
+
+
+def test_parallelism_invariance(ray_session, tmp_path):
+    """Same results at different block counts (parallelism levels)."""
+    docs, config = CORPORA["carl_friedrich"]
+    results = []
+    for blocks in (1, 7):
+        pages = rd.from_arrow(pages_table(docs)).repartition(blocks)
+        out = str(tmp_path / f"b{blocks}")
+        build_index(pages, out, config, doc_id_mode="replay", resume=False)
+        s = make_searcher(out, config)
+        results.append([(r.url, r.introduction) for r in s.search('"carl friedrich"')])
+    assert results[0] == results[1]
+    assert len(results[0]) == 6
+
+
+def test_salted_build_identical(ray_session, tmp_path):
+    """Head-term salting must not change any query result."""
+    from dataclasses import replace
+
+    docs, config = CORPORA["planets"]
+    salted = replace(config, salt_shift=0) , replace(config, salt_shift=1)
+    outs = []
+    for i, cfg in enumerate(salted):
+        pages = rd.from_arrow(pages_table(docs))
+        out = str(tmp_path / f"s{i}")
+        build_index(pages, out, cfg, doc_id_mode="replay", resume=False)
+        s = make_searcher(out, cfg)
+        outs.append(
+            {q: [(r.url, r.introduction) for r in s.search(q)] for q in QUERIES["planets"]}
+        )
+    assert outs[0] == outs[1]
+
+
+def test_resume_skips_completed_stages(ray_session, tmp_path):
+    docs, config = CORPORA["star"]
+    pages = rd.from_arrow(pages_table(docs))
+    out = str(tmp_path / "resume")
+    build_index(pages, out, config, doc_id_mode="replay", fingerprint="fp1")
+    # marker file: a re-run that skips stages must not rewrite docs/
+    marker = os.path.join(out, "docs", "MARKER")
+    open(marker, "w").close()
+    build_index(pages, out, config, doc_id_mode="replay", fingerprint="fp1")
+    assert os.path.exists(marker)
+    # changed fingerprint -> rebuild
+    build_index(pages, out, config, doc_id_mode="replay", fingerprint="fp2")
+    assert not os.path.exists(marker)
+
+
+def test_rank_mode_unique_ranks(ray_session, tmp_path):
+    """Scale path: doc_id = rank (unique by construction)."""
+    docs, config = CORPORA["carl_friedrich"]  # ranks 1..16, unique
+    pages = rd.from_arrow(pages_table(docs))
+    out = str(tmp_path / "rankmode")
+    build_index(pages, out, config, doc_id_mode="rank", resume=False)
+    s = make_searcher(out, config)
+    r = s.search('"carl friedrich"')
+    # replay of unique non-colliding ranks assigns doc_id = rank, so results
+    # must equal the replay-mode/LocalEngine output
+    want = _local("carl_friedrich").search('"carl friedrich"')
+    assert [(x.url, x.introduction) for x in r] == [
+        (x.url, x.introduction) for x in want
+    ]
+
+
+def test_segment_reader_lazy_lookup(ray_session, tmp_path):
+    from search_engine_ray.state.segments import SegmentReader
+
+    docs, config = CORPORA["planets"]
+    pages = rd.from_arrow(pages_table(docs))
+    out = str(tmp_path / "lazy")
+    build_index(pages, out, config, doc_id_mode="replay", resume=False)
+    reader = SegmentReader(out)
+    post = reader.lookup(["giant", "jupiter", "nosuchterm"])
+    assert set(post) == {"giant", "jupiter"}
+    assert post["giant"]["doc_ids"].tolist() == [0, 1]
+    fetched = reader.fetch_docs([0])
+    assert fetched[0].title == "Jupiter"
+    assert "planet" in [w.lower() for w in fetched[0].words]
