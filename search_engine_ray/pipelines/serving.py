@@ -1,0 +1,178 @@
+"""Segment-backed query serving — the T6 rebuild (SURVEY §2.3).
+
+``SegmentSearcher`` serves queries directly off the on-disk segment/docs
+layout with parquet predicate pushdown: per-query it reads ONLY the rows of
+the query terms and the <= max_count candidate documents, holding an LRU doc
+cache (the reference re-read each page JSON up to 3x per scored page,
+engine.ts:119,214,220 — the cache removes exactly that).
+
+Intended deployment shape: one (or a pool of) Ray actor(s) holding this
+object; here it is a plain class so tests/bench drive it in-process.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.functions.intersect import intersect, is_adjacent_words
+from search_engine_ray.functions.scoring import compat_score, order_candidates
+from search_engine_ray.functions.snippets import construct_introduction
+from search_engine_ray.pipelines.query import SearchResult, _unique
+from search_engine_ray.state.index import DocRecord
+from search_engine_ray.state.segments import SegmentReader
+from search_engine_ray.state.wand import wand_topk
+from search_engine_ray.tokenize import to_words
+
+
+class SegmentSearcher:
+    def __init__(
+        self, out_dir: str, config: EngineConfig | None = None, doc_cache: int = 4096
+    ) -> None:
+        self.config = config or EngineConfig()
+        self.reader = SegmentReader(out_dir)
+        m = self.reader.manifest
+        self.n_docs = int(m.get("n_docs", 0))
+        self.avgdl = float(m.get("avgdl", 0.0))
+        self._cache: OrderedDict[int, DocRecord] = OrderedDict()
+        self._cache_cap = doc_cache
+
+    # -- doc access ----------------------------------------------------------
+
+    def _get_docs(self, doc_ids: list[int]) -> dict[int, DocRecord]:
+        missing = [d for d in doc_ids if d not in self._cache]
+        if missing:
+            fetched = self.reader.fetch_docs(missing)
+            for d, rec in fetched.items():
+                self._cache[d] = rec
+                self._cache.move_to_end(d)
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
+        return {d: self._cache[d] for d in doc_ids if d in self._cache}
+
+    def _get_doc(self, doc_id: int) -> DocRecord | None:
+        return self._get_docs([doc_id]).get(doc_id)
+
+    # -- reference-compat search --------------------------------------------
+
+    def search(self, text: str, max_count: int = 100) -> list[SearchResult]:
+        words, quotes = to_words(text)
+        wwsw = [w for w in words if not self.config.is_stop_word(w)]
+        postings = self.reader.lookup(sorted({w.lower() for w in wwsw}))
+
+        def is_quote_on_page(doc_id: int) -> bool:
+            if not quotes:
+                return True
+            page = self._get_doc(doc_id)
+            if page is None:
+                return False
+            for i in range(0, len(quotes), 2):
+                if is_adjacent_words(words[quotes[i] : quotes[i + 1]], page.index):
+                    return True
+            return False
+
+        iters = []
+        for w in wwsw:
+            p = postings.get(w.lower())
+            iters.append(iter(p["doc_ids"].tolist()) if p else iter(()))
+        cand = _unique(intersect(iters, 100, is_quote_on_page))
+
+        pages = self._get_docs(cand)
+        scores = {
+            d: compat_score(
+                wwsw, pages[d].index, pages[d].title, pages[d].url,
+                self.config.score_weights,
+            )
+            for d in cand
+        }
+        ordered = order_candidates(cand, scores)
+
+        out = []
+        for d in ordered[:max_count]:
+            page = pages[d]
+            out.append(
+                SearchResult(
+                    title=page.title,
+                    introduction=construct_introduction(
+                        words, quotes, page.words, page.index
+                    ),
+                    url=page.url,
+                    doc_id=d,
+                    score=scores[d],
+                )
+            )
+        return out
+
+    # -- BM25 top-k -----------------------------------------------------------
+
+    def search_bm25(
+        self, text: str, k: int = 10, mode: str = "or"
+    ) -> list[SearchResult]:
+        """``mode="or"``: block-max WAND disjunctive top-k.
+        ``mode="and"``: conjunctive candidates (reference semantics) scored
+        by BM25."""
+        words, quotes = to_words(text)
+        terms = sorted({w.lower() for w in words if not self.config.is_stop_word(w)})
+        if not terms:
+            return []
+        post = self.reader.lookup(terms)
+        postings = [post[t] for t in terms if t in post]
+        if mode == "and" and len(postings) < len(terms):
+            return []
+        if not postings:
+            return []
+
+        if mode == "or":
+            ranked = wand_topk(
+                postings, k, self.n_docs, self.avgdl,
+                self.config.bm25_k1, self.config.bm25_b,
+            )
+        elif mode == "and":
+            from search_engine_ray.functions.scoring import bm25_term_scores
+
+            cand = postings[0]["doc_ids"]
+            for p in postings[1:]:
+                cand = np.intersect1d(cand, p["doc_ids"], assume_unique=True)
+            if len(cand) == 0:
+                return []
+            total = np.zeros(len(cand), dtype=np.float64)
+            for p in postings:
+                pos = np.searchsorted(p["doc_ids"], cand)
+                total += bm25_term_scores(
+                    p["tfs"][pos].astype(np.float64),
+                    p["dls"][pos].astype(np.float64),
+                    p["df"], self.n_docs, self.avgdl,
+                    self.config.bm25_k1, self.config.bm25_b,
+                )
+            order = np.lexsort((cand, -total))[:k]
+            ranked = [(int(cand[i]), float(total[i])) for i in order]
+        else:
+            raise ValueError(f"unknown mode: {mode}")
+
+        if quotes:
+            kept = []
+            for d, s in ranked:
+                page = self._get_doc(d)
+                if page and any(
+                    is_adjacent_words(words[quotes[i] : quotes[i + 1]], page.index)
+                    for i in range(0, len(quotes), 2)
+                ):
+                    kept.append((d, s))
+            ranked = kept
+
+        ids = [d for d, _ in ranked]
+        pages = self._get_docs(ids)
+        return [
+            SearchResult(
+                title=pages[d].title,
+                introduction=construct_introduction(
+                    words, quotes, pages[d].words, pages[d].index
+                ),
+                url=pages[d].url,
+                doc_id=d,
+                score=s,
+            )
+            for d, s in ranked
+        ]

@@ -47,6 +47,7 @@ SEGMENT_SCHEMA = pa.schema(
         ("df_run", pa.int32()),
         ("doc_ids_enc", pa.binary()),
         ("tfs_enc", pa.binary()),
+        ("dls_enc", pa.binary()),
         ("block_last", pa.list_(pa.int64())),
         ("block_bound", pa.list_(pa.float32())),
         ("max_tf", pa.int32()),
@@ -124,6 +125,7 @@ def make_merge_encode(stats: CorpusStats, config: EngineConfig):
                 "df_run": pa.array([df_run], pa.int32()),
                 "doc_ids_enc": pa.array([encode_doc_ids(doc_ids)], pa.binary()),
                 "tfs_enc": pa.array([encode_tfs(tfs)], pa.binary()),
+                "dls_enc": pa.array([encode_tfs(dls)], pa.binary()),
                 "block_last": pa.array([block_last], pa.list_(pa.int64())),
                 "block_bound": pa.array([block_bound], pa.list_(pa.float32())),
                 "max_tf": pa.array([int(tfs.max())], pa.int32()),
@@ -238,6 +240,9 @@ class SegmentReader:
             tfs = np.concatenate(
                 [decode_tfs(t.column("tfs_enc")[i].as_py()) for i in rows]
             )
+            dls = np.concatenate(
+                [decode_tfs(t.column("dls_enc")[i].as_py()) for i in rows]
+            )
             block_last = [
                 v for i in rows for v in t.column("block_last")[i].as_py()
             ]
@@ -245,8 +250,10 @@ class SegmentReader:
                 v for i in rows for v in t.column("block_bound")[i].as_py()
             ]
             out[term] = {
+                "term": term,
                 "doc_ids": ids.astype(np.int64),
                 "tfs": tfs,
+                "dls": dls,
                 "block_last": np.asarray(block_last, dtype=np.int64),
                 "block_bound": np.asarray(block_bound, dtype=np.float64),
                 "df": int(len(ids)),

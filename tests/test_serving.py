@@ -1,0 +1,47 @@
+"""SegmentSearcher (lazy, on-disk) must equal the eager Searcher and the
+LocalEngine oracle on every conformance corpus."""
+
+import pytest
+
+import ray.data as rd
+
+from search_engine_ray.local_engine import LocalEngine
+from search_engine_ray.pipelines.build import build_index
+from search_engine_ray.pipelines.serving import SegmentSearcher
+from search_engine_ray.sources.fixtures import CORPORA, pages_table
+from tests.test_build_ray import QUERIES
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_segment_searcher_matches_oracle(name, ray_session, tmp_path):
+    docs, config = CORPORA[name]
+    out = str(tmp_path / name)
+    build_index(
+        rd.from_arrow(pages_table(docs)), out, config, doc_id_mode="replay", resume=False
+    )
+    seg = SegmentSearcher(out, config)
+    local = LocalEngine(config)
+    for title, text, url, rank in docs:
+        local.add(title, text, url, rank)
+    for q in QUERIES[name]:
+        got = [(r.url, r.introduction) for r in seg.search(q)]
+        want = [(r.url, r.introduction) for r in local.search(q)]
+        assert got == want, f"{name}: {q!r}"
+
+
+def test_bm25_modes(ray_session, tmp_path):
+    docs, config = CORPORA["planets"]
+    out = str(tmp_path / "modes")
+    build_index(
+        rd.from_arrow(pages_table(docs)), out, config, doc_id_mode="replay", resume=False
+    )
+    seg = SegmentSearcher(out, config)
+    both = seg.search_bm25("gas giant", k=5, mode="and")
+    assert {r.url.rsplit("/", 1)[-1] for r in both} == {"Jupiter", "Saturn"}
+    disj = seg.search_bm25("sixth brightest", k=5, mode="or")
+    assert len(disj) == 2  # OR reaches both docs even though AND would be empty
+    assert seg.search_bm25("sixth brightest", k=5, mode="and") == []
+    # phrase gate applies in BM25 mode too
+    assert seg.search_bm25('"planet sixth"', k=5, mode="and") == []
+    hits = seg.search_bm25('"sixth planet"', k=5, mode="and")
+    assert [r.url.rsplit("/", 1)[-1] for r in hits] == ["Saturn"]
