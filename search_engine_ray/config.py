@@ -39,7 +39,7 @@ class EngineConfig:
     bm25_b: float = 0.75
     # Postings codec / segment layout
     block_size: int = 128  # postings per block-max block
-    num_shards: int = 8  # term-hash shards for segment files
+    merge_buckets: int = 64  # hash buckets for the merge shuffle (reduce tasks)
     salt_shift: int = 0  # >0: salt groupby key with doc_id >> salt_shift (head-term skew)
 
     def is_stop_word(self, word: str) -> bool:

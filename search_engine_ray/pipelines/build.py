@@ -47,8 +47,9 @@ from search_engine_ray.stages.postings import EmitPostings, TokenizeDocs
 from search_engine_ray.state.index import replay_seed_assignment
 from search_engine_ray.state.segments import (
     CorpusStats,
-    make_merge_encode,
+    make_bucket_merge_encode,
     manifest_valid,
+    parquet_files,
     write_manifest,
 )
 
@@ -62,6 +63,29 @@ class BuildResult:
     avgdl: float
     n_postings_rows: int
     timings: dict[str, float]
+
+
+def _write_term_dict(seg_dir: str) -> None:
+    """Sidecar term dictionary: (term, file_id) so the reader opens only the
+    file(s) holding a query term. A columnar scan of the term column only —
+    cheap relative to the build; at crawl scale this dict is itself sharded
+    by term range."""
+    files = parquet_files(seg_dir)
+    parts = []
+    for i, f in enumerate(files):
+        t = pq.read_table(f, columns=["term"])
+        parts.append(
+            t.append_column("file_id", pa.array(np.full(len(t), i, dtype=np.int32)))
+        )
+    if parts:
+        tbl = pa.concat_tables(parts)
+    else:
+        tbl = pa.table(
+            {"term": pa.array([], pa.string()), "file_id": pa.array([], pa.int32())}
+        )
+    pq.write_table(
+        tbl, os.path.join(os.path.dirname(seg_dir.rstrip("/")), "term_dict.parquet")
+    )
 
 
 def _default_concurrency() -> int:
@@ -152,6 +176,10 @@ def build_index(
             concurrency=tokenize_concurrency,
         )
         ds = ds.select_columns(DOCS_COLUMNS)
+        # doc_id-sorted layout = range-partitioned part files -> point reads
+        # prune by file/row-group min-max stats (the digit-trie equivalent,
+        # binary-file-storage.ts:132-165)
+        ds = ds.sort("doc_id")
         ds.write_parquet(docs_dir)
         write_manifest(
             docs_manifest,
@@ -183,10 +211,13 @@ def build_index(
             batch_size=postings_batch_size,
             concurrency=_default_concurrency(),
         )
-        merged = postings.groupby("key").map_groups(
-            make_merge_encode(stats, config), batch_format="pyarrow"
+        merged = postings.groupby("bucket").map_groups(
+            make_bucket_merge_encode(stats, config), batch_format="pyarrow"
         )
+        # rows are term-sorted within each bucket; small row groups give
+        # per-term row-group pruning at query time
         merged.write_parquet(seg_dir)
+        _write_term_dict(seg_dir)
         timings["postings"] = time.perf_counter() - t0
         n_rows = sum(
             pq.read_metadata(os.path.join(seg_dir, f)).num_rows

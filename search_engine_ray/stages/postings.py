@@ -16,6 +16,8 @@ distinct terms per batch when building list offsets (numpy reduceat).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -127,9 +129,19 @@ class EmitPostings:
         else:
             key = out_terms
 
+        # merge-shuffle bucket: stable hash of the (term, salt) key, so a
+        # salted hot term spreads over many reduce tasks
+        nb = self.config.merge_buckets
+        bucket = np.fromiter(
+            (zlib.crc32(k.encode("utf-8")) % nb for k in key),
+            dtype=np.int64,
+            count=len(key),
+        )
+
         off_arr = pa.array(offsets, pa.int64())
         return pa.table(
             {
+                "bucket": pa.array(bucket, pa.int64()),
                 "key": pa.array(key, pa.string()),
                 "term": pa.array(out_terms, pa.string()),
                 "salt": pa.array(out_salts, pa.int64()),
@@ -145,6 +157,7 @@ class EmitPostings:
 def _empty_postings_table() -> pa.Table:
     return pa.table(
         {
+            "bucket": pa.array([], pa.int64()),
             "key": pa.array([], pa.string()),
             "term": pa.array([], pa.string()),
             "salt": pa.array([], pa.int64()),

@@ -14,11 +14,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array."""
+def encode_varints_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode; also return per-value byte offsets (len+1 array) so a
+    concatenation of many posting lists can be sliced back per list."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if len(v) == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value
     nb = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -41,7 +42,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         cur[m] = cur[m] >> np.uint64(7)
         pos[m] += 1
         remaining[m] -= 1
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array."""
+    return encode_varints_with_offsets(values)[0]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:

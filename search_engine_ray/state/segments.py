@@ -37,6 +37,7 @@ from search_engine_ray.state.codec import (
     decode_tfs,
     encode_doc_ids,
     encode_tfs,
+    encode_varints_with_offsets,
 )
 from search_engine_ray.state.index import DocRecord, DocStore, InvertedIndex
 
@@ -135,6 +136,108 @@ def make_merge_encode(stats: CorpusStats, config: EngineConfig):
     return merge_encode
 
 
+def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
+    """Vectorized merge+encode for a whole HASH BUCKET of (term, salt) groups.
+
+    ``groupby("bucket")`` hands this function every postings row of one
+    bucket (~vocab/num_buckets terms). All groups are merged and encoded in
+    a handful of numpy passes — one lexsort, one grouped delta, three varint
+    encodes over the concatenated values — instead of one Python map_groups
+    call per term. Per-group work is reduced to byte-slicing and block-max
+    reduceat, which profiling showed is what makes the merge stage scale.
+    """
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+    k1, b, block_size = config.bm25_k1, config.bm25_b, config.block_size
+
+    def bucket_merge_encode(group: pa.Table) -> pa.Table:
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        terms_np = group.column("term").to_numpy(zero_copy_only=False)
+        salts_np = group.column("salt").to_numpy(zero_copy_only=False)
+        doc_col = group.column("doc_ids").combine_chunks()
+        all_doc = doc_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(doc_col).to_numpy(zero_copy_only=False)
+        all_tf = (
+            group.column("tfs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        all_dl = (
+            group.column("dls").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+
+        # factorize (term,salt) keys; np.unique sorts, and key strings sort
+        # by (term, numeric salt) by construction — output rows stay
+        # term-sorted, which is what gives parquet row-group pruning.
+        uniq_keys, row_codes = np.unique(keys, return_inverse=True)
+        n_groups = len(uniq_keys)
+        # representative row per group (first occurrence) for term/salt cols
+        rep = np.zeros(n_groups, dtype=np.int64)
+        rep[row_codes[::-1]] = np.arange(len(row_codes) - 1, -1, -1)
+
+        val_codes = row_codes[parents]
+        order = np.lexsort((all_doc, val_codes))
+        d = all_doc[order]
+        tf = all_tf[order]
+        dl = all_dl[order]
+        c = val_codes[order]
+
+        starts = np.flatnonzero(np.diff(c, prepend=-1) != 0)
+        ends = np.append(starts[1:], len(c))
+
+        deltas = d.copy()
+        deltas[1:] -= d[:-1]
+        deltas[starts] = d[starts]
+        non_start = np.ones(len(d), dtype=bool)
+        non_start[starts] = False
+        if (deltas[non_start] <= 0).any():
+            raise ValueError("duplicate or unsorted doc_ids within a term group")
+
+        enc_doc, off_doc = encode_varints_with_offsets(deltas.astype(np.uint64))
+        enc_tf, off_tf = encode_varints_with_offsets(tf.astype(np.uint64))
+        enc_dl, off_dl = encode_varints_with_offsets(dl.astype(np.uint64))
+
+        doc_b: list[bytes] = []
+        tf_b: list[bytes] = []
+        dl_b: list[bytes] = []
+        blk_last: list[list[int]] = []
+        blk_bound: list[list[float]] = []
+        max_tfs = np.zeros(n_groups, dtype=np.int32)
+        df_runs = (ends - starts).astype(np.int32)
+        for gi in range(n_groups):
+            s, e = int(starts[gi]), int(ends[gi])
+            doc_b.append(enc_doc[off_doc[s] : off_doc[e]])
+            tf_b.append(enc_tf[off_tf[s] : off_tf[e]])
+            dl_b.append(enc_dl[off_dl[s] : off_dl[e]])
+            edges = np.arange(s, e, block_size, dtype=np.int64)
+            lasts = np.append(edges[1:] - 1, e - 1)
+            blk_last.append(d[lasts].tolist())
+            # reduceat within the group slice (reduceat's final segment runs
+            # to the end of the array it is given)
+            btf = np.maximum.reduceat(tf[s:e], edges - s).astype(np.float64)
+            bdl = np.minimum.reduceat(dl[s:e], edges - s).astype(np.float64)
+            df_run = int(df_runs[gi])
+            g_idf = float(np.log(1.0 + (n_docs - df_run + 0.5) / (df_run + 0.5)))
+            bound = g_idf * btf * (k1 + 1.0) / (btf + k1 * (1.0 - b + b * (bdl / avgdl)))
+            blk_bound.append(bound.tolist())
+            max_tfs[gi] = tf[s:e].max()
+
+        return pa.table(
+            {
+                "term": pa.array(terms_np[rep], pa.string()),
+                "salt": pa.array(salts_np[rep].astype(np.int64), pa.int64()),
+                "df_run": pa.array(df_runs, pa.int32()),
+                "doc_ids_enc": pa.array(doc_b, pa.binary()),
+                "tfs_enc": pa.array(tf_b, pa.binary()),
+                "dls_enc": pa.array(dl_b, pa.binary()),
+                "block_last": pa.array(blk_last, pa.list_(pa.int64())),
+                "block_bound": pa.array(
+                    [[float(x) for x in bb] for bb in blk_bound], pa.list_(pa.float32())
+                ),
+                "max_tf": pa.array(max_tfs, pa.int32()),
+            }
+        )
+
+    return bucket_merge_encode
+
+
 # ---------------------------------------------------------------------------
 # Manifest / lineage
 # ---------------------------------------------------------------------------
@@ -219,15 +322,52 @@ class SegmentReader:
         self._seg_path = os.path.join(out_dir, "segments")
         self._docs_path = os.path.join(out_dir, "docs")
         self.manifest = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
+        self._seg_files = parquet_files(self._seg_path)
+        self._docs_files = parquet_files(self._docs_path)
+        # term -> [file_id] sidecar (see build._write_term_dict)
+        self._term_dict: dict[str, list[int]] | None = None
+        td_path = os.path.join(out_dir, "term_dict.parquet")
+        if os.path.exists(td_path):
+            td = pq.read_table(td_path)
+            d: dict[str, list[int]] = {}
+            for term, fid in zip(
+                td.column("term").to_pylist(), td.column("file_id").to_pylist()
+            ):
+                d.setdefault(term, []).append(fid)
+            self._term_dict = d
+        # per-file (min,max) doc_id from parquet stats — docs are written
+        # doc_id-sorted so these ranges are disjoint
+        self._docs_ranges: list[tuple[int, int]] = []
+        for f in self._docs_files:
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None:
+                lo, hi = -(2**62), 2**62  # no stats: never prune this file
+            self._docs_ranges.append((int(lo), int(hi)))
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
-        """term -> {doc_ids, tfs, block_last, block_bound, df}."""
+        """term -> {doc_ids, tfs, dls, block_last, block_bound, df}."""
         if not terms:
             return {}
-        t = pq.read_table(
-            parquet_files(self._seg_path),
-            filters=[("term", "in", list(set(terms)))],
-        )
+        terms = list(set(terms))
+        if self._term_dict is not None:
+            file_ids = sorted(
+                {fid for t in terms for fid in self._term_dict.get(t, ())}
+            )
+            files = [self._seg_files[i] for i in file_ids]
+            if not files:
+                return {}
+        else:
+            files = self._seg_files
+        t = pq.read_table(files, filters=[("term", "in", terms)])
         out: dict[str, dict] = {}
         by_term: dict[str, list[int]] = {}
         for i, term in enumerate(t.column("term").to_pylist()):
@@ -263,10 +403,16 @@ class SegmentReader:
     def fetch_docs(self, doc_ids: list[int]) -> dict[int, DocRecord]:
         if not doc_ids:
             return {}
-        t = pq.read_table(
-            parquet_files(self._docs_path),
-            filters=[("doc_id", "in", list(set(doc_ids)))],
-        )
+        wanted = sorted(set(doc_ids))
+        files = [
+            f
+            for f, (lo, hi) in zip(self._docs_files, self._docs_ranges)
+            if wanted[-1] >= lo and wanted[0] <= hi
+            and any(lo <= d <= hi for d in wanted)
+        ]
+        if not files:
+            return {}
+        t = pq.read_table(files, filters=[("doc_id", "in", wanted)])
         out = {}
         for d, ti, u, tok in zip(
             t.column("doc_id").to_pylist(),
