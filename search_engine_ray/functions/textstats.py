@@ -1,0 +1,149 @@
+"""Text-analysis primitives for training-data pipelines — all vectorized.
+
+Operates on Arrow batches; used by pipelines/text.py map_batches stages.
+Language-ID is a stop-word-profile heuristic (n-gram-free, deterministic);
+fingerprints are md5 (matches DuckDB's md5() for oracle checks); shingles /
+MinHash / SimHash are the standard public constructions (Broder 1997;
+Charikar 2002).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from search_engine_ray.tokenize import tokenize_arrow
+
+# tiny per-language stop-word profiles (public common-word lists)
+LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is a that for on with as are it".split()),
+    "de": frozenset("der die das und ist ein eine zu den von mit für auf".split()),
+    "fr": frozenset("le la les et de un une est pour dans que sur avec".split()),
+    "es": frozenset("el la los las y de un una es para en que con por".split()),
+}
+
+
+def token_lists(texts: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    return tokenize_arrow(texts)
+
+
+def token_counts(texts) -> np.ndarray:
+    return pc.list_value_length(token_lists(texts)).to_numpy(zero_copy_only=False)
+
+
+def md5_fingerprints(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def quality_metrics(texts: pa.Array) -> dict[str, np.ndarray]:
+    """Per-doc quality features: char count, token count, mean token length,
+    short-token ratio. Deterministic and SQL-mirrorable."""
+    toks = token_lists(texts)
+    n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_len = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = len(texts)
+    sum_len = np.bincount(parents, weights=flat_len, minlength=n).astype(np.int64)
+    short = np.bincount(
+        parents, weights=(flat_len < 2).astype(np.float64), minlength=n
+    ).astype(np.int64)
+    # integer outputs only: ratios are derivable and integers hash exactly
+    # across engines (no float-rounding boundary hazards in oracle checks)
+    return {
+        "n_chars": pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64),
+        "n_tokens": n_tokens,
+        "sum_token_len": sum_len,
+        "n_short": short,
+    }
+
+
+def lang_scores(texts: pa.Array) -> list[str]:
+    """Most-probable language by stop-word profile hit ratio; 'und'
+    (undetermined) when no profile scores > 0."""
+    toks = token_lists(texts)
+    out = []
+    langs = sorted(LANG_PROFILES)
+    for words in toks.to_pylist():
+        lower = [w.lower() for w in words]
+        best, best_score = "und", 0
+        for lang in langs:
+            prof = LANG_PROFILES[lang]
+            score = sum(1 for w in lower if w in prof)
+            if score > best_score:
+                best, best_score = lang, score
+        out.append(best)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shingles / MinHash / SimHash
+# ---------------------------------------------------------------------------
+
+# prime just above 2^32: shingle hashes and coefficients are < 2^32, so
+# a*h + b fits exactly in uint64 — fully vectorized universal hashing
+_PRIME = np.uint64(4294967311)
+
+
+def shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
+    """Distinct k-token shingle hashes (crc32 of the joined shingle)."""
+    if len(words) < k:
+        joined = [" ".join(words)] if words else []
+    else:
+        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    hs = {zlib.crc32(s.encode("utf-8")) for s in joined}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_PRIME), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_PRIME), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """num_perm-wide MinHash signature, exact uint64 arithmetic."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    prod = (a[:, None] * shingles[None, :] + b[:, None]) % _PRIME
+    return prod.min(axis=1).astype(np.uint64)
+
+
+def band_keys(sig: np.ndarray, bands: int) -> list[int]:
+    """LSH band bucket keys: crc32 over each band's bytes."""
+    rows = len(sig) // bands
+    return [
+        zlib.crc32(sig[i * rows : (i + 1) * rows].tobytes()) for i in range(bands)
+    ]
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(words: list[str]) -> int:
+    """64-bit SimHash over token md5 hashes, unweighted."""
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

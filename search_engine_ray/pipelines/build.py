@@ -89,13 +89,9 @@ def _write_term_dict(seg_dir: str) -> None:
 
 
 def _default_concurrency() -> int:
-    """Actor-pool size: leave headroom for the read/write stages so the pool
-    doesn't starve the pipeline (one actor per CPU minus 2, min 1)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(1, cpus - 2)
+    from search_engine_ray.util import default_pool_size
+
+    return default_pool_size()
 
 
 def _assign_doc_ids_rank(batch: pa.Table) -> pa.Table:

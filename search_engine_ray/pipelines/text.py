@@ -1,0 +1,203 @@
+"""Text-analysis pipelines over the ``documents`` table — training-data ops.
+
+Each function takes a documents Dataset (doc_id, text, ...) and returns a
+Dataset; all hot paths are vectorized map_batches with per-batch partial
+aggregation ahead of any groupby (the combiner pattern — a term appearing in
+every batch ships one row per batch through the shuffle, not one per doc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from search_engine_ray.functions.textstats import (
+    lang_scores,
+    md5_fingerprints,
+    quality_metrics,
+    token_lists,
+)
+from search_engine_ray.tokenize import lower_tokens
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
+
+
+def token_count_ds(docs: rd.Dataset) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_ds(docs: rd.Dataset) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        m = quality_metrics(text)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(m["n_chars"], pa.int64()),
+                "n_tokens": pa.array(m["n_tokens"], pa.int64()),
+                "sum_token_len": pa.array(m["sum_token_len"], pa.int64()),
+                "n_short": pa.array(m["n_short"], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def fingerprint_ds(docs: rd.Dataset) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(
+                    md5_fingerprints(batch.column("text").to_pylist()), pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def lang_id_ds(docs: rd.Dataset) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(lang_scores(text), pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def _distinct_terms_batch(batch: pa.Table, min_len: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """(terms, doc_ids) of distinct per-doc lowercased terms, len >= min_len."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = lower_tokens(token_lists(batch.column("text")))
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ok = pc.greater_equal(pc.utf8_length(flat), min_len).to_numpy(zero_copy_only=False)
+    terms = flat.to_numpy(zero_copy_only=False)[ok]
+    par = parents[ok]
+    # distinct per doc
+    order = np.lexsort((terms, par))
+    t, p = terms[order], par[order]
+    keep = np.ones(len(t), dtype=bool)
+    keep[1:] = (t[1:] != t[:-1]) | (p[1:] != p[:-1])
+    return t[keep], doc_ids[p[keep]]
+
+
+def term_df_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Per-term document frequency (A4): per-batch partial counts, then a
+    small groupby-sum shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t, _ = _distinct_terms_batch(batch)
+        if len(t) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())})
+        uniq, counts = np.unique(t, return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()), "pdf": pa.array(counts, pa.int64())})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+
+
+def postings_pairs_ds(docs: rd.Dataset) -> rd.Dataset:
+    """(term, doc_id) distinct pairs — the A2 inverted-index relation in flat
+    form. Docs are globally unique so per-batch distinct is globally distinct."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t, d = _distinct_terms_batch(batch)
+        return pa.table(
+            {"term": pa.array(t, pa.string()), "doc_id": pa.array(d, pa.int64())}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def top_terms_ds(docs: rd.Dataset, k: int = 20) -> rd.Dataset:
+    """Total occurrence counts, top-k (count desc, term asc) — K4/K5 shape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = lower_tokens(token_lists(batch.column("text")))
+        flat = toks.flatten()
+        ok = pc.greater_equal(pc.utf8_length(flat), 2).to_numpy(zero_copy_only=False)
+        terms = flat.to_numpy(zero_copy_only=False)[ok]
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "pn": pa.array([], pa.int64())})
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()), "pn": pa.array(counts, pa.int64())})
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return agg.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def skip_filter_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Reference S2 ingestion skip rules (demo.ts:118-123) over documents."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), "")
+        bad = pc.or_(
+            pc.equal(text, ""),
+            pc.or_(
+                pc.match_substring(text, "|"), pc.starts_with(text, "]")
+            ),
+        )
+        return pa.table({"doc_id": batch.column("doc_id")}).filter(
+            pc.invert(bad)
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def extract_roundtrip_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Wrap text in the deterministic HTML envelope then extract — the
+    byte-identity invariant as a queryable op (title = 'doc <id>')."""
+    from search_engine_ray.stages.extract import extract_batch
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        html = pa.array(
+            [
+                f"<html><head><title>doc {i}</title></head><body>{t}</body></html>".encode()
+                for i, t in zip(ids, texts)
+            ],
+            pa.binary(),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "url": pa.array([f"doc://{i}" for i in ids], pa.string()), "html": html})
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "title", "text"])
+
+    return docs.map_batches(wrap, batch_format="pyarrow").map_batches(
+        extract_batch, batch_format="pyarrow"
+    ).map_batches(project, batch_format="pyarrow")

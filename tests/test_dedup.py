@@ -1,0 +1,130 @@
+"""Dedup pipelines: exact (oracle=duckdb), MinHash-LSH vs exact Jaccard,
+SimHash banding, embedding near-dup — on corpora with PLANTED duplicates."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups(ray_session):
+    """sf0.001 documents + planted near/exact duplicates with high doc_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    extra_texts = [
+        texts[0],  # exact dup of doc 0
+        texts[1],  # exact dup of doc 1
+        texts[2].rsplit(" ", 1)[0],  # near dup of doc 2 (one token dropped)
+    ]
+    extra_ids = [10_000, 10_001, 10_002]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids + extra_ids, pa.int64()),
+            "text": pa.array(texts + extra_texts, pa.string()),
+        }
+    )
+    return tbl
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    return _docs_with_dups(ray_session)
+
+
+def test_exact_dedup(dup_docs):
+    from search_engine_ray.pipelines.dedup import exact_dedup_ds
+
+    got = (
+        exact_dedup_ds(rd.from_arrow(dup_docs))
+        .to_pandas()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", dup_docs)
+    want = con.sql(
+        "SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id FROM d GROUP BY fp ORDER BY fp"
+    ).df()
+    assert got["fp"].tolist() == want["fp"].tolist()
+    assert got["keep_doc_id"].tolist() == want["keep_doc_id"].tolist()
+    # the two exact dups must NOT be winners
+    assert 10_000 not in set(got["keep_doc_id"])
+    assert 10_001 not in set(got["keep_doc_id"])
+
+
+def test_ngram_jaccard_finds_planted_pairs(dup_docs):
+    from search_engine_ray.pipelines.dedup import ngram_jaccard_pairs_ds
+
+    got = ngram_jaccard_pairs_ds(
+        rd.from_arrow(dup_docs), k=3, threshold=0.8
+    ).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 10_000) in pairs
+    assert (1, 10_001) in pairs
+    assert (2, 10_002) in pairs  # near dup: trailing-token shingles differ only
+    exact = got.set_index(["doc_a", "doc_b"])["jaccard"]
+    assert exact[(0, 10_000)] == 1.0
+    assert 0.8 <= exact[(2, 10_002)] < 1.0
+
+
+def test_minhash_lsh_matches_exact_jaccard(dup_docs):
+    from search_engine_ray.pipelines.dedup import (
+        minhash_lsh_pairs_ds,
+        ngram_jaccard_pairs_ds,
+    )
+
+    got = minhash_lsh_pairs_ds(
+        rd.from_arrow(dup_docs), num_perm=128, bands=32, k=3, threshold=0.8
+    ).to_pandas()
+    want = ngram_jaccard_pairs_ds(rd.from_arrow(dup_docs), k=3, threshold=0.8).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    want_pairs = set(zip(want["doc_a"], want["doc_b"]))
+    # verification step makes LSH output a SUBSET of the exact pairs; with
+    # 32x4 banding at jaccard>=0.8 recall should be total on this corpus
+    assert got_pairs == want_pairs
+    # verified jaccard values are exact -> identical
+    g = got.set_index(["doc_a", "doc_b"])["jaccard"].sort_index()
+    w = want.set_index(["doc_a", "doc_b"])["jaccard"].sort_index()
+    assert (g == w).all()
+
+
+def test_simhash_neardups(dup_docs):
+    from search_engine_ray.pipelines.dedup import simhash_ds, simhash_neardup_pairs_ds
+
+    sigs = simhash_ds(rd.from_arrow(dup_docs)).to_pandas().set_index("doc_id")["simhash"]
+    # exact dups -> identical signatures
+    assert sigs[0] == sigs[10_000]
+    assert sigs[1] == sigs[10_001]
+    pairs = simhash_neardup_pairs_ds(rd.from_arrow(dup_docs), max_hamming=3).to_pandas()
+    pset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 10_000) in pset
+    assert (1, 10_001) in pset
+    assert pairs.set_index(["doc_a", "doc_b"])["hamming"][(0, 10_000)] == 0
+
+
+def test_embedding_neardup(ray_session):
+    from search_engine_ray.pipelines.dedup import embedding_neardup_pairs_ds
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    # plant a near-identical vector of vec 0
+    v0 = np.array(t.column("embedding")[0].as_py())
+    near = (v0 + 1e-4).tolist()
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(t.column("vec_id").to_pylist() + [99_999], pa.int64()),
+            "embedding": pa.array(
+                t.column("embedding").to_pylist() + [near], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = embedding_neardup_pairs_ds(rd.from_arrow(t2), threshold=0.999).to_pandas()
+    assert (0, 99_999) in set(zip(got["vec_a"], got["vec_b"]))

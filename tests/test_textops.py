@@ -1,0 +1,115 @@
+"""Training-data text ops vs plain-Python/duckdb expectations at sf0.001."""
+
+import duckdb
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    from search_engine_ray.pipelines.text import read_documents
+
+    return read_documents(SF)
+
+
+def _sql(q):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.sql(q).df()
+
+
+def test_token_count(docs):
+    from search_engine_ray.pipelines.text import token_count_ds
+
+    got = token_count_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _sql(
+        """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents ORDER BY doc_id
+        """
+    )
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_term_df(docs):
+    from search_engine_ray.pipelines.text import term_df_ds
+
+    got = term_df_ds(docs).to_pandas().sort_values("term").reset_index(drop=True)
+    want = _sql(
+        """
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+          FROM documents)
+        WHERE length(term) >= 2 GROUP BY term ORDER BY term
+        """
+    )
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+
+
+def test_top_terms(docs):
+    from search_engine_ray.pipelines.text import top_terms_ds
+
+    got = top_terms_ds(docs, k=10).to_pandas()
+    want = _sql(
+        """
+        SELECT term, count(*)::BIGINT AS n FROM (
+          SELECT unnest(list_filter(string_split(text,' '), x -> x <> '')) AS term
+          FROM documents)
+        WHERE length(term) >= 2 GROUP BY term ORDER BY n DESC, term LIMIT 10
+        """
+    )
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_fingerprint(docs):
+    from search_engine_ray.pipelines.text import fingerprint_ds
+
+    got = fingerprint_ds(docs).to_pandas().sort_values("doc_id")
+    want = _sql("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
+    assert got["fp"].tolist() == want["fp"].tolist()
+
+
+def test_quality(docs):
+    from search_engine_ray.pipelines.text import quality_ds
+
+    got = quality_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, length(text)::BIGINT AS n_chars,
+                 list_filter(string_split(text,' '), x -> x <> '') AS ts
+          FROM documents)
+        SELECT doc_id, n_chars, len(ts)::BIGINT AS n_tokens,
+               coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT AS sum_token_len,
+               len(list_filter(ts, x -> length(x) < 2))::BIGINT AS n_short
+        FROM toks ORDER BY doc_id
+        """
+    )
+    for col in ["n_chars", "n_tokens", "sum_token_len", "n_short"]:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_lang_id_runs(docs):
+    from search_engine_ray.pipelines.text import lang_id_ds
+
+    got = lang_id_ds(docs).to_pandas()
+    assert len(got) == docs.count()
+    assert set(got["lang_pred"]).issubset({"en", "de", "fr", "es", "und"})
+
+
+def test_extract_roundtrip(docs):
+    from search_engine_ray.pipelines.text import extract_roundtrip_ds
+
+    got = extract_roundtrip_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _sql("SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents ORDER BY doc_id")
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["title"].tolist() == want["title"].tolist()
