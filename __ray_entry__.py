@@ -1,44 +1,395 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init/ray.shutdown. Each ``queries()`` callable takes an sf_dir and
+returns a Dataset / pandas DataFrame / pyarrow Table; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL over the pre-registered views (documents,
+embeddings, ...). Column names match between both sides; float outputs are
+avoided or integer-derived wherever an oracle hash-compare happens.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# the documents-table tokenizer is exactly whitespace-split on this corpus
+# (text is plain [a-z0-9 ]) — the SQL mirrors use string_split; the Ray side
+# uses the real reference tokenizer, verified equivalent in tests.
+_TOK_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_K1, _B = 1.2, 0.75
+
+
+def _idx_dir(sf_dir: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/se_ray_entry/{h}"
+
+
+def _docs_searcher(sf_dir: str):
+    """Build (or resume) the inverted index over the documents table and
+    return a SegmentSearcher. Empty title so tokens == text tokens."""
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+
+    sf_dir = sf_dir.rstrip("/")
+    out = _idx_dir(sf_dir)
+    config = EngineConfig()
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+                "html": pa.array(
+                    [
+                        f"<html><head><title></title></head><body>{t}</body></html>".encode()
+                        for t in texts
+                    ],
+                    pa.binary(),
+                ),
+                "rank": pa.array(ids, pa.int64()),
+            }
+        )
+
+    pages = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+    build_index(
+        pages, out, config, doc_id_mode="rank", fingerprint=sf_dir, resume=True
+    )
+    return SegmentSearcher(out, config)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full index build over sf0.001 documents + conjunctive
+    search + BM25 top-k; returns the BM25 result table."""
+    s = _docs_searcher("/root/testdata/sf0.001")
+    rows = s.search_bm25("table query", k=10, mode="and")
+    return pa.table(
+        {
+            "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+            "url": pa.array([r.url for r in rows], pa.string()),
+            "score": pa.array([round(r.score, 6) for r in rows], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    from search_engine_ray.pipelines.text import read_documents
+
+    return read_documents(sf_dir.rstrip("/"))
+
+
+def q_token_count(sf_dir: str):
+    from search_engine_ray.pipelines.text import token_count_ds
+
+    return token_count_ds(_docs(sf_dir))
+
+
+def q_term_df(sf_dir: str):
+    from search_engine_ray.pipelines.text import term_df_ds
+
+    return term_df_ds(_docs(sf_dir))
+
+
+def q_top_terms(sf_dir: str):
+    from search_engine_ray.pipelines.text import top_terms_ds
+
+    return top_terms_ds(_docs(sf_dir), k=20)
+
+
+def q_quality(sf_dir: str):
+    from search_engine_ray.pipelines.text import quality_ds
+
+    return quality_ds(_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    from search_engine_ray.pipelines.text import fingerprint_ds
+
+    return fingerprint_ds(_docs(sf_dir))
+
+
+def q_skip_filter(sf_dir: str):
+    from search_engine_ray.pipelines.text import skip_filter_ds
+
+    return skip_filter_ds(_docs(sf_dir))
+
+
+def q_extract_roundtrip(sf_dir: str):
+    from search_engine_ray.pipelines.text import extract_roundtrip_ds
+
+    return extract_roundtrip_ds(_docs(sf_dir))
+
+
+def q_postings_pairs(sf_dir: str):
+    from search_engine_ray.pipelines.text import postings_pairs_ds
+
+    return postings_pairs_ds(_docs(sf_dir))
+
+
+def q_exact_dedup(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import exact_dedup_ds
+
+    return exact_dedup_ds(_docs(sf_dir))
+
+
+def q_search_and(sf_dir: str):
+    s = _docs_searcher(sf_dir)
+    rows = s.search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
+def q_bm25_topk(sf_dir: str):
+    s = _docs_searcher(sf_dir)
+    rows = s.search_bm25("table query", k=10, mode="and")
+    return pa.table(
+        {
+            "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+            "score": pa.array([round(r.score, 6) for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import ngram_jaccard_pairs_ds
+
+    return ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8)
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        brute_force_cosine_topk_ds,
+        read_embeddings,
+    )
+
+    sf_dir = sf_dir.rstrip("/")
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    out = brute_force_cosine_topk_ds(
+        read_embeddings(sf_dir), q[None, :], [0], k=10
+    ).to_pandas()
+    return out[["query_id", "vec_id"]]  # scores dropped: cross-engine float hash
+
+
+def q_embedding_neardup(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import embedding_neardup_pairs_ds
+    from search_engine_ray.pipelines.similarity import read_embeddings
+
+    out = embedding_neardup_pairs_ds(
+        read_embeddings(sf_dir.rstrip("/")), threshold=0.5
+    ).to_pandas()
+    return out[["vec_a", "vec_b"]]
+
+
+# --- non-SQL-expressible (rows-only checks) --------------------------------
+
+
+def q_lang_id(sf_dir: str):
+    from search_engine_ray.pipelines.text import lang_id_ds
+
+    return lang_id_ds(_docs(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import simhash_ds
+
+    return simhash_ds(_docs(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import minhash_lsh_pairs_ds
+
+    return minhash_lsh_pairs_ds(_docs(sf_dir), threshold=0.8)
+
+
+def q_wand_or_topk(sf_dir: str):
+    s = _docs_searcher(sf_dir)
+    rows = s.search_bm25("table query window", k=10, mode="or")
+    return pa.table(
+        {
+            "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+            "score": pa.array([round(r.score, 6) for r in rows], pa.float64()),
+        }
+    )
+
+
+def q_search_phrase(sf_dir: str):
+    s = _docs_searcher(sf_dir)
+    rows = s.search('"table scan"', max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import lsh_cosine_topk_ds, read_embeddings
+
+    sf_dir = sf_dir.rstrip("/")
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    out = lsh_cosine_topk_ds(read_embeddings(sf_dir), q[None, :], [0], k=10).to_pandas()
+    return out[["query_id", "vec_id"]]
+
+
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.multimodal import fake_media_table, media_features_ds
+
+    return media_features_ds(rd.from_arrow(fake_media_table(100)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "token_count": q_token_count,
+        "term_df": q_term_df,
+        "top_terms": q_top_terms,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "skip_filter": q_skip_filter,
+        "extract_roundtrip": q_extract_roundtrip,
+        "postings_pairs": q_postings_pairs,
+        "exact_dedup": q_exact_dedup,
+        "search_and": q_search_and,
+        "bm25_topk": q_bm25_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (no SQL oracle)
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "wand_or_topk": q_wand_or_topk,
+        "search_phrase": q_search_phrase,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = _TOK_SQL
+    bm25 = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE term IN ('table', 'query') AND length(term) >= 2
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1) /
+             (tf.tf + {_K1} * (1 - {_B} + {_B} * (dl.dl / stats.avgdl)))) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 10
+"""
+    ngram = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  END) AS shingle
+    FROM tok)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(ni / (ca.n + cb.n - ni), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE ni / (ca.n + cb.n - ni) >= 0.8
+"""
+    ann = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT 0::BIGINT AS query_id, vec_id
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+LIMIT 10
+"""
+    neardup = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+"""
+    return {
+        "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        "term_df": f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, unnest({tok}) AS term FROM documents)
+WHERE length(term) >= 2 GROUP BY term""",
+        "top_terms": f"""
+SELECT term, count(*)::BIGINT AS n FROM (
+  SELECT unnest({tok}) AS term FROM documents)
+WHERE length(term) >= 2 GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+        "quality": f"""
+WITH t AS (SELECT doc_id, length(text)::BIGINT AS n_chars, {tok} AS ts FROM documents)
+SELECT doc_id, n_chars, len(ts)::BIGINT AS n_tokens,
+       coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT AS sum_token_len,
+       len(list_filter(ts, x -> length(x) < 2))::BIGINT AS n_short
+FROM t""",
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "skip_filter": """
+SELECT doc_id FROM documents
+WHERE NOT (coalesce(text, '') = '' OR contains(coalesce(text, ''), '|')
+           OR starts_with(coalesce(text, ''), ']'))""",
+        "extract_roundtrip": "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents",
+        "postings_pairs": f"""
+SELECT DISTINCT term, doc_id FROM (
+  SELECT doc_id, unnest({tok}) AS term FROM documents)
+WHERE length(term) >= 2""",
+        "exact_dedup": "SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)",
+        "search_and": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
+        "bm25_topk": bm25,
+        "ngram_jaccard": ngram,
+        "ann_cosine_topk": ann,
+        "embedding_neardup": neardup,
+    }

@@ -1,0 +1,268 @@
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32) CPUs:
+  - full index build over the documents table (pages-adapted)
+  - full index build over the deterministic synth-zipf corpus
+    ($GRAFT_BENCH_DOCS docs, default 100_000) -> docs/sec (headline)
+  - query latencies (p50/p95) over the reference query set on Ray-built
+    conformance indexes + BM25/WAND queries on the zipf index
+
+--scaling: run the synth index build twice in FRESH processes at 8 and 32
+CPUs on the same input and report both throughputs + scaling efficiency
+E = (R32/R8)/4 (the sandbox substitute for N vs 4N nodes, BASELINE.md).
+
+--build-only N: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+# workers inherit env, not the driver's sys.path — set before ray.init
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+# the scaling comparison needs a job large enough that per-session fixed
+# costs (shuffle setup, write barriers) are amortized — at 100k docs the
+# build is ~15s and fixed latency dominates both sides
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
+
+# reference query set: every query in engine.test.ts + the two README
+# benchmark queries (BASELINE.md)
+REFERENCE_QUERIES = {
+    "planets": [
+        "brightest", "giant", "Solar", "ancient civilizations", "planet sixth",
+        '"planet sixth"', '"after Jupiter"', '"from the Sun" Moon',
+        'moon "from the Sun"', 'fifth "from the sun"', '"moon and venus"',
+    ],
+    "carl_friedrich": ['"carl friedrich"'],
+    "haber": ["process", "haber", "haber process"],
+    "star": ["star", "trek", "star trek"],
+}
+README_BENCH = ["philosophy psychology", '"carl friedrich" german']
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _warm_workers(num_cpus: int) -> None:
+    """Spawn the session's worker processes before timing: throughput
+    measurements target steady state, not Ray's one-time per-worker cold
+    start (which would otherwise be charged ~linearly to the larger
+    cluster in the scaling comparison)."""
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+
+def _build_synth(num_cpus: int, n_docs: int, salt_shift: int = 16) -> dict:
+    """Headline: index build over the deterministic zipf corpus."""
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.sources.synth import synth_zipf_parquet
+
+    _warm_workers(num_cpus)
+    path = synth_zipf_parquet(n_docs)
+    out = f"/tmp/se_ray_bench/synth_{n_docs}_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig(salt_shift=salt_shift, merge_buckets=max(64, num_cpus * 4))
+    pages = rd.read_parquet(path)
+    t0 = time.perf_counter()
+    res = build_index(pages, out, config, doc_id_mode="rank", resume=False)
+    wall = time.perf_counter() - t0
+    return {
+        "out": out,
+        "config": config,
+        "wall_sec": wall,
+        "docs_per_sec": res.n_docs / wall,
+        "n_docs": res.n_docs,
+        "stage_timings": res.timings,
+    }
+
+
+def _query_latencies(synth: dict) -> dict:
+    """p50/p95 over the reference query set (conformance indexes) and
+    BM25/WAND over the zipf index."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.fixtures import CORPORA, pages_table
+    from search_engine_ray.sources.synth import HOT_TERM
+
+    lat = []
+    per_query = {}
+    for corpus, qs in REFERENCE_QUERIES.items():
+        docs, config = CORPORA[corpus]
+        out = f"/tmp/se_ray_bench/{corpus}"
+        build_index(
+            rd.from_arrow(pages_table(docs)), out, config,
+            doc_id_mode="replay", fingerprint=corpus, resume=True,
+        )
+        s = SegmentSearcher(out, config)
+        for q in qs:
+            s.search(q)  # warm (cache term + docs)
+            times = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                s.search(q)
+                times.append(time.perf_counter() - t0)
+            m = float(np.median(times))
+            per_query[f"{corpus}:{q}"] = round(m, 6)
+            lat.extend(times)
+    # README bench queries on the carl_friedrich corpus (closest corpus that
+    # contains the phrase) — latency-only
+    docs, config = CORPORA["carl_friedrich"]
+    s = SegmentSearcher("/tmp/se_ray_bench/carl_friedrich", config)
+    for q in README_BENCH:
+        s.search(q)
+        t0 = time.perf_counter()
+        s.search(q)
+        el = time.perf_counter() - t0
+        per_query[f"bench:{q}"] = round(el, 6)
+        lat.append(el)
+
+    # zipf BM25/WAND
+    zs = SegmentSearcher(synth["out"], synth["config"])
+    for q, mode in [
+        (f"{HOT_TERM} w3 w17", "or"),
+        ("w3 w17", "and"),
+        ("w100 w500 w1500", "or"),
+    ]:
+        zs.search_bm25(q, k=10, mode=mode)
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            zs.search_bm25(q, k=10, mode=mode)
+            times.append(time.perf_counter() - t0)
+        per_query[f"zipf_{mode}:{q}"] = round(float(np.median(times)), 6)
+        lat.extend(times)
+
+    lat = np.array(lat)
+    return {
+        "per_query": per_query,
+        "p50_sec": round(float(np.percentile(lat, 50)), 6),
+        "p95_sec": round(float(np.percentile(lat, 95)), 6),
+    }
+
+
+def _build_documents_sf(sf_dir: str) -> dict:
+    """Index build over the driver's documents table (pages-adapted)."""
+    import __ray_entry__ as e
+
+    t0 = time.perf_counter()
+    # fresh build (ignore resume cache)
+    idx = e._idx_dir(sf_dir.rstrip("/"))
+    shutil.rmtree(idx, ignore_errors=True)
+    e._docs_searcher(sf_dir)
+    return {"wall_sec": time.perf_counter() - t0}
+
+
+def run_default() -> dict:
+    ray = _init_ray(NUM_CPUS)
+    try:
+        synth = _build_synth(NUM_CPUS, BENCH_DOCS)
+        sf_build = _build_documents_sf(SF_DIR)
+        qlat = _query_latencies(synth)
+    finally:
+        ray.shutdown()
+    queries = dict(qlat["per_query"])
+    queries["build_synth_sec"] = round(synth["wall_sec"], 3)
+    queries["build_documents_sf_sec"] = round(sf_build["wall_sec"], 3)
+    queries["query_p50_sec"] = qlat["p50_sec"]
+    queries["query_p95_sec"] = qlat["p95_sec"]
+    queries["index_docs_per_sec"] = round(synth["docs_per_sec"], 1)
+    return {
+        "metric": "index-build docs/sec (synth zipf) + query p95 over reference query set",
+        "value": round(synth["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": synth["n_docs"],
+    }
+
+
+def run_build_only(num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    try:
+        synth = _build_synth(num_cpus, BENCH_DOCS)
+    finally:
+        ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": synth["n_docs"],
+        "wall_sec": round(synth["wall_sec"], 3),
+        "docs_per_sec": round(synth["docs_per_sec"], 1),
+        "stage_timings": {k: round(v, 3) for k, v in synth["stage_timings"].items()},
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level (the two-cluster-size evidence)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-only", str(cpus)],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8 = results[8]["docs_per_sec"]
+    r32 = results[32]["docs_per_sec"]
+    eff = (r32 / r8) / 4.0
+    return {
+        "metric": "index-build scaling efficiency, 8 -> 32 CPUs (N vs 4N substitute)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            "docs_per_sec_8cpu": r8,
+            "docs_per_sec_32cpu": r32,
+            "wall_sec_8cpu": results[8]["wall_sec"],
+            "wall_sec_32cpu": results[32]["wall_sec"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "bench_docs": results[32]["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--build-only":
+        print(json.dumps(run_build_only(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))

@@ -38,6 +38,9 @@ class SegmentSearcher:
         self.avgdl = float(m.get("avgdl", 0.0))
         self._cache: OrderedDict[int, DocRecord] = OrderedDict()
         self._cache_cap = doc_cache
+        # postings LRU: hot query terms skip the parquet read entirely
+        self._term_cache: OrderedDict[str, dict | None] = OrderedDict()
+        self._term_cache_cap = 8192
 
     # -- doc access ----------------------------------------------------------
 
@@ -55,12 +58,27 @@ class SegmentSearcher:
     def _get_doc(self, doc_id: int) -> DocRecord | None:
         return self._get_docs([doc_id]).get(doc_id)
 
+    def _lookup(self, terms: list[str]) -> dict[str, dict]:
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            fetched = self.reader.lookup(missing)
+            for t in missing:
+                self._term_cache[t] = fetched.get(t)
+                self._term_cache.move_to_end(t)
+            while len(self._term_cache) > self._term_cache_cap:
+                self._term_cache.popitem(last=False)
+        return {
+            t: self._term_cache[t]
+            for t in set(terms)
+            if self._term_cache.get(t) is not None
+        }
+
     # -- reference-compat search --------------------------------------------
 
     def search(self, text: str, max_count: int = 100) -> list[SearchResult]:
         words, quotes = to_words(text)
         wwsw = [w for w in words if not self.config.is_stop_word(w)]
-        postings = self.reader.lookup(sorted({w.lower() for w in wwsw}))
+        postings = self._lookup(sorted({w.lower() for w in wwsw}))
 
         def is_quote_on_page(doc_id: int) -> bool:
             if not quotes:
@@ -117,7 +135,7 @@ class SegmentSearcher:
         terms = sorted({w.lower() for w in words if not self.config.is_stop_word(w)})
         if not terms:
             return []
-        post = self.reader.lookup(terms)
+        post = self._lookup(terms)
         postings = [post[t] for t in terms if t in post]
         if mode == "and" and len(postings) < len(terms):
             return []

@@ -26,132 +26,158 @@ from search_engine_ray.config import EngineConfig
 from search_engine_ray.tokenize import lower_tokens, tokenize_arrow
 
 
+def tokenize_docs_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, url, title, text) -> + tokens list<string>, dl int32.
+
+    A STATELESS task (not an actor pool): the tokenizer state is module-level
+    compiled RE2 kernels, so tasks are elastic with zero pool-startup cost —
+    at 32 CPUs, actor pools here cost more in startup than they save."""
+    title = pc.coalesce(batch.column("title"), "")
+    text = pc.coalesce(batch.column("text"), "")
+    # Engine.add tokenizes title + ' ' + text (engine.ts:54)
+    joined = pc.binary_join_element_wise(title, text, " ")
+    tokens = tokenize_arrow(joined)
+    dl = pc.list_value_length(tokens).cast(pa.int32())
+    return batch.append_column("tokens", tokens).append_column("dl", dl)
+
+
 class TokenizeDocs:
-    """(doc_id, url, title, text) -> + tokens list<string>, dl int32."""
+    """Callable-class form of tokenize_docs_batch (for actor-pool use when a
+    stage carries real per-worker state, e.g. an injected ML tokenizer)."""
 
     def __init__(self, config: EngineConfig | None = None) -> None:
         self.config = config or EngineConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        title = pc.coalesce(batch.column("title"), "")
-        text = pc.coalesce(batch.column("text"), "")
-        # Engine.add tokenizes title + ' ' + text (engine.ts:54)
-        joined = pc.binary_join_element_wise(title, text, " ")
-        tokens = tokenize_arrow(joined)
-        dl = pc.list_value_length(tokens).cast(pa.int32())
-        return batch.append_column("tokens", tokens).append_column("dl", dl)
+        return tokenize_docs_batch(batch)
 
 
-class EmitPostings:
-    """(doc_id, tokens) -> partial-agg postings rows.
+def emit_postings_batch(batch: pa.Table, config: EngineConfig) -> pa.Table:
+    """(doc_id, tokens) -> partial-agg postings rows. STATELESS task.
 
     Per doc: lowercase, drop stop words / 1-char terms (engine.ts:70,490-492),
     term frequency = occurrence count. Per batch: group by term, collect
-    doc_id-ascending runs.
-    """
+    doc_id-ascending runs."""
+    stop = _EmitCtx(config)._stop
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    low = lower_tokens(tokens)
+    flat = low.flatten()
+    parents = pc.list_parent_indices(low).to_numpy(zero_copy_only=False)
+
+    # stop-word / short-word mask (vectorized)
+    ok = pc.greater_equal(pc.utf8_length(flat), 2)
+    if len(stop):
+        ok = pc.and_(ok, pc.invert(pc.is_in(flat, value_set=pa.array(stop))))
+    ok_np = ok.to_numpy(zero_copy_only=False)
+
+    # dictionary-encode terms ONCE: all grouping below sorts int32 codes, not
+    # strings (object-dtype lexsort was the emit hot spot at large batches)
+    dict_arr = pc.dictionary_encode(flat)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False)[ok_np]
+    vocab = dict_arr.dictionary  # pa.StringArray
+    term_parents = parents[ok_np]
+
+    if len(codes) == 0:
+        return _empty_postings_table()
+
+    # tf per (doc, term): sort by (parent, code) then run-length encode.
+    order = np.lexsort((codes, term_parents))
+    c_sorted = codes[order]
+    p_sorted = term_parents[order]
+    new_run = np.empty(len(c_sorted), dtype=bool)
+    new_run[0] = True
+    if len(c_sorted) > 1:
+        new_run[1:] = (c_sorted[1:] != c_sorted[:-1]) | (p_sorted[1:] != p_sorted[:-1])
+    run_starts = np.flatnonzero(new_run)
+    tf = np.diff(np.append(run_starts, len(c_sorted))).astype(np.int32)
+    u_codes = c_sorted[run_starts]
+    u_parents = p_sorted[run_starts]
+    u_doc_ids = doc_ids[u_parents].astype(np.int64)
+    dls = (batch.column("dl").to_numpy(zero_copy_only=False)[u_parents]).astype(
+        np.int32
+    )
+
+    # per-posting salt: doc_id >> salt_shift buckets a hot term's postings
+    # into DISJOINT doc_id ranges, so each (term, salt) merges on its own
+    # reducer and the reader simply concatenates runs in salt order —
+    # no second shuffle (SURVEY §4.3.1, head-term skew).
+    if config.salt_shift > 0:
+        salts = (u_doc_ids >> config.salt_shift).astype(np.int64)
+    else:
+        salts = np.zeros(len(u_doc_ids), dtype=np.int64)
+
+    # group by (code, salt); within each group keep doc_id ascending.
+    order2 = np.lexsort((u_doc_ids, salts, u_codes))
+    g_codes = u_codes[order2]
+    g_salts = salts[order2]
+    g_doc_ids = u_doc_ids[order2]
+    g_tfs = tf[order2]
+    g_dls = dls[order2]
+
+    change = np.empty(len(g_codes), dtype=bool)
+    change[0] = True
+    change[1:] = (g_codes[1:] != g_codes[:-1]) | (g_salts[1:] != g_salts[:-1])
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, len(g_codes)).astype(np.int64)
+    out_terms = vocab.take(pa.array(g_codes[starts], pa.int32()))
+    out_salts = g_salts[starts]
+
+    # groupby key: the merge groups by (term, salt); a string key keeps
+    # lexicographic order == (term, numeric salt) via hex padding
+    if config.salt_shift > 0:
+        key = pc.binary_join_element_wise(
+            out_terms,
+            pa.array([f"{s:016x}" for s in out_salts], pa.string()),
+            "\x00",
+        )
+    else:
+        key = out_terms
+
+    # merge-shuffle bucket: stable hash of the (term, salt) key, so a
+    # salted hot term spreads over many reduce tasks
+    nb = config.merge_buckets
+    key_np = key.to_numpy(zero_copy_only=False)
+    bucket = np.fromiter(
+        (zlib.crc32(k.encode("utf-8")) % nb for k in key_np),
+        dtype=np.int64,
+        count=len(key_np),
+    )
+
+    off_arr = pa.array(offsets, pa.int64())
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, pa.int64()),
+            "key": key,
+            "term": out_terms,
+            "salt": pa.array(out_salts, pa.int64()),
+            "doc_ids": pa.ListArray.from_arrays(
+                off_arr, pa.array(g_doc_ids, pa.int64())
+            ),
+            "tfs": pa.ListArray.from_arrays(off_arr, pa.array(g_tfs, pa.int32())),
+            "dls": pa.ListArray.from_arrays(off_arr, pa.array(g_dls, pa.int32())),
+        }
+    )
+
+
+class _EmitCtx:
+    __slots__ = ("config", "_stop")
+
+    def __init__(self, config: EngineConfig) -> None:
+        self.config = config
+        self._stop = np.array(sorted(config.stop_words), dtype=object)
+
+
+class EmitPostings:
+    """Callable-class form of emit_postings_batch (actor-pool variant)."""
 
     def __init__(self, config: EngineConfig | None = None) -> None:
         self.config = config or EngineConfig()
-        self._stop = np.array(sorted(self.config.stop_words), dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        tokens = batch.column("tokens")
-        if isinstance(tokens, pa.ChunkedArray):
-            tokens = tokens.combine_chunks()
-        low = lower_tokens(tokens)
-        flat = low.flatten()
-        parents = pc.list_parent_indices(low).to_numpy(zero_copy_only=False)
-
-        # stop-word / short-word mask (vectorized)
-        ok = pc.greater_equal(pc.utf8_length(flat), 2)
-        if len(self._stop):
-            ok = pc.and_(
-                ok, pc.invert(pc.is_in(flat, value_set=pa.array(self._stop)))
-            )
-        ok_np = ok.to_numpy(zero_copy_only=False)
-        terms = flat.to_numpy(zero_copy_only=False)[ok_np]
-        term_parents = parents[ok_np]
-
-        if len(terms) == 0:
-            return _empty_postings_table()
-
-        # tf per (doc, term): sort by (parent, term) then run-length encode.
-        order = np.lexsort((terms, term_parents))
-        t_sorted = terms[order]
-        p_sorted = term_parents[order]
-        new_run = np.empty(len(t_sorted), dtype=bool)
-        new_run[0] = True
-        if len(t_sorted) > 1:
-            new_run[1:] = (t_sorted[1:] != t_sorted[:-1]) | (
-                p_sorted[1:] != p_sorted[:-1]
-            )
-        run_starts = np.flatnonzero(new_run)
-        tf = np.diff(np.append(run_starts, len(t_sorted))).astype(np.int32)
-        u_terms = t_sorted[run_starts]
-        u_parents = p_sorted[run_starts]
-        u_doc_ids = doc_ids[u_parents].astype(np.int64)
-        dls = (
-            batch.column("dl").to_numpy(zero_copy_only=False)[u_parents]
-        ).astype(np.int32)
-
-        # per-posting salt: doc_id >> salt_shift buckets a hot term's postings
-        # into DISJOINT doc_id ranges, so each (term, salt) merges on its own
-        # reducer and the reader simply concatenates runs in salt order —
-        # no second shuffle (SURVEY §4.3.1, head-term skew).
-        if self.config.salt_shift > 0:
-            salts = (u_doc_ids >> self.config.salt_shift).astype(np.int64)
-        else:
-            salts = np.zeros(len(u_doc_ids), dtype=np.int64)
-
-        # group by (term, salt); within each group keep doc_id ascending.
-        order2 = np.lexsort((u_doc_ids, salts, u_terms))
-        g_terms = u_terms[order2]
-        g_salts = salts[order2]
-        g_doc_ids = u_doc_ids[order2]
-        g_tfs = tf[order2]
-        g_dls = dls[order2]
-
-        change = np.empty(len(g_terms), dtype=bool)
-        change[0] = True
-        change[1:] = (g_terms[1:] != g_terms[:-1]) | (g_salts[1:] != g_salts[:-1])
-        starts = np.flatnonzero(change)
-        offsets = np.append(starts, len(g_terms)).astype(np.int64)
-        out_terms = g_terms[starts]
-        out_salts = g_salts[starts]
-
-        if self.config.salt_shift > 0:
-            # hex-padded so lexicographic key order == (term, numeric salt)
-            key = np.array(
-                [f"{t}\x00{s:016x}" for t, s in zip(out_terms, out_salts)],
-                dtype=object,
-            )
-        else:
-            key = out_terms
-
-        # merge-shuffle bucket: stable hash of the (term, salt) key, so a
-        # salted hot term spreads over many reduce tasks
-        nb = self.config.merge_buckets
-        bucket = np.fromiter(
-            (zlib.crc32(k.encode("utf-8")) % nb for k in key),
-            dtype=np.int64,
-            count=len(key),
-        )
-
-        off_arr = pa.array(offsets, pa.int64())
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, pa.int64()),
-                "key": pa.array(key, pa.string()),
-                "term": pa.array(out_terms, pa.string()),
-                "salt": pa.array(out_salts, pa.int64()),
-                "doc_ids": pa.ListArray.from_arrays(
-                    off_arr, pa.array(g_doc_ids, pa.int64())
-                ),
-                "tfs": pa.ListArray.from_arrays(off_arr, pa.array(g_tfs, pa.int32())),
-                "dls": pa.ListArray.from_arrays(off_arr, pa.array(g_dls, pa.int32())),
-            }
-        )
+        return emit_postings_batch(batch, self.config)
 
 
 def _empty_postings_table() -> pa.Table:

@@ -194,42 +194,51 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
         enc_tf, off_tf = encode_varints_with_offsets(tf.astype(np.uint64))
         enc_dl, off_dl = encode_varints_with_offsets(dl.astype(np.uint64))
 
-        doc_b: list[bytes] = []
-        tf_b: list[bytes] = []
-        dl_b: list[bytes] = []
-        blk_last: list[list[int]] = []
-        blk_bound: list[list[float]] = []
-        max_tfs = np.zeros(n_groups, dtype=np.int32)
         df_runs = (ends - starts).astype(np.int32)
-        for gi in range(n_groups):
-            s, e = int(starts[gi]), int(ends[gi])
-            doc_b.append(enc_doc[off_doc[s] : off_doc[e]])
-            tf_b.append(enc_tf[off_tf[s] : off_tf[e]])
-            dl_b.append(enc_dl[off_dl[s] : off_dl[e]])
-            edges = np.arange(s, e, block_size, dtype=np.int64)
-            lasts = np.append(edges[1:] - 1, e - 1)
-            blk_last.append(d[lasts].tolist())
-            # reduceat within the group slice (reduceat's final segment runs
-            # to the end of the array it is given)
-            btf = np.maximum.reduceat(tf[s:e], edges - s).astype(np.float64)
-            bdl = np.minimum.reduceat(dl[s:e], edges - s).astype(np.float64)
-            df_run = int(df_runs[gi])
-            g_idf = float(np.log(1.0 + (n_docs - df_run + 0.5) / (df_run + 0.5)))
-            bound = g_idf * btf * (k1 + 1.0) / (btf + k1 * (1.0 - b + b * (bdl / avgdl)))
-            blk_bound.append(bound.tolist())
-            max_tfs[gi] = tf[s:e].max()
 
+        # ---- block metadata, vectorized across ALL groups -----------------
+        # per-group block starts laid out globally: groups are contiguous, so
+        # the next edge after a group's last block start is the next group's
+        # first start == this group's end — a single global reduceat is exact.
+        n_blocks = ((ends - starts) + block_size - 1) // block_size
+        blk_off = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(n_blocks, out=blk_off[1:])
+        total_blocks = int(blk_off[-1])
+        within = np.arange(total_blocks) - np.repeat(blk_off[:-1], n_blocks)
+        edges = np.repeat(starts, n_blocks) + within * block_size
+        block_ends = np.append(edges[1:], len(d))
+        block_last_all = d[block_ends - 1]
+        btf = np.maximum.reduceat(tf, edges).astype(np.float64)
+        bdl = np.minimum.reduceat(dl, edges).astype(np.float64)
+        g_of_block = np.repeat(np.arange(n_groups), n_blocks)
+        dfb = df_runs[g_of_block].astype(np.float64)
+        idf = np.log(1.0 + (n_docs - dfb + 0.5) / (dfb + 0.5))
+        bound = idf * btf * (k1 + 1.0) / (btf + k1 * (1.0 - b + b * (bdl / avgdl)))
+        max_tfs = np.maximum.reduceat(tf, starts).astype(np.int32)
+
+        # ---- zero-copy per-group binary slices via Arrow offset buffers ---
+        def bin_col(enc: bytes, off: np.ndarray) -> pa.Array:
+            group_off = off[np.append(starts, len(d))].astype(np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(),
+                n_groups,
+                [None, pa.py_buffer(group_off.tobytes()), pa.py_buffer(enc)],
+            )
+
+        blk_off32 = pa.array(blk_off, pa.int64())
         return pa.table(
             {
                 "term": pa.array(terms_np[rep], pa.string()),
                 "salt": pa.array(salts_np[rep].astype(np.int64), pa.int64()),
                 "df_run": pa.array(df_runs, pa.int32()),
-                "doc_ids_enc": pa.array(doc_b, pa.binary()),
-                "tfs_enc": pa.array(tf_b, pa.binary()),
-                "dls_enc": pa.array(dl_b, pa.binary()),
-                "block_last": pa.array(blk_last, pa.list_(pa.int64())),
-                "block_bound": pa.array(
-                    [[float(x) for x in bb] for bb in blk_bound], pa.list_(pa.float32())
+                "doc_ids_enc": bin_col(enc_doc, off_doc),
+                "tfs_enc": bin_col(enc_tf, off_tf),
+                "dls_enc": bin_col(enc_dl, off_dl),
+                "block_last": pa.ListArray.from_arrays(
+                    blk_off32, pa.array(block_last_all, pa.int64())
+                ),
+                "block_bound": pa.ListArray.from_arrays(
+                    blk_off32, pa.array(bound.astype(np.float32), pa.float32())
                 ),
                 "max_tf": pa.array(max_tfs, pa.int32()),
             }
