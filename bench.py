@@ -68,15 +68,34 @@ def _init_ray(num_cpus: int):
     return ray
 
 
+def _mem_warm_task(batch):
+    """Touch ~400MB per worker with allocator retention on: this box
+    serializes COLD page faults in the kernel (74% sys time under
+    concurrent first-touch), so pre-faulting each worker arena once per
+    session moves every stage to warm steady state (first-call emit/merge
+    measured 7-16s cold vs 0.6-2s warm)."""
+    import time as _t
+
+    import numpy as np
+
+    from search_engine_ray.util import limit_arrow_threads
+
+    limit_arrow_threads()
+    a = np.ones(50_000_000)
+    a[::4096] += 1.0
+    del a
+    _t.sleep(1.0)  # hold the slot so each worker process gets warmed
+    return batch
+
+
 def _warm_workers(num_cpus: int) -> None:
-    """Spawn the session's worker processes before timing: throughput
-    measurements target steady state, not Ray's one-time per-worker cold
-    start (which would otherwise be charged ~linearly to the larger
-    cluster in the scaling comparison)."""
+    """Spawn and memory-warm the session's worker processes before timing:
+    throughput measurements target steady state, not Ray's one-time
+    per-worker cold start."""
     import ray.data as rd
 
-    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
-        lambda b: b, batch_format="pyarrow"
+    rd.range(num_cpus, override_num_blocks=num_cpus).map_batches(
+        _mem_warm_task, batch_format="pyarrow", num_cpus=1
     ).materialize()
 
 
@@ -92,7 +111,7 @@ def _build_synth(num_cpus: int, n_docs: int, salt_shift: int = 16) -> dict:
     path = synth_zipf_parquet(n_docs)
     out = f"/tmp/se_ray_bench/synth_{n_docs}_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    config = EngineConfig(salt_shift=salt_shift, merge_buckets=max(64, num_cpus * 4))
+    config = EngineConfig(salt_shift=salt_shift, merge_buckets=64)
     pages = rd.read_parquet(path)
     t0 = time.perf_counter()
     res = build_index(pages, out, config, doc_id_mode="rank", resume=False)

@@ -41,6 +41,9 @@ class EngineConfig:
     block_size: int = 128  # postings per block-max block
     merge_buckets: int = 64  # hash buckets for the merge shuffle (reduce tasks)
     salt_shift: int = 0  # >0: salt groupby key with doc_id >> salt_shift (head-term skew)
+    # only terms with global df >= this are salted (found by a cheap df
+    # pre-pass); salting every term multiplied segment rows ~30x for the tail
+    salt_df_threshold: int = 262144
 
     def is_stop_word(self, word: str) -> bool:
         """Reference isStopWord (engine.ts:490-492): len < 2 OR in stop set."""

@@ -1,29 +1,40 @@
 """The index-build pipeline — Ray-Data-first (SURVEY §3.4, §7).
 
-    read_parquet(pages)                       # column-pruned at the read
-      -> map_batches(extract_batch)           # html -> title/text (vectorized RE2)
-      -> [map_batches(skip_filter_batch)]     # reference S2 skip rules (opt-in)
-      -> doc_id assignment                    # rank (scale) | replay (compat)
-      -> map_batches(TokenizeDocs, actor pool)
-      -> write_parquet(out/docs)              # checkpoint #1: the doc store
-    read_parquet(out/docs, cols=[doc_id,tokens,dl])
-      -> map_batches(EmitPostings, actor pool)  # partial agg (combiner)
-      -> groupby("key")                         # THE shuffle; key = term(+salt)
-      -> map_groups(merge_encode)               # sorted-run merge + delta-varint
-      -> write_parquet(out/segments)            # checkpoint #2: the index
-    manifest.json                               # lineage + stats + timings
+    read_parquet(pages)                      # column-pruned at the read
+      -> repartition(~2 blocks/CPU)          # task granularity == cluster
+      -> map_batches(extract_batch)          # html -> title/text (RE2)
+      -> [map_batches(skip_filter_batch)]    # reference S2 skip rules
+      -> doc_id assignment                   # rank (scale) | replay (compat)
+      -> map_batches(tokenize_docs_batch)    # stateless vectorized tasks
+      -> sort(doc_id) -> write_parquet       # checkpoint #1: doc store,
+                                             #   range-partitioned by doc_id
+    [sample df pre-pass]                     # hot terms to salt (skew)
+    read_parquet(out/docs, 3 cols)
+      -> map_batches(emit_postings_batch)    # partial agg (combiner):
+                                             #   (term,salt)-keyed sorted runs
+      -> write_parquet(partition_cols=[bucket])   # DISK map-side shuffle
+    per-bucket merge tasks                   # vectorized merge+delta-varint
+      -> write_parquet(out/segments)         # checkpoint #2: the index
+    term_dict.parquet + manifest.json        # lookup sidecar + lineage
 
 Design notes for cluster scale:
-- The only all-to-all exchange is groupby("key"); EmitPostings pre-aggregates
-  per batch so hot terms ship one row per (batch, salt-bucket), and
-  ``salt_shift`` splits head terms across reducers by doc_id range.
-- Both writes are directory-of-part-files; resume skips a stage whose
-  manifest matches the input fingerprint (per-partition lineage lives in the
-  parquet part files + manifest counters).
+- The only all-to-all exchange is the bucket-partitioned shuffle write;
+  emit pre-aggregates per batch so hot terms ship one row per (batch,
+  salt-bucket), and globally-hot terms (sampled df pre-pass) are salted by
+  doc_id range into disjoint runs that readers concatenate — no second
+  shuffle. Sort-based groupby and Ray 2.49 HASH_SHUFFLE were both measured
+  and rejected for this stage (see git history).
+- Both stage outputs are directories of part files with fingerprinted
+  manifests; a re-run with the same fingerprint skips completed stages and
+  the on-disk shuffle is itself restartable.
 - doc_id assignment: at crawl scale ranks are unique by construction
   (doc_id = rank, a pure map); compat mode replays the reference's
   sequential getSeed over the (url, rank) pairs driver-side — O(corpus)
   but only used for conformance corpora (SURVEY §7.3.1).
+- Memory behavior is load-bearing: stateless map tasks + allocator
+  retention (util.limit_arrow_threads) + >1 CPU slots for memory-heavy
+  tasks; this host serializes cold page faults in the kernel past ~8-16
+  concurrent memory-streaming processes.
 """
 
 from __future__ import annotations
@@ -43,9 +54,14 @@ import ray.data as rd
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.stages.extract import extract_batch, skip_filter_batch
-from search_engine_ray.stages.postings import emit_postings_batch, tokenize_docs_batch
+from search_engine_ray.stages.postings import (
+    emit_postings_batch,
+    partial_df_batch,
+    tokenize_docs_batch,
+)
 from search_engine_ray.state.index import replay_seed_assignment
 from search_engine_ray.state.segments import (
+    SEGMENT_SCHEMA,
     CorpusStats,
     make_bucket_merge_encode,
     manifest_valid,
@@ -132,7 +148,7 @@ def build_index(
     fingerprint: str | None = None,
     resume: bool = True,
     tokenize_concurrency: int | tuple[int, int] | None = None,
-    postings_batch_size: int = 65536,
+    postings_batch_size: int = 16384,
     target_blocks: int | None = None,
 ) -> BuildResult:
     """Build doc store + index segments from an input_hint-shaped Dataset.
@@ -212,29 +228,116 @@ def build_index(
             columns=["doc_id", "tokens", "dl"],
             override_num_blocks=target_blocks,
         )
+        # hot-term detection for salting (head-term skew, SURVEY §4.3.1):
+        # terms frequent enough to salt (df fraction >= threshold/n_docs)
+        # are reliably visible in a deterministic prefix sample — a full
+        # df groupby cost more than the salting saved (measured 76-119s at
+        # 2M docs vs ~2s for the sample). Conservative 0.5x margin
+        # over-salts slightly, which is harmless (ranges stay disjoint).
+        hot_terms: frozenset[str] = frozenset()
+        if config.salt_shift > 0 and n_docs > 0:
+            t_df = time.perf_counter()
+            sample_n = min(n_docs, 50_000)
+            sample_files = parquet_files(docs_dir)[:4]
+            sample_tbl = pq.read_table(sample_files, columns=["tokens"])
+            sample_n = min(sample_n, sample_tbl.num_rows)
+            pdf = partial_df_batch(
+                sample_tbl.slice(0, sample_n), config
+            )
+            frac_thr = 0.5 * config.salt_df_threshold / n_docs
+            counts = pdf.column("pdf").to_numpy(zero_copy_only=False)
+            keep = counts / sample_n >= frac_thr
+            hot_terms = frozenset(
+                t
+                for t, k in zip(pdf.column("term").to_pylist(), keep)
+                if k
+            )
+            timings["df_pass"] = time.perf_counter() - t_df
+
+        # memory-heavy tasks get >1 CPU slots: this box serializes page
+        # faults in the kernel past ~8-16 concurrent memory-streaming
+        # processes (74% sys time measured; reproduced outside Ray), so
+        # fewer, wider tasks are strictly faster at 32 CPUs.
+        heavy_cpus = float(os.environ.get("SE_RAY_HEAVY_TASK_CPUS", "2"))
         postings = docs_ds.map_batches(
             emit_postings_batch,
-            fn_kwargs={"config": config},
+            fn_kwargs={"config": config, "hot_terms": hot_terms},
             batch_format="pyarrow",
             batch_size=postings_batch_size,
+            num_cpus=heavy_cpus,
         )
-        # groupby the int64 bucket (hash of term+salt): the sort-based
-        # shuffle sorts 64-128 distinct ints — far cheaper than sorting the
-        # string keys — and map_groups hands the WHOLE bucket to the
-        # vectorized merge, which groups by key internally. (Ray 2.49's
-        # HASH_SHUFFLE strategy was tried and collapses at 32 CPUs on this
-        # payload; the int sort scales.)
-        merged = postings.groupby("bucket").map_groups(
-            make_bucket_merge_encode(stats, config), batch_format="pyarrow"
+        # Disk-based map-side shuffle: each emit task splits its output by
+        # bucket into a Hive-partitioned directory; the merge then handles
+        # one bucket directory per task. This replaces the object-store
+        # sort shuffle whose barrier kept the postings stage wall-flat from
+        # 8 to 32 CPUs (sort compute was ~14s but wall was 41-86s). Both
+        # phases stream, nothing sorts, and the shuffle itself is a
+        # resumable on-disk artifact. (groupby-sort and Ray 2.49
+        # HASH_SHUFFLE were both measured and rejected — see git history.)
+        shuffle_dir = os.environ.get("SE_RAY_SHUFFLE_BASE") or os.path.join(
+            out_dir, "shuffle"
         )
-        merged.write_parquet(seg_dir)
+        if shuffle_dir != os.path.join(out_dir, "shuffle"):
+            shuffle_dir = os.path.join(
+                shuffle_dir, os.path.basename(out_dir.rstrip("/")) + "_shuffle"
+            )
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        t_pipe = time.perf_counter()
+        postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
+        timings["shuffle_write"] = time.perf_counter() - t_pipe
+
+        t_pipe = time.perf_counter()
+        bucket_dirs = sorted(
+            os.path.join(shuffle_dir, d)
+            for d in os.listdir(shuffle_dir)
+            if d.startswith("bucket=")
+        )
+        if bucket_dirs:
+            merge_fn = make_bucket_merge_encode(stats, config)
+
+            def merge_bucket_dir(batch: pa.Table) -> pa.Table:
+                from search_engine_ray.util import limit_arrow_threads
+
+                limit_arrow_threads()
+                outs = []
+                for d in batch.column("dir").to_pylist():
+                    from search_engine_ray.state.segments import parquet_files
+
+                    tbl = pq.read_table(parquet_files(d))
+                    if tbl.num_rows:
+                        outs.append(merge_fn(tbl))
+                if not outs:
+                    return pa.Table.from_batches([], schema=SEGMENT_SCHEMA)
+                return pa.concat_tables(outs)
+
+            merged = rd.from_items(
+                [{"dir": d} for d in bucket_dirs]
+            ).map_batches(
+                merge_bucket_dir,
+                batch_format="pyarrow",
+                batch_size=1,
+                num_cpus=heavy_cpus,
+            )
+            merged.write_parquet(seg_dir)
+        else:
+            os.makedirs(seg_dir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_batches([], schema=SEGMENT_SCHEMA),
+                os.path.join(seg_dir, "empty.parquet"),
+            )
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        timings["merge_encode"] = time.perf_counter() - t_pipe
+        t_td = time.perf_counter()
         _write_term_dict(seg_dir)
+        timings["term_dict"] = time.perf_counter() - t_td
         timings["postings"] = time.perf_counter() - t0
+        t_mf = time.perf_counter()
         n_rows = sum(
             pq.read_metadata(os.path.join(seg_dir, f)).num_rows
             for f in os.listdir(seg_dir)
             if f.endswith(".parquet")
         )
+        timings["manifest_scan"] = time.perf_counter() - t_mf
         write_manifest(
             manifest,
             {

@@ -30,6 +30,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     If the batch already carries a ``text`` column it is preserved for the
     byte-identity check; the extracted text is authoritative.
     """
+    from search_engine_ray.util import limit_arrow_threads
+
+    limit_arrow_threads()
     html = batch.column("html")
     if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
         html = pc.cast(html, pa.string())

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.tokenize import lower_tokens, tokenize_arrow
+from search_engine_ray.util import limit_arrow_threads
 
 
 def tokenize_docs_batch(batch: pa.Table) -> pa.Table:
@@ -32,6 +33,7 @@ def tokenize_docs_batch(batch: pa.Table) -> pa.Table:
     A STATELESS task (not an actor pool): the tokenizer state is module-level
     compiled RE2 kernels, so tasks are elastic with zero pool-startup cost —
     at 32 CPUs, actor pools here cost more in startup than they save."""
+    limit_arrow_threads()
     title = pc.coalesce(batch.column("title"), "")
     text = pc.coalesce(batch.column("text"), "")
     # Engine.add tokenizes title + ' ' + text (engine.ts:54)
@@ -52,12 +54,21 @@ class TokenizeDocs:
         return tokenize_docs_batch(batch)
 
 
-def emit_postings_batch(batch: pa.Table, config: EngineConfig) -> pa.Table:
+def emit_postings_batch(
+    batch: pa.Table,
+    config: EngineConfig,
+    hot_terms: frozenset[str] | None = None,
+) -> pa.Table:
     """(doc_id, tokens) -> partial-agg postings rows. STATELESS task.
 
     Per doc: lowercase, drop stop words / 1-char terms (engine.ts:70,490-492),
     term frequency = occurrence count. Per batch: group by term, collect
-    doc_id-ascending runs."""
+    doc_id-ascending runs.
+
+    ``hot_terms``: globally-frequent terms (df pre-pass, build.py) that get
+    doc_id-range salting; the set is small (head of the Zipf curve) — at
+    cluster scale broadcast it with ray.put instead of closure capture."""
+    limit_arrow_threads()
     stop = _EmitCtx(config)._stop
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     tokens = batch.column("tokens")
@@ -83,34 +94,46 @@ def emit_postings_batch(batch: pa.Table, config: EngineConfig) -> pa.Table:
     if len(codes) == 0:
         return _empty_postings_table()
 
-    # tf per (doc, term): sort by (parent, code) then run-length encode.
-    order = np.lexsort((codes, term_parents))
-    c_sorted = codes[order]
-    p_sorted = term_parents[order]
-    new_run = np.empty(len(c_sorted), dtype=bool)
+    # tf per (doc, term): single-key sort of combined (parent, code) int64 —
+    # a two-key lexsort plus gathers was 4s/batch at 5M tokens; one radix-ish
+    # np.sort of the packed key is ~6x cheaper. parent < 2^17, code < 2^20.
+    v_size = np.int64(len(vocab))
+    combo = term_parents.astype(np.int64) * v_size + codes.astype(np.int64)
+    combo.sort()
+    new_run = np.empty(len(combo), dtype=bool)
     new_run[0] = True
-    if len(c_sorted) > 1:
-        new_run[1:] = (c_sorted[1:] != c_sorted[:-1]) | (p_sorted[1:] != p_sorted[:-1])
+    if len(combo) > 1:
+        new_run[1:] = combo[1:] != combo[:-1]
     run_starts = np.flatnonzero(new_run)
-    tf = np.diff(np.append(run_starts, len(c_sorted))).astype(np.int32)
-    u_codes = c_sorted[run_starts]
-    u_parents = p_sorted[run_starts]
+    tf = np.diff(np.append(run_starts, len(combo))).astype(np.int32)
+    u_combo = combo[run_starts]
+    u_codes = (u_combo % v_size).astype(np.int32)
+    u_parents = u_combo // v_size
     u_doc_ids = doc_ids[u_parents].astype(np.int64)
     dls = (batch.column("dl").to_numpy(zero_copy_only=False)[u_parents]).astype(
         np.int32
     )
 
-    # per-posting salt: doc_id >> salt_shift buckets a hot term's postings
-    # into DISJOINT doc_id ranges, so each (term, salt) merges on its own
-    # reducer and the reader simply concatenates runs in salt order —
-    # no second shuffle (SURVEY §4.3.1, head-term skew).
-    if config.salt_shift > 0:
-        salts = (u_doc_ids >> config.salt_shift).astype(np.int64)
+    # per-posting salt for HOT terms only: doc_id >> salt_shift buckets a hot
+    # term's postings into DISJOINT doc_id ranges, so each (term, salt)
+    # merges on its own reducer and the reader simply concatenates runs in
+    # salt order — no second shuffle (SURVEY §4.3.1, head-term skew).
+    # Hotness is decided GLOBALLY (df pre-pass) so every run of a term uses
+    # the same salting rule and ranges stay disjoint.
+    if config.salt_shift > 0 and hot_terms:
+        hot_codes = pc.is_in(
+            vocab, value_set=pa.array(sorted(hot_terms), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        is_hot = hot_codes[u_codes]
+        salts = np.where(
+            is_hot, u_doc_ids >> config.salt_shift, 0
+        ).astype(np.int64)
     else:
         salts = np.zeros(len(u_doc_ids), dtype=np.int64)
 
     # group by (code, salt); within each group keep doc_id ascending.
-    order2 = np.lexsort((u_doc_ids, salts, u_codes))
+    # salt is doc_id >> shift, monotone in doc_id — two sort keys suffice.
+    order2 = np.lexsort((u_doc_ids, u_codes))
     g_codes = u_codes[order2]
     g_salts = salts[order2]
     g_doc_ids = u_doc_ids[order2]
@@ -158,6 +181,42 @@ def emit_postings_batch(batch: pa.Table, config: EngineConfig) -> pa.Table:
             ),
             "tfs": pa.ListArray.from_arrays(off_arr, pa.array(g_tfs, pa.int32())),
             "dls": pa.ListArray.from_arrays(off_arr, pa.array(g_dls, pa.int32())),
+        }
+    )
+
+
+def partial_df_batch(batch: pa.Table, config: EngineConfig) -> pa.Table:
+    """Per-batch partial document frequencies (term, pdf) with the same term
+    filter as emit — the df pre-pass that decides which terms get salted."""
+    limit_arrow_threads()
+    stop = _EmitCtx(config)._stop
+    tokens = batch.column("tokens")
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    low = lower_tokens(tokens)
+    flat = low.flatten()
+    parents = pc.list_parent_indices(low).to_numpy(zero_copy_only=False)
+    ok = pc.greater_equal(pc.utf8_length(flat), 2)
+    if len(stop):
+        ok = pc.and_(ok, pc.invert(pc.is_in(flat, value_set=pa.array(stop))))
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    dict_arr = pc.dictionary_encode(flat)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False)[ok_np]
+    vocab = dict_arr.dictionary
+    if len(codes) == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())}
+        )
+    v_size = np.int64(len(vocab))
+    combo = parents[ok_np].astype(np.int64) * v_size + codes.astype(np.int64)
+    combo.sort()
+    uniq = np.unique(combo)
+    pdf = np.bincount((uniq % v_size).astype(np.int64), minlength=int(v_size))
+    nz = np.flatnonzero(pdf)
+    return pa.table(
+        {
+            "term": vocab.take(pa.array(nz, pa.int32())),
+            "pdf": pa.array(pdf[nz], pa.int64()),
         }
     )
 

@@ -71,71 +71,6 @@ def parquet_files(dir_path: str) -> list[str]:
     )
 
 
-def make_merge_encode(stats: CorpusStats, config: EngineConfig):
-    """Build the groupby("key").map_groups fn: merge sorted runs of one
-    (term, salt) group and encode the final posting block.
-
-    The per-batch runs are each doc_id-ascending and globally disjoint in
-    doc_id (a doc lives in exactly one batch), so merge = concat + argsort.
-    Block-max bounds are BM25 upper bounds per block, computed with the RUN
-    df: run df <= total df, and idf decreases with df, so the bound computed
-    here is >= the true per-block bound under the term's total df — i.e.
-    always a valid (slightly loose for salted terms) upper bound.
-    """
-    n_docs, avgdl = stats.n_docs, stats.avgdl
-    k1, b, block_size = config.bm25_k1, config.bm25_b, config.block_size
-
-    def merge_encode(group: pa.Table) -> pa.Table:
-        term = group.column("term")[0].as_py()
-        salt = group.column("salt")[0].as_py()
-        doc_ids = group.column("doc_ids").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        tfs = group.column("tfs").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        dls = group.column("dls").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids = doc_ids[order].astype(np.int64)
-        tfs = tfs[order].astype(np.int32)
-        dls = dls[order].astype(np.int32)
-
-        blocks = block_boundaries(len(doc_ids), block_size)
-        block_last = [int(doc_ids[e - 1]) for _, e in blocks]
-        df_run = len(doc_ids)
-        block_bound = [
-            float(
-                bm25_term_upper_bound(
-                    float(tfs[s:e].max()),
-                    float(dls[s:e].min()),
-                    df_run,
-                    n_docs,
-                    avgdl,
-                    k1,
-                    b,
-                )
-            )
-            for s, e in blocks
-        ]
-        return pa.table(
-            {
-                "term": pa.array([term], pa.string()),
-                "salt": pa.array([salt], pa.int64()),
-                "df_run": pa.array([df_run], pa.int32()),
-                "doc_ids_enc": pa.array([encode_doc_ids(doc_ids)], pa.binary()),
-                "tfs_enc": pa.array([encode_tfs(tfs)], pa.binary()),
-                "dls_enc": pa.array([encode_tfs(dls)], pa.binary()),
-                "block_last": pa.array([block_last], pa.list_(pa.int64())),
-                "block_bound": pa.array([block_bound], pa.list_(pa.float32())),
-                "max_tf": pa.array([int(tfs.max())], pa.int32()),
-            }
-        )
-
-    return merge_encode
-
-
 def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
     """Vectorized merge+encode for a whole HASH BUCKET of (term, salt) groups.
 
@@ -150,6 +85,9 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
     k1, b, block_size = config.bm25_k1, config.bm25_b, config.block_size
 
     def bucket_merge_encode(group: pa.Table) -> pa.Table:
+        from search_engine_ray.util import limit_arrow_threads
+
+        limit_arrow_threads()
         keys = group.column("key").to_numpy(zero_copy_only=False)
         terms_np = group.column("term").to_numpy(zero_copy_only=False)
         salts_np = group.column("salt").to_numpy(zero_copy_only=False)

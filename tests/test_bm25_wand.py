@@ -16,7 +16,7 @@ from search_engine_ray.state.wand import brute_force_topk, wand_topk
 @pytest.fixture(scope="module")
 def zipf_index(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("zipf") / "idx")
-    config = EngineConfig(block_size=32, salt_shift=8)  # small blocks + salting
+    config = EngineConfig(block_size=32, salt_shift=8, salt_df_threshold=100)  # small blocks + real salting
     pages = rd.from_arrow(synth_zipf_table(1500, n_tokens=60, vocab=2000))
     res = build_index(pages, out, config, doc_id_mode="rank", resume=False)
     assert res.n_docs == 1500

@@ -78,7 +78,7 @@ def test_salted_build_identical(ray_session, tmp_path):
     from dataclasses import replace
 
     docs, config = CORPORA["planets"]
-    salted = replace(config, salt_shift=0) , replace(config, salt_shift=1)
+    salted = replace(config, salt_shift=0), replace(config, salt_shift=1, salt_df_threshold=1)
     outs = []
     for i, cfg in enumerate(salted):
         pages = rd.from_arrow(pages_table(docs))
