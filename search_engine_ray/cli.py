@@ -1,0 +1,167 @@
+"""CLI — the rebuild of the reference's demo driver + query REPL
+(demo.ts:102-190, S1/S9).
+
+    python -m search_engine_ray build  --input pages.parquet --out ./idx \\
+        [--limit N] [--stop-words demo] [--skip-filter] [--doc-id-mode rank]
+    python -m search_engine_ray search --index ./idx ["query" ...]   # REPL if none
+    python -m search_engine_ray bm25   --index ./idx --query "q" [--mode or|and] [-k 10]
+
+Owns its Ray session (library code never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **kwargs,
+        )
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.config import DEMO_SCORE_WEIGHTS, DEMO_STOP_WORDS, EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+
+    _init_ray(args.num_cpus)
+    config = EngineConfig(
+        stop_words=DEMO_STOP_WORDS if args.stop_words == "demo" else frozenset(),
+        score_weights=DEMO_SCORE_WEIGHTS if args.stop_words == "demo" else None,
+        salt_shift=args.salt_shift,
+    )
+    pages = rd.read_parquet(args.input)
+    if args.limit:
+        pages = pages.limit(args.limit)  # K7 ingest cap (demo.ts:99)
+    t0 = time.perf_counter()
+    res = build_index(
+        pages,
+        args.out,
+        config,
+        doc_id_mode=args.doc_id_mode,
+        skip_filter=args.skip_filter,
+        fingerprint=args.input,
+        resume=not args.no_resume,
+    )
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "n_docs": res.n_docs,
+                "avgdl": round(res.avgdl, 2),
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(res.n_docs / wall, 1) if wall else None,
+                "timings": {k: round(v, 2) for k, v in res.timings.items()},
+                "out": res.out_dir,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def _print_results(results, show_score: bool = False) -> None:
+    for i, r in enumerate(results):
+        score = f"  [{r.score:.4f}]" if show_score else ""
+        print(f"{i + 1}. {r.title or r.url}{score}")
+        print(f"   {r.introduction}")
+        print(f"   {r.url}")
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    from search_engine_ray.config import DEMO_SCORE_WEIGHTS, DEMO_STOP_WORDS, EngineConfig
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+
+    config = EngineConfig(
+        stop_words=DEMO_STOP_WORDS if args.stop_words == "demo" else frozenset(),
+        score_weights=DEMO_SCORE_WEIGHTS if args.stop_words == "demo" else None,
+    )
+    s = SegmentSearcher(args.index, config)
+    if args.queries:
+        for q in args.queries:
+            t0 = time.perf_counter()
+            rs = s.search(q, max_count=args.max_count)
+            el = (time.perf_counter() - t0) * 1000
+            print(f"# {q!r}: {len(rs)} hits in {el:.1f} ms")
+            _print_results(rs)
+        return 0
+    # REPL (demo.ts:159-190)
+    print("query> ", end="", flush=True)
+    for line in sys.stdin:
+        q = line.strip()
+        if q in ("\\q", "exit", "quit"):
+            break
+        if q:
+            t0 = time.perf_counter()
+            rs = s.search(q, max_count=args.max_count)
+            el = (time.perf_counter() - t0) * 1000
+            print(f"{len(rs)} hits in {el:.1f} ms")
+            _print_results(rs)
+        print("query> ", end="", flush=True)
+    return 0
+
+
+def cmd_bm25(args: argparse.Namespace) -> int:
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+
+    s = SegmentSearcher(args.index, EngineConfig())
+    t0 = time.perf_counter()
+    rs = s.search_bm25(args.query, k=args.k, mode=args.mode)
+    el = (time.perf_counter() - t0) * 1000
+    print(f"# {args.query!r} ({args.mode}): {len(rs)} hits in {el:.1f} ms")
+    _print_results(rs, show_score=True)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build index from pages parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--limit", type=int, default=0)
+    b.add_argument("--stop-words", choices=["none", "demo"], default="none")
+    b.add_argument("--skip-filter", action="store_true")
+    b.add_argument("--doc-id-mode", choices=["rank", "replay"], default="rank")
+    b.add_argument("--salt-shift", type=int, default=0)
+    b.add_argument("--num-cpus", type=int, default=0)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("search", help="compat search (REPL without queries)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--stop-words", choices=["none", "demo"], default="none")
+    q.add_argument("--max-count", type=int, default=10)
+    q.add_argument("queries", nargs="*")
+    q.set_defaults(fn=cmd_search)
+
+    w = sub.add_parser("bm25", help="BM25 top-k (WAND or conjunctive)")
+    w.add_argument("--index", required=True)
+    w.add_argument("--query", required=True)
+    w.add_argument("--mode", choices=["or", "and"], default="or")
+    w.add_argument("-k", type=int, default=10)
+    w.set_defaults(fn=cmd_bm25)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

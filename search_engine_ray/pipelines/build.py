@@ -254,11 +254,19 @@ def build_index(
             )
             timings["df_pass"] = time.perf_counter() - t_df
 
-        # memory-heavy tasks get >1 CPU slots: this box serializes page
-        # faults in the kernel past ~8-16 concurrent memory-streaming
-        # processes (74% sys time measured; reproduced outside Ray), so
-        # fewer, wider tasks are strictly faster at 32 CPUs.
-        heavy_cpus = float(os.environ.get("SE_RAY_HEAVY_TASK_CPUS", "2"))
+        # memory-heavy tasks get >1 CPU slots above 16 CPUs: the host
+        # kernel serializes cold page faults past ~16 concurrent
+        # memory-streaming processes (74% sys time measured; reproduced
+        # outside Ray), so cap heavy-task concurrency at ~16 per node.
+        env_heavy = os.environ.get("SE_RAY_HEAVY_TASK_CPUS")
+        if env_heavy is not None:
+            heavy_cpus = float(env_heavy)
+        else:
+            try:
+                _cpus = int(ray.cluster_resources().get("CPU", 4))
+            except Exception:
+                _cpus = 4
+            heavy_cpus = max(1.0, round(_cpus / 16))
         postings = docs_ds.map_batches(
             emit_postings_batch,
             fn_kwargs={"config": config, "hot_terms": hot_terms},
