@@ -31,7 +31,7 @@ os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "500000"))
 # the scaling comparison needs a job large enough that per-session fixed
 # costs (shuffle setup, write barriers) are amortized — at 100k docs the
 # build is ~15s and fixed latency dominates both sides

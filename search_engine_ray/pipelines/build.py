@@ -376,6 +376,98 @@ def build_index(
     )
 
 
+def add_generation(
+    out_dir: str,
+    pages: rd.Dataset,
+    config: EngineConfig | None = None,
+    *,
+    doc_id_mode: str = "rank",
+    on_duplicate: str = "error",  # "error" | "skip"
+    fingerprint: str | None = None,
+) -> BuildResult:
+    """Incrementally add documents to an existing index as a new GENERATION
+    (Lucene-style segment generations) — the batch rebuild of the
+    reference's incremental ``Engine.add`` (engine.ts:43-99).
+
+    - duplicate urls against ALL existing generations: ``error`` mirrors the
+      reference throw (engine.ts:56-58), ``skip`` mirrors the demo driver's
+      drop-and-continue (demo.ts:145-147). The existing url set is a narrow
+      column scan broadcast to the filter stage (at crawl scale: a Bloom
+      filter or sorted-merge anti-join).
+    - ``replay`` doc_id mode seeds the downward-probe replay with every
+      doc_id already taken by earlier generations.
+    - Readers (SegmentReader / loaders) merge generations on read with
+      global corpus statistics.
+    """
+    from search_engine_ray.state.segments import SegmentReader, generation_dirs
+
+    config = config or EngineConfig()
+    existing = generation_dirs(out_dir)
+    if not existing:
+        raise ValueError(f"no existing index at {out_dir}; use build_index first")
+    reader = SegmentReader(out_dir)
+    existing_urls = reader.all_urls()
+
+    gen_ids = [
+        int(os.path.basename(g).split("-")[1])
+        for g in existing
+        if os.path.basename(g).startswith("gen-")
+    ]
+    gen_dir = os.path.join(out_dir, f"gen-{(max(gen_ids) + 1) if gen_ids else 1:04d}")
+
+    urls_ref = ray.put(existing_urls)
+
+    def dedup_filter(batch: pa.Table) -> pa.Table:
+        known = ray.get(urls_ref)
+        urls = batch.column("url").to_pylist()
+        dup = [u in known for u in urls]
+        if any(dup) and on_duplicate == "error":
+            first = urls[dup.index(True)]
+            raise ValueError(f"page already in index: {first}")
+        keep = pa.array([not d for d in dup], pa.bool_())
+        return batch.filter(keep)
+
+    new_pages = pages.map_batches(dedup_filter, batch_format="pyarrow")
+
+    if doc_id_mode == "replay":
+        taken = reader.all_doc_ids()
+        cols = new_pages.select_columns(["url", "rank", "add_order"]).take_all()
+        cols.sort(key=lambda r: r["add_order"])
+        mapping: dict[str, int] = {}
+        for r in cols:
+            pid = int(r["rank"])
+            while pid in taken:
+                pid -= 1
+            if pid < 0:
+                raise ValueError("Rank <= 0")
+            taken.add(pid)
+            mapping[r["url"]] = pid
+        mapping_ref = ray.put(mapping)
+        new_pages = new_pages.map_batches(
+            _ReplayDocIds,
+            fn_constructor_args=(mapping_ref,),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        # build_index re-assigns in replay mode; here ids are final already,
+        # so run the generation build in rank mode over the mapped ids
+        new_pages = new_pages.map_batches(
+            lambda b: b.drop_columns(["rank"]).append_column(
+                "rank", b.column("doc_id")
+            ).drop_columns(["doc_id"]),
+            batch_format="pyarrow",
+        )
+
+    return build_index(
+        new_pages,
+        gen_dir,
+        config,
+        doc_id_mode="rank",
+        fingerprint=fingerprint,
+        resume=fingerprint is not None,
+    )
+
+
 def make_searcher(out_dir: str, config: EngineConfig | None = None):
     """Eager-loading Searcher over a built index (small/medium corpora)."""
     from search_engine_ray.pipelines.query import Searcher

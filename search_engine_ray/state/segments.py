@@ -222,47 +222,71 @@ def manifest_valid(path: str, fingerprint: str | None) -> bool:
 
 
 def load_doc_store(out_dir: str) -> DocStore:
-    """Eager doc-store load (conformance / small corpora)."""
-    t = pq.read_table(parquet_files(os.path.join(out_dir, "docs")))
+    """Eager doc-store load across generations (conformance / small)."""
     store = DocStore()
-    doc_ids = t.column("doc_id").to_pylist()
-    titles = t.column("title").to_pylist()
-    urls = t.column("url").to_pylist()
-    tokens = t.column("tokens").to_pylist()
-    for d, ti, u, tok in zip(doc_ids, titles, urls, tokens):
-        store.put(int(d), DocRecord(title=ti, url=u, words=tok))
+    for gen in generation_dirs(out_dir) or [out_dir]:
+        t = pq.read_table(parquet_files(os.path.join(gen, "docs")))
+        for d, ti, u, tok in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("title").to_pylist(),
+            t.column("url").to_pylist(),
+            t.column("tokens").to_pylist(),
+        ):
+            store.put(int(d), DocRecord(title=ti, url=u, words=tok))
     return store
 
 
 def load_inverted_index(out_dir: str) -> InvertedIndex:
-    """Eager decode of all segments into an in-memory InvertedIndex."""
-    t = pq.read_table(
-        parquet_files(os.path.join(out_dir, "segments")),
-        columns=["term", "salt", "doc_ids_enc", "tfs_enc"],
-    )
+    """Eager decode of all segments (all generations) into memory."""
+    runs: dict[str, list[tuple[bytes, bytes]]] = {}
+    for gen in generation_dirs(out_dir) or [out_dir]:
+        t = pq.read_table(
+            parquet_files(os.path.join(gen, "segments")),
+            columns=["term", "salt", "doc_ids_enc", "tfs_enc"],
+        )
+        for term, de, te in zip(
+            t.column("term").to_pylist(),
+            t.column("doc_ids_enc").to_pylist(),
+            t.column("tfs_enc").to_pylist(),
+        ):
+            runs.setdefault(term, []).append((de, te))
     idx = InvertedIndex()
-    terms = t.column("term").to_pylist()
-    salts = t.column("salt").to_pylist()
-    d_enc = t.column("doc_ids_enc").to_pylist()
-    t_enc = t.column("tfs_enc").to_pylist()
-    runs: dict[str, list[tuple[int, bytes, bytes]]] = {}
-    for term, salt, de, te in zip(terms, salts, d_enc, t_enc):
-        runs.setdefault(term, []).append((salt, de, te))
     for term, rs in runs.items():
-        rs.sort(key=lambda r: r[0])
-        ids = np.concatenate([decode_doc_ids(de) for _, de, _ in rs])
-        tfs = np.concatenate([decode_tfs(te) for _, _, te in rs])
-        idx.set_postings(term, ids, tfs)
+        ids = np.concatenate([decode_doc_ids(de) for de, _ in rs])
+        tfs = np.concatenate([decode_tfs(te) for _, te in rs])
+        # cross-generation runs interleave; doc_ids are globally unique
+        order = np.argsort(ids, kind="stable")
+        idx.set_postings(term, ids[order], tfs[order])
     return idx
 
 
-class SegmentReader:
-    """Lazy per-term postings + per-doc_id doc fetch via parquet predicate
-    pushdown — the query-serving access path that scales past RAM.
+def build_block_meta(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(block_last, block_bound) for a doc_id-ascending posting list —
+    used when cross-generation merge invalidates the stored per-run blocks."""
+    n = len(doc_ids)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    edges = np.arange(0, n, block_size, dtype=np.int64)
+    lasts = np.append(edges[1:] - 1, n - 1)
+    btf = np.maximum.reduceat(tfs.astype(np.float64), edges)
+    bdl = np.minimum.reduceat(dls.astype(np.float64), edges)
+    idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+    bound = idf * btf * (k1 + 1.0) / (btf + k1 * (1.0 - b + b * (bdl / avgdl)))
+    return doc_ids[lasts].astype(np.int64), bound
 
-    Terms are sorted within segment files (groupby emits sorted keys), so
-    row-group statistics prune reads; the doc store is doc_id-range
-    partitioned the same way."""
+
+class _SubIndex:
+    """One generation's on-disk index (segments/ + docs/ + sidecars)."""
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
@@ -369,3 +393,131 @@ class SegmentReader:
         ):
             out[int(d)] = DocRecord(title=ti, url=u, words=tok)
         return out
+
+    def urls(self) -> list[str]:
+        """Narrow column scan (duplicate detection for incremental adds)."""
+        if not self._docs_files:
+            return []
+        return pq.read_table(self._docs_files, columns=["url"]).column(
+            "url"
+        ).to_pylist()
+
+    def doc_id_bounds(self) -> tuple[int, int] | None:
+        if not self._docs_ranges:
+            return None
+        return (
+            min(lo for lo, _ in self._docs_ranges),
+            max(hi for _, hi in self._docs_ranges),
+        )
+
+
+def generation_dirs(out_dir: str) -> list[str]:
+    """Generations of an index: the root (if built) then gen-NNNN dirs."""
+    gens = []
+    if os.path.isdir(os.path.join(out_dir, "segments")):
+        gens.append(out_dir)
+    if os.path.isdir(out_dir):
+        gens.extend(
+            os.path.join(out_dir, d)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("gen-")
+            and os.path.isdir(os.path.join(out_dir, d, "segments"))
+        )
+    return gens
+
+
+class SegmentReader:
+    """Lazy per-term postings + per-doc fetch across index GENERATIONS.
+
+    A single-generation index reads straight through; with incremental
+    generations (build.add_generation) the per-term runs from each
+    generation are merged on read — doc_ids are globally unique, so merge =
+    concat + argsort — and block-max metadata is rebuilt from GLOBAL corpus
+    stats (Lucene-style per-segment search with global statistics)."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        gens = generation_dirs(out_dir)
+        if not gens:
+            gens = [out_dir]
+        self._subs = [_SubIndex(g) for g in gens]
+        # global stats: weighted across generations
+        n_total = sum(int(s.manifest.get("n_docs", 0)) for s in self._subs)
+        sum_dl = sum(
+            int(s.manifest.get("n_docs", 0)) * float(s.manifest.get("avgdl", 0.0))
+            for s in self._subs
+        )
+        base = dict(self._subs[0].manifest)
+        base["n_docs"] = n_total
+        base["avgdl"] = (sum_dl / n_total) if n_total else 0.0
+        self.manifest = base
+
+    def lookup(self, terms: list[str]) -> dict[str, dict]:
+        if len(self._subs) == 1:
+            return self._subs[0].lookup(terms)
+        cfg = self.manifest.get("config", {})
+        k1 = float(cfg.get("bm25_k1", 1.2))
+        b = float(cfg.get("bm25_b", 0.75))
+        block_size = int(cfg.get("block_size", 128))
+        n_docs = int(self.manifest.get("n_docs", 0))
+        avgdl = float(self.manifest.get("avgdl", 0.0)) or 1.0
+        merged: dict[str, list[dict]] = {}
+        for sub in self._subs:
+            for term, p in sub.lookup(terms).items():
+                merged.setdefault(term, []).append(p)
+        out: dict[str, dict] = {}
+        for term, parts in merged.items():
+            if len(parts) == 1:
+                ids = parts[0]["doc_ids"]
+                tfs = parts[0]["tfs"]
+                dls = parts[0]["dls"]
+            else:
+                ids = np.concatenate([x["doc_ids"] for x in parts])
+                tfs = np.concatenate([x["tfs"] for x in parts])
+                dls = np.concatenate([x["dls"] for x in parts])
+                order = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            df = int(len(ids))
+            # ALWAYS rebuild block metadata with GLOBAL stats: per-generation
+            # bounds were computed with that generation's smaller n_docs and
+            # local avgdl, which can UNDER-bound globally-scored docs and
+            # make WAND prune true top-k members (caught by
+            # test_incremental.test_search_identical).
+            bl, bb = build_block_meta(
+                ids, tfs, dls, df, n_docs, avgdl, k1, b, block_size
+            )
+            out[term] = {
+                "term": term,
+                "doc_ids": ids,
+                "tfs": tfs,
+                "dls": dls,
+                "block_last": bl,
+                "block_bound": bb,
+                "df": df,
+            }
+        return out
+
+    def fetch_docs(self, doc_ids: list[int]) -> dict[int, DocRecord]:
+        out: dict[int, DocRecord] = {}
+        remaining = set(doc_ids)
+        for sub in self._subs:
+            if not remaining:
+                break
+            got = sub.fetch_docs(list(remaining))
+            out.update(got)
+            remaining -= set(got)
+        return out
+
+    def all_urls(self) -> set[str]:
+        urls: set[str] = set()
+        for sub in self._subs:
+            urls.update(sub.urls())
+        return urls
+
+    def all_doc_ids(self) -> set[int]:
+        ids: set[int] = set()
+        for sub in self._subs:
+            if sub._docs_files:
+                t = pq.read_table(sub._docs_files, columns=["doc_id"])
+                ids.update(t.column("doc_id").to_pylist())
+        return ids

@@ -111,15 +111,25 @@ def wand_topk(
                 if c.cur() <= pivot_doc
             )
             if bm_sum <= threshold:
-                # skip past the earliest block end among pivot-range cursors
+                # shallow skip: docs in (pivot, target) can only be scored
+                # by the pivot-range cursors, whose current blocks extend to
+                # min(block_last) — but a cursor BEYOND the pivot may start
+                # contributing at its own cur, so the skip must stop there
+                # too (Ding & Suel NextShallow; missing this cap skipped
+                # true top-k docs, caught by the incremental-build tests).
                 nxt = min(
                     (c.block_last_at(pivot_doc) for c in cursors if c.cur() <= pivot_doc),
                     default=_INF,
                 )
                 target = nxt + 1 if nxt != _INF else _INF
+                beyond = [c.cur() for c in cursors if c.cur() > pivot_doc]
+                if beyond:
+                    target = min(target, min(beyond))
+                if target <= pivot_doc:  # safety: always make progress
+                    target = pivot_doc + 1
                 for c in cursors:
                     if c.cur() <= pivot_doc:
-                        c.next_geq(min(target, _INF))
+                        c.next_geq(target)
                 continue
             # full evaluation
             score = 0.0

@@ -71,6 +71,28 @@ def test_wand_empty_and_missing(zipf_index):
     assert reader.lookup(["zz_no_such_term"]) == {}
 
 
+def test_wand_equals_brute_force_randomized(zipf_index):
+    """Many random term subsets: exercises the shallow-skip path broadly
+    (a missing skip-target cap once passed the 6 fixed shapes but lost
+    true top-k docs on other term mixes)."""
+    import random
+
+    out, config, res = zipf_index
+    reader = SegmentReader(out)
+    rng = random.Random(7)
+    vocab = [HOT_TERM] + [f"w{i}" for i in range(0, 1200, 7)]
+    args = (10, res.n_docs, res.avgdl, config.bm25_k1, config.bm25_b)
+    for trial in range(40):
+        terms = rng.sample(vocab, rng.randint(1, 5))
+        post = reader.lookup(terms)
+        postings = [post[t] for t in terms if t in post]
+        if not postings:
+            continue
+        got = wand_topk(postings, *args)
+        want = brute_force_topk(postings, *args)
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+
+
 def test_wand_dominates_any_conjunction(zipf_index):
     """OR top-k scores are >= the best AND-only score for the same terms."""
     out, config, res = zipf_index

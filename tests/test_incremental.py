@@ -1,0 +1,111 @@
+"""Incremental generations: base build + add_generation must be exactly
+equivalent to a single build over the union (postings, WAND top-k, compat
+search), plus duplicate-url policies."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.build import add_generation, build_index
+from search_engine_ray.pipelines.serving import SegmentSearcher
+from search_engine_ray.sources.synth import HOT_TERM, synth_zipf_table
+from search_engine_ray.state.segments import SegmentReader, generation_dirs
+
+
+@pytest.fixture(scope="module")
+def split_vs_full(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("incr")
+    config = EngineConfig(block_size=32, salt_shift=8, salt_df_threshold=100)
+    table = synth_zipf_table(1200, n_tokens=50, vocab=1500)
+    full_out = str(base / "full")
+    build_index(rd.from_arrow(table), full_out, config, doc_id_mode="rank", resume=False)
+
+    incr_out = str(base / "incr")
+    build_index(
+        rd.from_arrow(table.slice(0, 700)), incr_out, config,
+        doc_id_mode="rank", resume=False,
+    )
+    add_generation(incr_out, rd.from_arrow(table.slice(700)), config)
+    return full_out, incr_out, config
+
+
+def test_generation_layout(split_vs_full):
+    full_out, incr_out, _ = split_vs_full
+    assert len(generation_dirs(full_out)) == 1
+    gens = generation_dirs(incr_out)
+    assert len(gens) == 2
+    assert gens[1].endswith("gen-0001")
+
+
+def test_merged_stats_match(split_vs_full):
+    full_out, incr_out, _ = split_vs_full
+    rf, ri = SegmentReader(full_out), SegmentReader(incr_out)
+    assert ri.manifest["n_docs"] == rf.manifest["n_docs"] == 1200
+    assert abs(ri.manifest["avgdl"] - rf.manifest["avgdl"]) < 1e-9
+
+
+def test_postings_identical(split_vs_full):
+    full_out, incr_out, _ = split_vs_full
+    rf, ri = SegmentReader(full_out), SegmentReader(incr_out)
+    terms = [HOT_TERM, "w0", "w1", "w10", "w100", "w900"]
+    pf, pi = rf.lookup(terms), ri.lookup(terms)
+    assert set(pf) == set(pi)
+    for t in pf:
+        assert pf[t]["doc_ids"].tolist() == pi[t]["doc_ids"].tolist(), t
+        assert pf[t]["tfs"].tolist() == pi[t]["tfs"].tolist(), t
+        assert pf[t]["dls"].tolist() == pi[t]["dls"].tolist(), t
+        # merged block metadata must dominate true scores (validity, not
+        # equality — block partitioning may differ across paths)
+        assert (np.diff(pi[t]["block_last"]) > 0).all() or len(pi[t]["block_last"]) <= 1
+
+
+def test_search_identical(split_vs_full):
+    full_out, incr_out, config = split_vs_full
+    sf, si = SegmentSearcher(full_out, config), SegmentSearcher(incr_out, config)
+    for q, mode in [
+        (f"{HOT_TERM} w3", "or"),
+        ("w0 w1", "and"),
+        ("w10 w17 w44", "or"),
+    ]:
+        got = [(r.doc_id, round(r.score, 9)) for r in si.search_bm25(q, k=10, mode=mode)]
+        want = [(r.doc_id, round(r.score, 9)) for r in sf.search_bm25(q, k=10, mode=mode)]
+        assert got == want, (q, mode)
+    for q in ["w0 w1", '"w0 w1"']:
+        got = [(r.doc_id, r.introduction) for r in si.search(q)]
+        want = [(r.doc_id, r.introduction) for r in sf.search(q)]
+        assert got == want, q
+
+
+def test_fetch_docs_across_generations(split_vs_full):
+    _, incr_out, _ = split_vs_full
+    ri = SegmentReader(incr_out)
+    # pick one doc id from each half via urls
+    docs = ri.fetch_docs(list(ri.all_doc_ids())[:5])
+    assert len(docs) == 5
+
+
+def test_duplicate_url_policies(ray_session, tmp_path):
+    config = EngineConfig()
+    table = synth_zipf_table(50, n_tokens=20, vocab=100)
+    out = str(tmp_path / "dup")
+    build_index(rd.from_arrow(table), out, config, doc_id_mode="rank", resume=False)
+    # overlapping slice: urls 25..49 already indexed
+    overlap = synth_zipf_table(75, n_tokens=20, vocab=100).slice(25)
+    with pytest.raises(Exception, match="already in index"):
+        add_generation(out, rd.from_arrow(overlap), config, on_duplicate="error")
+    # skip mode: only the 25 new urls (50..74) are added
+    res = add_generation(out, rd.from_arrow(overlap), config, on_duplicate="skip")
+    assert res.n_docs == 25
+    reader = SegmentReader(out)
+    assert reader.manifest["n_docs"] == 75
+
+
+def test_add_generation_requires_base(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="no existing index"):
+        add_generation(
+            str(tmp_path / "nope"),
+            rd.from_arrow(synth_zipf_table(5, n_tokens=5, vocab=10)),
+            EngineConfig(),
+        )
