@@ -110,6 +110,78 @@ def _default_concurrency() -> int:
     return default_pool_size()
 
 
+def _dedup_duplicate_urls(
+    pages: rd.Dataset,
+) -> tuple[rd.Dataset, int]:
+    """Exact URL dedup in the batch build (SURVEY D2): keep ONE row per url,
+    winner = lexicographic min over whichever of (warc_ts, add_order, rank)
+    exist — the reference throws on a duplicate add (engine.ts:56-58) and
+    its demo driver skips (demo.ts:129-131); batch-build semantics is the
+    demo's skip with a deterministic winner.
+
+    Cost model: two NARROW passes sized to the duplicates, not the corpus.
+    (1) groupby("url").count() over the url column finds duplicated urls;
+    (2) only their rows (url + key columns) are resolved to winners and the
+    winner map — size ∝ number of duplicated urls — is broadcast (ray.put)
+    to a vectorized filter; non-flagged rows pass through with one pc.is_in.
+    A corpus with no duplicate urls pays only the count pass. A crawl where
+    duplicates are a large fraction of the corpus should use a full
+    groupby("url") keep-first instead (the map would no longer be the small
+    side); that variant is pipelines/dedup.exact_dedup's shape.
+
+    Returns (filtered_pages, n_skipped_duplicate_rows)."""
+    schema_names = pages.schema().names
+    key_cols = [c for c in ("warc_ts", "add_order", "rank") if c in schema_names]
+    counts = (
+        pages.select_columns(["url"])
+        .groupby("url")
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("count()"), 1)),
+            batch_format="pyarrow",
+        )
+    )
+    dup_rows = counts.take_all()
+    if not dup_rows:
+        return pages, 0
+    dup_urls = [r["url"] for r in dup_rows]
+    n_skipped = sum(int(r["count()"]) for r in dup_rows) - len(dup_urls)
+    dup_set_ref = ray.put(frozenset(dup_urls))
+
+    def flag_dups(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("url"), value_set=pa.array(list(ray.get(dup_set_ref))))
+        return batch.filter(mask)
+
+    flagged = (
+        pages.select_columns(["url", *key_cols])
+        .map_batches(flag_dups, batch_format="pyarrow")
+        .take_all()
+    )
+    winners: dict[str, tuple] = {}
+    for r in flagged:
+        key = tuple(r[c] for c in key_cols)
+        u = r["url"]
+        if u not in winners or key < winners[u]:
+            winners[u] = key
+    winners_ref = ray.put(winners)
+
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(winners_ref)
+        urls = batch.column("url")
+        mask = pc.is_in(urls, value_set=pa.array(list(wmap.keys())))
+        if not pc.any(mask).as_py():
+            return batch
+        keep = np.ones(batch.num_rows, dtype=bool)
+        flagged_idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        key_vals = [batch.column(c).to_pylist() for c in key_cols]
+        for i in flagged_idx:
+            key = tuple(col[i] for col in key_vals)
+            keep[i] = key == wmap[urls[i].as_py()]
+        return batch.filter(pa.array(keep))
+
+    return pages.map_batches(keep_winner, batch_format="pyarrow"), n_skipped
+
+
 def _assign_doc_ids_rank(batch: pa.Table) -> pa.Table:
     return batch.append_column("doc_id", pc.cast(batch.column("rank"), pa.int64()))
 
@@ -145,6 +217,7 @@ def build_index(
     *,
     doc_id_mode: str = "rank",  # "rank" | "replay"
     skip_filter: bool = False,
+    dedup_urls: bool = True,
     fingerprint: str | None = None,
     resume: bool = True,
     tokenize_concurrency: int | tuple[int, int] | None = None,
@@ -173,8 +246,12 @@ def build_index(
 
     # ---- stage 1: docs table ------------------------------------------------
     t0 = time.perf_counter()
+    n_dup_urls_skipped = 0
     if not (resume and manifest_valid(docs_manifest, fingerprint)):
         shutil.rmtree(docs_dir, ignore_errors=True)
+        if dedup_urls:
+            pages, n_dup_urls_skipped = _dedup_duplicate_urls(pages)
+            timings["url_dedup"] = time.perf_counter() - t0
         ds = pages.repartition(target_blocks)
         ds = ds.map_batches(extract_batch, batch_format="pyarrow")
         if skip_filter:
@@ -203,7 +280,12 @@ def build_index(
         ds.write_parquet(docs_dir)
         write_manifest(
             docs_manifest,
-            {"fingerprint": fingerprint, "complete": True, "stage": "docs"},
+            {
+                "fingerprint": fingerprint,
+                "complete": True,
+                "stage": "docs",
+                "skipped_duplicate_urls": n_dup_urls_skipped,
+            },
         )
     timings["docs"] = time.perf_counter() - t0
 
@@ -354,6 +436,7 @@ def build_index(
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "n_segment_rows": n_rows,
+                "skipped_duplicate_urls": n_dup_urls_skipped,
                 "config": {
                     "stop_words": sorted(config.stop_words),
                     "bm25_k1": config.bm25_k1,
@@ -383,6 +466,7 @@ def add_generation(
     *,
     doc_id_mode: str = "rank",
     on_duplicate: str = "error",  # "error" | "skip"
+    on_id_collision: str = "rebase",  # "rebase" | "error"
     fingerprint: str | None = None,
 ) -> BuildResult:
     """Incrementally add documents to an existing index as a new GENERATION
@@ -428,6 +512,96 @@ def add_generation(
         return batch.filter(keep)
 
     new_pages = pages.map_batches(dedup_filter, batch_format="pyarrow")
+
+    if doc_id_mode == "rank":
+        # SegmentReader assumes doc_ids are globally unique across
+        # generations: a colliding rank silently corrupts merged per-term
+        # runs (strict-ascending invariant) and doc fetch. Guard with
+        # per-generation parquet min/max stats (O(1) metadata, no scan);
+        # on overlap either rebase the whole new generation above the
+        # existing max (uniform shift preserves the new docs' relative
+        # order; BM25 ranking is unaffected — doc_id is only the tiebreak)
+        # or raise. The bounds check is conservative: disjoint-but-
+        # interleaved ranks also rebase, which is deterministic and safe.
+        bounds = [b for b in (s.doc_id_bounds() for s in reader._subs) if b]
+        if bounds:
+            ex_hi = max(hi for _, hi in bounds)
+            ex_lo = min(lo for lo, _ in bounds)
+            from ray.data.aggregate import Max, Min
+
+            agg = new_pages.select_columns(["rank"]).aggregate(
+                Min("rank"), Max("rank")
+            )
+            new_lo, new_hi = agg.get("min(rank)"), agg.get("max(rank)")
+            n_coll = 0
+            if (
+                new_lo is not None
+                and int(new_lo) <= ex_hi
+                and int(new_hi) >= ex_lo
+            ):
+                # ranges overlap — exact membership test: existing doc_ids
+                # restricted to the overlap window (predicate-pushdown
+                # column read, size ∝ window, not index), broadcast sorted,
+                # then a distributed searchsorted count over the new ranks.
+                # Interleaved-but-disjoint rank sets (e.g. one permutation
+                # split across generations) pass untouched.
+                window_parts = [
+                    pq.read_table(
+                        s._docs_files,
+                        columns=["doc_id"],
+                        filters=[
+                            ("doc_id", ">=", int(new_lo)),
+                            ("doc_id", "<=", int(new_hi)),
+                        ],
+                    ).column("doc_id").to_numpy(zero_copy_only=False)
+                    for s in reader._subs
+                    if s._docs_files
+                ]
+                window = np.sort(np.concatenate(window_parts)) if window_parts else np.zeros(0, np.int64)
+                if len(window):
+                    win_ref = ray.put(window)
+
+                    def count_collisions(batch: pa.Table) -> pa.Table:
+                        w = ray.get(win_ref)
+                        r = batch.column("rank").to_numpy(zero_copy_only=False)
+                        pos = np.searchsorted(w, r)
+                        pos = np.minimum(pos, len(w) - 1)
+                        n = int((w[pos] == r).sum())
+                        return pa.table({"n": pa.array([n], pa.int64())})
+
+                    from ray.data.aggregate import Sum
+
+                    n_coll = int(
+                        new_pages.select_columns(["rank"])
+                        .map_batches(count_collisions, batch_format="pyarrow")
+                        .sum("n")
+                        or 0
+                    )
+            if n_coll:
+                if on_id_collision == "error":
+                    raise ValueError(
+                        f"{n_coll} new-generation rank(s) in [{new_lo}, "
+                        f"{new_hi}] collide with existing doc_ids "
+                        f"[{ex_lo}, {ex_hi}]; overlaps existing doc_ids. "
+                        "Pass on_id_collision='rebase' or use "
+                        "doc_id_mode='replay'"
+                    )
+                # uniform shift above the existing max: preserves the new
+                # docs' relative order; BM25 ranking is unaffected (doc_id
+                # is only the tiebreak).
+                shift = ex_hi + 1 - int(new_lo)
+
+                def rebase_rank(batch: pa.Table) -> pa.Table:
+                    shifted = pc.add(
+                        pc.cast(batch.column("rank"), pa.int64()), shift
+                    )
+                    return batch.set_column(
+                        batch.schema.get_field_index("rank"), "rank", shifted
+                    )
+
+                new_pages = new_pages.map_batches(
+                    rebase_rank, batch_format="pyarrow"
+                )
 
     if doc_id_mode == "replay":
         taken = reader.all_doc_ids()

@@ -125,12 +125,26 @@ class SegmentSearcher:
 
     # -- BM25 top-k -----------------------------------------------------------
 
+    def _phrase_ok(self, doc_id: int, words: list[str], quotes: list[int]) -> bool:
+        page = self._get_doc(doc_id)
+        return page is not None and any(
+            is_adjacent_words(words[quotes[i] : quotes[i + 1]], page.index)
+            for i in range(0, len(quotes), 2)
+        )
+
     def search_bm25(
         self, text: str, k: int = 10, mode: str = "or"
     ) -> list[SearchResult]:
-        """``mode="or"``: block-max WAND disjunctive top-k.
+        """``mode="or"``: vectorized disjunctive top-k (state/wand.py).
         ``mode="and"``: conjunctive candidates (reference semantics) scored
-        by BM25."""
+        by BM25.
+
+        The quote/phrase gate is applied at candidate generation, matching
+        Searcher.search_bm25 (pipelines/query.py): AND mode gates the full
+        conjunctive candidate set before top-k; OR mode re-runs with a
+        larger k until k phrase-matching docs are found or the union is
+        exhausted — the gate never silently truncates the result below k
+        while qualifying docs exist."""
         words, quotes = to_words(text)
         terms = sorted({w.lower() for w in words if not self.config.is_stop_word(w)})
         if not terms:
@@ -143,16 +157,32 @@ class SegmentSearcher:
             return []
 
         if mode == "or":
-            ranked = wand_topk(
-                postings, k, self.n_docs, self.avgdl,
-                self.config.bm25_k1, self.config.bm25_b,
-            )
+            union_cap = sum(len(p["doc_ids"]) for p in postings)
+            k_run = k
+            while True:
+                ranked = wand_topk(
+                    postings, k_run, self.n_docs, self.avgdl,
+                    self.config.bm25_k1, self.config.bm25_b,
+                )
+                if quotes:
+                    ranked = [
+                        (d, s) for d, s in ranked if self._phrase_ok(d, words, quotes)
+                    ]
+                if len(ranked) >= k or k_run >= union_cap:
+                    ranked = ranked[:k]
+                    break
+                k_run = min(union_cap, k_run * 4)
         elif mode == "and":
             from search_engine_ray.functions.scoring import bm25_term_scores
 
             cand = postings[0]["doc_ids"]
             for p in postings[1:]:
                 cand = np.intersect1d(cand, p["doc_ids"], assume_unique=True)
+            if quotes and len(cand):
+                keep = [
+                    d for d in cand.tolist() if self._phrase_ok(int(d), words, quotes)
+                ]
+                cand = np.asarray(keep, dtype=np.int64)
             if len(cand) == 0:
                 return []
             total = np.zeros(len(cand), dtype=np.float64)
@@ -168,17 +198,6 @@ class SegmentSearcher:
             ranked = [(int(cand[i]), float(total[i])) for i in order]
         else:
             raise ValueError(f"unknown mode: {mode}")
-
-        if quotes:
-            kept = []
-            for d, s in ranked:
-                page = self._get_doc(d)
-                if page and any(
-                    is_adjacent_words(words[quotes[i] : quotes[i + 1]], page.index)
-                    for i in range(0, len(quotes), 2)
-                ):
-                    kept.append((d, s))
-            ranked = kept
 
         ids = [d for d, _ in ranked]
         pages = self._get_docs(ids)

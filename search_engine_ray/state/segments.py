@@ -46,9 +46,9 @@ SEGMENT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("salt", pa.int64()),
         ("df_run", pa.int32()),
-        ("doc_ids_enc", pa.binary()),
-        ("tfs_enc", pa.binary()),
-        ("dls_enc", pa.binary()),
+        ("doc_ids_enc", pa.large_binary()),
+        ("tfs_enc", pa.large_binary()),
+        ("dls_enc", pa.large_binary()),
         ("block_last", pa.list_(pa.int64())),
         ("block_bound", pa.list_(pa.float32())),
         ("max_tf", pa.int32()),
@@ -155,10 +155,12 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
         max_tfs = np.maximum.reduceat(tf, starts).astype(np.int32)
 
         # ---- zero-copy per-group binary slices via Arrow offset buffers ---
+        # large_binary (int64 offsets): a hash bucket's encoded postings can
+        # exceed 2^31 bytes at crawl scale; int32 offsets would wrap silently.
         def bin_col(enc: bytes, off: np.ndarray) -> pa.Array:
-            group_off = off[np.append(starts, len(d))].astype(np.int32)
+            group_off = off[np.append(starts, len(d))].astype(np.int64)
             return pa.Array.from_buffers(
-                pa.binary(),
+                pa.large_binary(),
                 n_groups,
                 [None, pa.py_buffer(group_off.tobytes()), pa.py_buffer(enc)],
             )
@@ -175,8 +177,19 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
                 "block_last": pa.ListArray.from_arrays(
                     blk_off32, pa.array(block_last_all, pa.int64())
                 ),
+                # quantize UP to float32: rounding to nearest could drop the
+                # stored bound below the true float64 block max, letting a
+                # pruning check reject a doc that beats the threshold by less
+                # than the quantization error. nextafter preserves the
+                # upper-bound invariant.
                 "block_bound": pa.ListArray.from_arrays(
-                    blk_off32, pa.array(bound.astype(np.float32), pa.float32())
+                    blk_off32,
+                    pa.array(
+                        np.nextafter(
+                            bound.astype(np.float32), np.float32(np.inf)
+                        ),
+                        pa.float32(),
+                    ),
                 ),
                 "max_tf": pa.array(max_tfs, pa.int32()),
             }

@@ -136,3 +136,48 @@ def test_segment_reader_lazy_lookup(ray_session, tmp_path):
     fetched = reader.fetch_docs([0])
     assert fetched[0].title == "Jupiter"
     assert "planet" in [w.lower() for w in fetched[0].words]
+
+
+def test_build_url_dedup(ray_session, tmp_path):
+    """A corpus with duplicate urls builds with demo's skip policy
+    (demo.ts:129-131): one row per url survives, winner = min
+    (warc_ts, add_order, rank); results match a LocalEngine fed only the
+    winners (the reference engine throws on a duplicate add,
+    engine.ts:56-58, so its driver must skip)."""
+    import pyarrow as pa
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.state.segments import SegmentReader
+
+    docs, config = CORPORA["planets"]
+    tbl = pages_table(docs)
+    # duplicate the first row with a LATER warc_ts and add_order: loser
+    dup = tbl.slice(0, 1)
+    dup = dup.set_column(
+        dup.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        pa.array([dup.column("warc_ts")[0].as_py().replace(year=2030)], pa.timestamp("us")),
+    )
+    dup = dup.set_column(
+        dup.schema.get_field_index("add_order"), "add_order",
+        pa.array([100], pa.int64()),
+    )
+    dup = dup.set_column(
+        dup.schema.get_field_index("rank"), "rank", pa.array([7], pa.int64())
+    )
+    with_dups = pa.concat_tables([tbl, dup])
+    out = str(tmp_path / "urldedup")
+    res = build_index(
+        rd.from_arrow(with_dups), out, config, doc_id_mode="replay", resume=False
+    )
+    assert res.n_docs == len(docs)
+    reader = SegmentReader(out)
+    import json, os
+    m = json.load(open(os.path.join(out, "manifest.json")))
+    assert m["skipped_duplicate_urls"] == 1
+    s = make_searcher(out, config)
+    local = _local("planets")
+    for q in QUERIES["planets"]:
+        got = [(r.url, r.introduction) for r in s.search(q)]
+        want = [(r.url, r.introduction) for r in local.search(q)]
+        assert got == want, q

@@ -109,3 +109,38 @@ def test_add_generation_requires_base(ray_session, tmp_path):
             rd.from_arrow(synth_zipf_table(5, n_tokens=5, vocab=10)),
             EngineConfig(),
         )
+
+
+def test_cross_generation_doc_id_uniqueness(ray_session, tmp_path):
+    """Rank mode with colliding rank ranges must still produce globally
+    unique doc_ids (rebase policy), and all added docs must be fetchable."""
+    config = EngineConfig()
+    table = synth_zipf_table(50, n_tokens=20, vocab=100)
+    out = str(tmp_path / "uniq")
+    build_index(rd.from_arrow(table), out, config, doc_id_mode="rank", resume=False)
+    overlap = synth_zipf_table(75, n_tokens=20, vocab=100).slice(25)
+    add_generation(out, rd.from_arrow(overlap), config, on_duplicate="skip")
+    reader = SegmentReader(out)
+    ids = []
+    for sub in reader._subs:
+        import pyarrow.parquet as pq
+        t = pq.read_table(sub._docs_files, columns=["doc_id"])
+        ids.extend(t.column("doc_id").to_pylist())
+    assert len(ids) == 75
+    assert len(set(ids)) == 75, "doc_ids must be globally unique across generations"
+    # every doc fetchable under its unique id
+    docs = reader.fetch_docs(ids)
+    assert len(docs) == 75
+
+
+def test_id_collision_error_policy(ray_session, tmp_path):
+    config = EngineConfig()
+    table = synth_zipf_table(40, n_tokens=20, vocab=100)
+    out = str(tmp_path / "collide")
+    build_index(rd.from_arrow(table), out, config, doc_id_mode="rank", resume=False)
+    fresh = synth_zipf_table(80, n_tokens=20, vocab=100).slice(40)
+    with pytest.raises(ValueError, match="overlaps existing doc_ids"):
+        add_generation(
+            out, rd.from_arrow(fresh), config,
+            on_duplicate="skip", on_id_collision="error",
+        )
