@@ -111,7 +111,7 @@ def _build_synth(num_cpus: int, n_docs: int, salt_shift: int = 16) -> dict:
     path = synth_zipf_parquet(n_docs)
     out = f"/tmp/se_ray_bench/synth_{n_docs}_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    config = EngineConfig(salt_shift=salt_shift, merge_buckets=64)
+    config = EngineConfig(salt_shift=salt_shift)  # merge buckets auto-sized
     pages = rd.read_parquet(path)
     t0 = time.perf_counter()
     res = build_index(pages, out, config, doc_id_mode="rank", resume=False)

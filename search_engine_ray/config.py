@@ -39,7 +39,13 @@ class EngineConfig:
     bm25_b: float = 0.75
     # Postings codec / segment layout
     block_size: int = 128  # postings per block-max block
-    merge_buckets: int = 64  # hash buckets for the merge shuffle (reduce tasks)
+    # hash buckets for the merge shuffle (reduce tasks). None = data-
+    # proportional: ~merge_bucket_target_bytes of encoded postings per
+    # bucket, floored at 2 buckets/CPU — a fixed count either starves
+    # parallelism (small corpora) or makes per-bucket merges unboundedly
+    # large (crawl scale, where whole-bucket load must stay bounded).
+    merge_buckets: int | None = None
+    merge_bucket_target_bytes: int = 256 << 20
     salt_shift: int = 0  # >0: salt groupby key with doc_id >> salt_shift (head-term skew)
     # only terms with global df >= this are salted (found by a cheap df
     # pre-pass); salting every term multiplied segment rows ~30x for the tail

@@ -81,29 +81,6 @@ class BuildResult:
     timings: dict[str, float]
 
 
-def _write_term_dict(seg_dir: str) -> None:
-    """Sidecar term dictionary: (term, file_id) so the reader opens only the
-    file(s) holding a query term. A columnar scan of the term column only —
-    cheap relative to the build; at crawl scale this dict is itself sharded
-    by term range."""
-    files = parquet_files(seg_dir)
-    parts = []
-    for i, f in enumerate(files):
-        t = pq.read_table(f, columns=["term"])
-        parts.append(
-            t.append_column("file_id", pa.array(np.full(len(t), i, dtype=np.int32)))
-        )
-    if parts:
-        tbl = pa.concat_tables(parts)
-    else:
-        tbl = pa.table(
-            {"term": pa.array([], pa.string()), "file_id": pa.array([], pa.int32())}
-        )
-    pq.write_table(
-        tbl, os.path.join(os.path.dirname(seg_dir.rstrip("/")), "term_dict.parquet")
-    )
-
-
 def _default_concurrency() -> int:
     from search_engine_ray.util import default_pool_size
 
@@ -119,50 +96,121 @@ def _dedup_duplicate_urls(
     its demo driver skips (demo.ts:129-131); batch-build semantics is the
     demo's skip with a deterministic winner.
 
-    Cost model: two NARROW passes sized to the duplicates, not the corpus.
-    (1) groupby("url").count() over the url column finds duplicated urls;
-    (2) only their rows (url + key columns) are resolved to winners and the
-    winner map — size ∝ number of duplicated urls — is broadcast (ray.put)
-    to a vectorized filter; non-flagged rows pass through with one pc.is_in.
-    A corpus with no duplicate urls pays only the count pass. A crawl where
-    duplicates are a large fraction of the corpus should use a full
-    groupby("url") keep-first instead (the map would no longer be the small
-    side); that variant is pipelines/dedup.exact_dedup's shape.
+    Cost model: the corpus-sized pass ships only per-batch (url_hash,
+    count) partials (~16 bytes per distinct url per batch) through the
+    barrier-free disk shuffle; candidate duplicate HASHES come out of
+    per-bucket merges, and only the colliding rows' narrow columns reach
+    the driver to resolve exact winners (hash false positives drop out
+    there). The winner map — size ∝ duplicated urls — is broadcast
+    (ray.put) to a vectorized filter. A corpus with no duplicate urls pays
+    only the hash-count pass. A crawl where duplicates are a large
+    fraction of the corpus should use a full groupby("url") keep-first
+    instead (the winner map would no longer be the small side); that
+    variant is pipelines/dedup.exact_dedup's shape.
 
     Returns (filtered_pages, n_skipped_duplicate_rows)."""
+    from search_engine_ray.stages.postings import _hash_utf8_array
+
     schema_names = pages.schema().names
     key_cols = [c for c in ("warc_ts", "add_order", "rank") if c in schema_names]
-    counts = (
-        pages.select_columns(["url"])
-        .groupby("url")
-        .count()
-        .map_batches(
-            lambda t: t.filter(pc.greater(t.column("count()"), 1)),
-            batch_format="pyarrow",
+    n_buckets = 64
+
+    def _url_hashes(batch: pa.Table) -> np.ndarray:
+        arr = batch.column("url")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return _hash_utf8_array(arr)
+
+    def partial_hash_counts(batch: pa.Table) -> pa.Table:
+        h = _url_hashes(batch)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "h": pa.array(uh, pa.uint64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
         )
+
+    # disk map-side shuffle of per-batch (url_hash, count) partials — the
+    # same barrier-free pattern as the postings shuffle (a sort-based
+    # groupby for this count measured 44s at 500k docs on this host; the
+    # partials here are ~16 bytes per distinct url per batch).
+    shuffle_dir = os.path.join(
+        os.environ.get("SE_RAY_SHUFFLE_BASE") or "/tmp/se_ray_url_dedup",
+        f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
     )
-    dup_rows = counts.take_all()
-    if not dup_rows:
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    pages.select_columns(["url"]).map_batches(
+        partial_hash_counts, batch_format="pyarrow"
+    ).write_parquet(shuffle_dir, partition_cols=["bucket"])
+
+    bucket_dirs = sorted(
+        os.path.join(shuffle_dir, d)
+        for d in os.listdir(shuffle_dir)
+        if d.startswith("bucket=")
+    )
+
+    def find_dup_hashes(batch: pa.Table) -> pa.Table:
+        out = []
+        for d in batch.column("dir").to_pylist():
+            tbl = pq.read_table(parquet_files(d), columns=["h", "cnt"])
+            h = tbl.column("h").to_numpy(zero_copy_only=False)
+            if not len(h):
+                continue
+            cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+            order = np.argsort(h)
+            h, cnt = h[order], cnt[order]
+            new = np.empty(len(h), dtype=bool)
+            new[0] = True
+            new[1:] = h[1:] != h[:-1]
+            starts = np.flatnonzero(new)
+            sums = np.add.reduceat(cnt, starts)
+            dups = h[starts][sums > 1]
+            if len(dups):
+                out.append(pa.table({"h": pa.array(dups, pa.uint64())}))
+        if not out:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        return pa.concat_tables(out)
+
+    dup_hash_rows = (
+        rd.from_items([{"dir": d} for d in bucket_dirs])
+        .map_batches(find_dup_hashes, batch_format="pyarrow", batch_size=8)
+        .take_all()
+        if bucket_dirs
+        else []
+    )
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    if not dup_hash_rows:
         return pages, 0
-    dup_urls = [r["url"] for r in dup_rows]
-    n_skipped = sum(int(r["count()"]) for r in dup_rows) - len(dup_urls)
-    dup_set_ref = ray.put(frozenset(dup_urls))
+
+    # candidate urls = rows whose url-hash collides (true dups + rare hash
+    # false positives); only THEIR narrow rows reach the driver.
+    cand = np.sort(np.array([r["h"] for r in dup_hash_rows], dtype=np.uint64))
+    cand_ref = ray.put(cand)
 
     def flag_dups(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("url"), value_set=pa.array(list(ray.get(dup_set_ref))))
-        return batch.filter(mask)
+        c = ray.get(cand_ref)
+        h = _url_hashes(batch)
+        pos = np.minimum(np.searchsorted(c, h), len(c) - 1)
+        return batch.filter(pa.array(c[pos] == h))
 
     flagged = (
         pages.select_columns(["url", *key_cols])
         .map_batches(flag_dups, batch_format="pyarrow")
         .take_all()
     )
-    winners: dict[str, tuple] = {}
+    by_url: dict[str, list[tuple]] = {}
     for r in flagged:
-        key = tuple(r[c] for c in key_cols)
-        u = r["url"]
-        if u not in winners or key < winners[u]:
-            winners[u] = key
+        by_url.setdefault(r["url"], []).append(tuple(r[c] for c in key_cols))
+    winners: dict[str, tuple] = {
+        u: min(keys) for u, keys in by_url.items() if len(keys) > 1
+    }
+    if not winners:
+        return pages, 0
+    n_skipped = sum(len(by_url[u]) - 1 for u in winners)
     winners_ref = ray.put(winners)
 
     def keep_winner(batch: pa.Table) -> pa.Table:
@@ -289,16 +337,42 @@ def build_index(
         )
     timings["docs"] = time.perf_counter() - t0
 
-    # ---- corpus stats (columnar scan of dl only) ---------------------------
+    # ---- corpus stats: footer metadata + distributed dl sum ----------------
+    # n_docs comes from parquet footers only (O(files), no data read);
+    # sum_dl is a streaming Dataset aggregate over the single dl column —
+    # never a driver-side read of a full-table column (at crawl scale that
+    # column alone is terabytes through one process).
     t0 = time.perf_counter()
     from search_engine_ray.state.segments import parquet_files
 
-    dl_tbl = pq.read_table(parquet_files(docs_dir), columns=["dl"])
-    n_docs = dl_tbl.num_rows
-    sum_dl = pc.sum(dl_tbl.column("dl")).as_py() or 0
+    docs_files = parquet_files(docs_dir)
+    n_docs = sum(pq.read_metadata(f).num_rows for f in docs_files)
+    if n_docs:
+        sum_dl = rd.read_parquet(docs_files, columns=["dl"]).sum("dl") or 0
+    else:
+        sum_dl = 0
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
     timings["stats"] = time.perf_counter() - t0
+
+    # ---- resolve merge-shuffle bucket count (data-proportional) ------------
+    if config.merge_buckets:
+        n_buckets = config.merge_buckets
+    else:
+        # ~6 bytes per encoded posting (delta-varint doc_id + tf + dl)
+        est_bytes = int(n_docs * avgdl * 6)
+        n_buckets = int(
+            min(
+                1 << 20,
+                max(
+                    target_blocks,
+                    est_bytes // config.merge_bucket_target_bytes + 1,
+                ),
+            )
+        )
+    from dataclasses import replace as _replace
+
+    emit_config = _replace(config, merge_buckets=n_buckets)
 
     # ---- stage 2: postings shuffle + segments ------------------------------
     t0 = time.perf_counter()
@@ -351,7 +425,7 @@ def build_index(
             heavy_cpus = max(1.0, round(_cpus / 16))
         postings = docs_ds.map_batches(
             emit_postings_batch,
-            fn_kwargs={"config": config, "hot_terms": hot_terms},
+            fn_kwargs={"config": emit_config, "hot_terms": hot_terms},
             batch_format="pyarrow",
             batch_size=postings_batch_size,
             num_cpus=heavy_cpus,
@@ -382,33 +456,57 @@ def build_index(
             for d in os.listdir(shuffle_dir)
             if d.startswith("bucket=")
         )
+        term_dict_dir = os.path.join(out_dir, "term_dict")
+        shutil.rmtree(term_dict_dir, ignore_errors=True)
         if bucket_dirs:
             merge_fn = make_bucket_merge_encode(stats, config)
+            os.makedirs(seg_dir, exist_ok=True)
 
             def merge_bucket_dir(batch: pa.Table) -> pa.Table:
+                """Merge one bucket directory, write its segment file, and
+                emit the (term, file) sidecar rows — the term dictionary is
+                a SIDE OUTPUT of the merge tasks (sharded via the normal
+                write_parquet that follows), never a driver-side scan of
+                the finished segments."""
                 from search_engine_ray.util import limit_arrow_threads
 
                 limit_arrow_threads()
-                outs = []
+                out_tables = []
                 for d in batch.column("dir").to_pylist():
                     from search_engine_ray.state.segments import parquet_files
 
                     tbl = pq.read_table(parquet_files(d))
-                    if tbl.num_rows:
-                        outs.append(merge_fn(tbl))
-                if not outs:
-                    return pa.Table.from_batches([], schema=SEGMENT_SCHEMA)
-                return pa.concat_tables(outs)
+                    if not tbl.num_rows:
+                        continue
+                    merged = merge_fn(tbl)
+                    bucket_name = os.path.basename(d.rstrip("/"))  # bucket=N
+                    fname = f"segment-{bucket_name.split('=')[1].zfill(6)}.parquet"
+                    pq.write_table(merged, os.path.join(seg_dir, fname))
+                    out_tables.append(
+                        pa.table(
+                            {
+                                "term": merged.column("term"),
+                                "file": pa.array(
+                                    [fname] * len(merged), pa.string()
+                                ),
+                            }
+                        )
+                    )
+                if not out_tables:
+                    return pa.table(
+                        {
+                            "term": pa.array([], pa.string()),
+                            "file": pa.array([], pa.string()),
+                        }
+                    )
+                return pa.concat_tables(out_tables)
 
-            merged = rd.from_items(
-                [{"dir": d} for d in bucket_dirs]
-            ).map_batches(
+            rd.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
                 merge_bucket_dir,
                 batch_format="pyarrow",
                 batch_size=1,
                 num_cpus=heavy_cpus,
-            )
-            merged.write_parquet(seg_dir)
+            ).write_parquet(term_dict_dir)
         else:
             os.makedirs(seg_dir, exist_ok=True)
             pq.write_table(
@@ -417,9 +515,6 @@ def build_index(
             )
         shutil.rmtree(shuffle_dir, ignore_errors=True)
         timings["merge_encode"] = time.perf_counter() - t_pipe
-        t_td = time.perf_counter()
-        _write_term_dict(seg_dir)
-        timings["term_dict"] = time.perf_counter() - t_td
         timings["postings"] = time.perf_counter() - t0
         t_mf = time.perf_counter()
         n_rows = sum(
@@ -443,6 +538,7 @@ def build_index(
                     "bm25_b": config.bm25_b,
                     "block_size": config.block_size,
                     "salt_shift": config.salt_shift,
+                    "merge_buckets": n_buckets,
                 },
                 "timings_sec": timings,
             },

@@ -308,16 +308,17 @@ class _SubIndex:
         self.manifest = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
         self._seg_files = parquet_files(self._seg_path)
         self._docs_files = parquet_files(self._docs_path)
-        # term -> [file_id] sidecar (see build._write_term_dict)
-        self._term_dict: dict[str, list[int]] | None = None
-        td_path = os.path.join(out_dir, "term_dict.parquet")
-        if os.path.exists(td_path):
-            td = pq.read_table(td_path)
-            d: dict[str, list[int]] = {}
-            for term, fid in zip(
-                td.column("term").to_pylist(), td.column("file_id").to_pylist()
+        # term -> [segment file path] sidecar, emitted by the merge tasks
+        # (build.merge_bucket_dir) as sharded parquet under term_dict/
+        self._term_dict: dict[str, list[str]] | None = None
+        td_dir = os.path.join(out_dir, "term_dict")
+        if os.path.isdir(td_dir):
+            td = pq.read_table(parquet_files(td_dir))
+            d: dict[str, list[str]] = {}
+            for term, fname in zip(
+                td.column("term").to_pylist(), td.column("file").to_pylist()
             ):
-                d.setdefault(term, []).append(fid)
+                d.setdefault(term, []).append(os.path.join(self._seg_path, fname))
             self._term_dict = d
         # per-file (min,max) doc_id from parquet stats — docs are written
         # doc_id-sorted so these ranges are disjoint
@@ -343,10 +344,9 @@ class _SubIndex:
             return {}
         terms = list(set(terms))
         if self._term_dict is not None:
-            file_ids = sorted(
-                {fid for t in terms for fid in self._term_dict.get(t, ())}
+            files = sorted(
+                {f for t in terms for f in self._term_dict.get(t, ())}
             )
-            files = [self._seg_files[i] for i in file_ids]
             if not files:
                 return {}
         else:
