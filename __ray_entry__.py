@@ -239,6 +239,26 @@ def q_search_phrase(sf_dir: str):
     return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
 
 
+def q_simhash_neardup(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import simhash_neardup_pairs_ds
+
+    return simhash_neardup_pairs_ds(_docs(sf_dir), max_hamming=3)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import embedding_neardup_lsh_pairs_ds
+    from search_engine_ray.pipelines.similarity import read_embeddings
+
+    out = embedding_neardup_lsh_pairs_ds(
+        read_embeddings(sf_dir.rstrip("/")), threshold=0.5
+    ).to_pandas()
+    if "vec_a" not in out.columns:  # zero pairs: Ray aggregate loses schema
+        import pandas as pd
+
+        return pd.DataFrame({"vec_a": pd.array([], "int64"), "vec_b": pd.array([], "int64")})
+    return out[["vec_a", "vec_b"]]
+
+
 def q_ann_lsh_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -277,12 +297,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
-        # rows-only (no SQL oracle)
         "lang_id": q_lang_id,
-        "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "wand_or_topk": q_wand_or_topk,
         "search_phrase": q_search_phrase,
+        # rows-only (no SQL oracle)
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
     }
@@ -353,6 +375,63 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
 """
+    wand_or = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE term IN ('table', 'query', 'window') AND length(term) >= 2
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1) /
+             (tf.tf + {_K1} * (1 - {_B} + {_B} * (dl.dl / stats.avgdl)))) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 10
+"""
+    # phrase filter runs INSIDE candidate collection (engine.ts:134 maxCount
+    # quirk): first 100 docs in ascending doc_id order that contain both
+    # words AND the adjacent pair
+    phrase = f"""
+SELECT doc_id FROM (SELECT doc_id, {tok} AS ts FROM documents)
+WHERE len(list_filter(range(1, len(ts)),
+                      i -> ts[i] = 'table' AND ts[i+1] = 'scan')) > 0
+ORDER BY doc_id LIMIT 100
+"""
+    # mirrors lang_scores: per-language stop-word hit counts; ties resolve
+    # to the first language in sorted order (de, en, es, fr); 0 hits -> und
+    profiles = {
+        "de": "der die das und ist ein eine zu den von mit für auf",
+        "en": "the and of to in is a that for on with as are it",
+        "es": "el la los las y de un una es para en que con por",
+        "fr": "le la les et de un une est pour dans que sur avec",
+    }
+
+    def _prof_count(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in profiles[lang].split())
+        return f"len(list_filter(ts, x -> lower(x) IN ({words})))"
+
+    lang_id = f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+s AS (SELECT doc_id, {_prof_count('de')} AS de, {_prof_count('en')} AS en,
+             {_prof_count('es')} AS es, {_prof_count('fr')} AS fr FROM t)
+SELECT doc_id, CASE
+  WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+  WHEN en > 0 AND en >= es AND en >= fr THEN 'en'
+  WHEN es > 0 AND es >= fr THEN 'es'
+  WHEN fr > 0 THEN 'fr'
+  ELSE 'und' END AS lang_pred
+FROM s
+"""
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "term_df": f"""
@@ -392,4 +471,11 @@ SELECT doc_id FROM (
         "ngram_jaccard": ngram,
         "ann_cosine_topk": ann,
         "embedding_neardup": neardup,
+        "wand_or_topk": wand_or,
+        "search_phrase": phrase,
+        "lang_id": lang_id,
+        # LSH banding at 128 perms / 32 bands misses a true j>=0.8 pair with
+        # p < 5e-8, and the verify step is exact Jaccard — the output equals
+        # the exact n-gram pair set (same SQL oracle).
+        "minhash_pairs": ngram,
     }

@@ -62,21 +62,26 @@ def quality_metrics(texts: pa.Array) -> dict[str, np.ndarray]:
 
 
 def lang_scores(texts: pa.Array) -> list[str]:
-    """Most-probable language by stop-word profile hit ratio; 'und'
-    (undetermined) when no profile scores > 0."""
+    """Most-probable language by stop-word profile hit count; 'und'
+    (undetermined) when no profile scores > 0. Fully vectorized: one
+    utf8_lower + one is_in + one bincount per language over the flattened
+    token array; ties resolve to the first language in sorted order (the
+    strictly-greater update rule)."""
     toks = token_lists(texts)
-    out = []
+    n = len(toks)
+    flat = pc.utf8_lower(toks.flatten())
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     langs = sorted(LANG_PROFILES)
-    for words in toks.to_pylist():
-        lower = [w.lower() for w in words]
-        best, best_score = "und", 0
-        for lang in langs:
-            prof = LANG_PROFILES[lang]
-            score = sum(1 for w in lower if w in prof)
-            if score > best_score:
-                best, best_score = lang, score
-        out.append(best)
-    return out
+    scores = np.zeros((len(langs), n), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        hit = pc.is_in(
+            flat, value_set=pa.array(sorted(LANG_PROFILES[lang]))
+        ).to_numpy(zero_copy_only=False)
+        scores[li] = np.bincount(parents, weights=hit.astype(np.float64), minlength=n)
+    best = np.argmax(scores, axis=0)  # first max wins == sorted-order priority
+    best_score = scores[best, np.arange(n)]
+    lang_arr = np.array(langs)
+    return np.where(best_score > 0, lang_arr[best], "und").tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +147,36 @@ def simhash64(words: list[str]) -> int:
     for i in range(64):
         if acc[i] > 0:
             out |= 1 << i
+    return out
+
+
+def simhash64_batch(toks: pa.ListArray) -> np.ndarray:
+    """Per-doc 64-bit SimHash over a token-list batch, identical to
+    ``simhash64`` per row but md5 is computed ONCE per distinct token in the
+    batch and the per-doc sign accumulation is a bincount over the flattened
+    (doc, bit) matrix — no per-doc Python loop."""
+    n = len(toks)
+    flat = pc.utf8_lower(toks.flatten()).to_pylist()
+    if not flat:
+        return np.zeros(n, dtype=np.uint64)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+            for w in uniq
+        ],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[codes][:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+        np.int64
+    )  # (n_tokens, 64)
+    signs = 2 * bits - 1
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, parents, signs)
+    out = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64
+    )
     return out
 
 

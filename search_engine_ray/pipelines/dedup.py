@@ -1,24 +1,31 @@
 """Deduplication pipelines — exact, n-gram Jaccard, MinHash+LSH, SimHash,
 embedding near-dup.
 
-Distributed shapes:
+Distributed shapes (no whole-dataset driver materialization anywhere):
 - exact: hash-partition by text fingerprint -> per-group min(doc_id) winner
   (groupby, the D2 url-dedup pattern at corpus scale).
 - n-gram Jaccard: shingle explode -> groupby(shingle) -> within-bucket pair
-  emit -> groupby(pair) intersection counts -> jaccard = |I| / (|A|+|B|-|I|)
-  with per-doc shingle counts broadcast. Exact, no probabilistic step —
-  doubles as the verifier for MinHash.
+  emit (group size capped by ``max_group``) -> groupby(pair) intersection
+  counts -> hash join against the per-doc shingle-count dataset (twice, once
+  per pair side) -> jaccard = |I| / (|A|+|B|-|I|). Exact, no probabilistic
+  step — doubles as the verifier for MinHash.
 - MinHash+LSH: per-doc signature (vectorized universal hashing) -> band
-  explode -> groupby(band bucket) -> candidate pairs -> exact-jaccard verify.
+  explode -> groupby(band bucket) -> candidate pairs -> exact-jaccard verify
+  via hash join of the (doc_id, shingles) dataset onto each pair side —
+  shingle sets travel to their candidate pairs, never to the driver.
 - SimHash: 64-bit signature per doc; near-dup pairs via 4x16-bit band
-  blocking (Hamming <= 3 guaranteeed caught by pigeonhole).
-- embedding near-dup: normalized matmul per batch against a broadcast
-  matrix (small side) — or all-pairs within LSH buckets at scale.
+  blocking (Hamming <= 3 guaranteed caught by pigeonhole).
+- embedding near-dup: EXACT all-pairs as a block cross-product — the matrix
+  is split into B row blocks held in the object store and B(B+1)/2 tasks
+  each compare one block pair; the driver holds only block refs. The
+  LSH-bucketed variant (``embedding_neardup_lsh_pairs_ds``) is the
+  approximate scale path: random-hyperplane bucketing, exact cosine within
+  buckets, multi-table union for recall.
 """
 
 from __future__ import annotations
 
-import zlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -26,18 +33,26 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min
 
 from search_engine_ray.functions.textstats import (
     band_keys,
-    jaccard,
     md5_fingerprints,
     minhash_params,
     minhash_signature,
     shingle_hashes,
-    simhash64,
+    simhash64_batch,
     token_lists,
 )
+
+logger = logging.getLogger(__name__)
+
+
+def _join_partitions() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    except Exception:
+        return 4
 
 
 def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
@@ -61,88 +76,200 @@ def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
 
 
 def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
-    ids = batch.column("doc_id").to_pylist()
+    """(shingle, doc_id) rows — one DISTINCT shingle hash per (doc, shingle).
+    Single pass; per-doc counts are derived downstream by a groupby, not a
+    second tokenize+hash pass."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     toks = token_lists(batch.column("text")).to_pylist()
-    out_s: list[int] = []
-    out_d: list[int] = []
-    counts: list[int] = []
-    for d, words in zip(ids, toks):
-        hs = shingle_hashes([w.lower() for w in words], k)
-        out_s.extend(int(h) for h in hs)
-        out_d.extend([d] * len(hs))
-        counts.append(len(hs))
+    per_doc = [shingle_hashes([w.lower() for w in words], k) for words in toks]
+    n = np.array([len(h) for h in per_doc], dtype=np.int64)
     return pa.table(
         {
-            "shingle": pa.array(out_s, pa.int64()),
-            "doc_id": pa.array(out_d, pa.int64()),
+            "shingle": pa.array(
+                (
+                    np.concatenate(per_doc) if per_doc else np.zeros(0, np.uint64)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+            "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
         }
-    ), pa.table({"doc_id": pa.array(ids, pa.int64()), "n_shingles": pa.array(counts, pa.int64())})
+    )
+
+
+def _pair_table(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (a < b) of a sorted unique id vector, vectorized."""
+    m = len(ids)
+    a_idx, b_idx = np.triu_indices(m, k=1)
+    return ids[a_idx], ids[b_idx]
+
+
+def _make_pairs_in_group(max_group: int | None, what: str):
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if max_group is not None and len(ids) > max_group:
+            # a genuinely hot bucket: quadratic pair-emit would explode —
+            # drop it, loudly. (At crawl scale a shingle shared by >max_group
+            # docs carries ~no Jaccard signal anyway: it is a stop-shingle.)
+            logger.warning(
+                "%s: dropping hot group of %d docs (> max_group=%d)",
+                what,
+                len(ids),
+                max_group,
+            )
+            ids = ids[:0]
+        a, b = _pair_table(ids)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    return pairs_in_group
+
+
+def _shingle_count_ds(shingle_ds: rd.Dataset) -> rd.Dataset:
+    schema = pa.schema([("doc_id", pa.int64()), ("n_shingles", pa.int64())])
+    counts = _pin_blocks(
+        shingle_ds.groupby("doc_id").aggregate(Count(alias_name="n_shingles")), schema
+    )
+    # sentinel count row: keeps the sentinel PAIR alive through both joins
+    # (and the join inputs never block-empty); filtered in the score stage.
+    return counts.union(_sentinel_row(schema, doc_id=_SENTINEL, n_shingles=0))
+
+
+# A doc_id no real corpus uses. Ray's groupby-aggregate emits a SCHEMALESS
+# empty block when its whole input is empty (and empty blocks skip
+# map_batches untouched), which crashes downstream Acero joins ('no match
+# for key field'). Unioning one sentinel pair row into the aggregate INPUT
+# guarantees a non-empty, typed aggregate output; the inner join against
+# real doc_ids drops the sentinel group automatically.
+_SENTINEL = -(2**62)
+
+
+def _sentinel_pairs() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([_SENTINEL], pa.int64()),
+                "doc_b": pa.array([_SENTINEL], pa.int64()),
+            }
+        )
+    )
+
+
+def _sentinel_row(schema: pa.Schema, **cols) -> rd.Dataset:
+    """One-row dataset (sentinel join key) to union into a join side so no
+    join input is ever block-empty; the final stage filters the sentinel."""
+    return rd.from_arrow(pa.Table.from_pylist([cols], schema=schema))
+
+
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _cast_block(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    return t.select(schema.names).cast(schema)
+
+
+def _pin_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Drop empty blocks and cast the rest to ``schema`` (remote tasks;
+    blocks never touch the driver).
+
+    Ray 2.49's hash-shuffle join crashes on ANY empty input block — typed or
+    not ('no match for key field' in Acero) — and groupby-aggregate emits
+    schemaless empty blocks for empty output partitions, while empty blocks
+    skip map_batches untouched, so they cannot be fixed in-stream. The
+    aggregate is a barrier anyway, so taking block refs here costs no
+    pipelining. Callers must guarantee >= 1 non-empty block (the sentinel
+    row does)."""
+    refs = ds.to_arrow_refs()
+    sizes = ray.get([_block_rows.remote(r) for r in refs])
+    return rd.from_arrow_refs(
+        [_cast_block.remote(r, schema) for r, n in zip(refs, sizes) if n]
+    )
+
+
+def _attach_counts(pairs: rd.Dataset, counts: rd.Dataset, parts: int) -> rd.Dataset:
+    """Hash-join per-doc shingle counts onto both pair sides:
+    (doc_a, doc_b, n_inter) -> + (n_a, n_b). The join ships counts to the
+    pairs — nothing lands on the driver. Pinned between the joins because a
+    join output partition with zero rows poisons the next join (see
+    _pin_blocks)."""
+    value_col = [c for c in pairs.schema().names if c not in ("doc_a", "doc_b")][0]
+    j = pairs.join(
+        counts, "inner", num_partitions=parts, on=("doc_a",), right_on=("doc_id",)
+    ).rename_columns({"n_shingles": "n_a"})
+    j = _pin_blocks(
+        j,
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                (value_col, pa.int64()),
+                ("n_a", pa.int64()),
+            ]
+        ),
+    )
+    return j.join(
+        counts, "inner", num_partitions=parts, on=("doc_b",), right_on=("doc_id",)
+    ).rename_columns({"n_shingles": "n_b"})
 
 
 def ngram_jaccard_pairs_ds(
-    docs: rd.Dataset, k: int = 3, threshold: float = 0.8
+    docs: rd.Dataset,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_group: int | None = None,
 ) -> rd.Dataset:
     """Exact k-token-shingle Jaccard pairs >= threshold (doc_a < doc_b).
 
     Shuffle-count analysis: shingle explode is the wide step; the pair-emit
-    inside a shingle group is quadratic in group size, so genuinely hot
-    shingles should be dropped via ``max_group`` at crawl scale (kept exact
-    here for oracle parity)."""
-
-    def shingles(batch: pa.Table) -> pa.Table:
-        s, _ = _shingle_rows(batch, k)
-        return s
-
-    def n_shingles(batch: pa.Table) -> pa.Table:
-        _, n = _shingle_rows(batch, k)
-        return n
-
-    shingle_ds = docs.map_batches(shingles, batch_format="pyarrow")
-    counts = docs.map_batches(n_shingles, batch_format="pyarrow")
-    n_by_doc = {
-        r["doc_id"]: r["n_shingles"] for r in counts.take_all()
-    }  # narrow: one int per doc
-    n_ref = ray.put(n_by_doc)
-
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table(
-            {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-            }
-        )
+    inside a shingle group is quadratic in group size, so ``max_group``
+    (default None = exact, for oracle parity) caps genuinely hot shingles
+    with a logged drop at crawl scale. Per-doc shingle counts are a
+    groupby-count over the same exploded rows and are hash-JOINED onto the
+    candidate pairs — no driver-side count dict."""
+    shingle_ds = docs.map_batches(
+        lambda b: _shingle_rows(b, k), batch_format="pyarrow"
+    )
+    counts = _shingle_count_ds(shingle_ds)
 
     inter = (
         shingle_ds.groupby("shingle")
-        .map_groups(pairs_in_group, batch_format="pyarrow")
+        .map_groups(
+            _make_pairs_in_group(max_group, "ngram_jaccard"), batch_format="pyarrow"
+        )
+        .union(_sentinel_pairs())
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_inter"))
     )
+    inter = _pin_blocks(
+        inter,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_inter", pa.int64())]
+        ),
+    )
+    joined = _attach_counts(inter, counts, _join_partitions())
 
     def score(batch: pa.Table) -> pa.Table:
-        n = ray.get(n_ref)
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         ni = batch.column("n_inter").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([n[x] for x in a], dtype=np.float64)
-        nb = np.array([n[x] for x in b], dtype=np.float64)
-        jac = ni / (na + nb - ni)
-        keep = jac >= threshold
+        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        real = batch.column("doc_a").to_numpy(zero_copy_only=False) != _SENTINEL
+        jac = ni / np.maximum(na + nb - ni, 1.0)
+        keep = (jac >= threshold) & real
         return pa.table(
             {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
                 "jaccard": pa.array(np.round(jac[keep], 4)),
             }
         )
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 class _MinhashBands:
@@ -176,6 +303,34 @@ class _MinhashBands:
         )
 
 
+def _shingle_set_ds(docs: rd.Dataset, k: int) -> rd.Dataset:
+    """(doc_id, shingles) — each doc's sorted shingle-hash set, packed as
+    little-endian int64 bytes (Acero hash joins reject list-typed payload
+    columns; a binary blob joins fine and unpacks zero-copy)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        sets = [
+            np.sort(shingle_hashes([w.lower() for w in ws], k))
+            .astype("<i8")
+            .tobytes()
+            for ws in token_lists(b.column("text")).to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "shingles": pa.array(sets, pa.large_binary()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow").union(
+        _sentinel_row(
+            pa.schema([("doc_id", pa.int64()), ("shingles", pa.large_binary())]),
+            doc_id=_SENTINEL,
+            shingles=b"",
+        )
+    )
+
+
 def minhash_lsh_pairs_ds(
     docs: rd.Dataset,
     num_perm: int = 128,
@@ -183,31 +338,15 @@ def minhash_lsh_pairs_ds(
     k: int = 3,
     threshold: float = 0.8,
     concurrency: int | None = None,
+    max_group: int | None = None,
 ) -> rd.Dataset:
     """Candidate pairs from LSH banding, verified with EXACT shingle Jaccard.
 
-    Verification broadcasts doc -> shingle set (fine for conformance scale;
-    at crawl scale the verify becomes a repartition join on doc_id —
-    documented partitioning assumption)."""
-    shingle_sets = {}
-    for row in docs.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "shingles": pa.array(
-                    [
-                        shingle_hashes([w.lower() for w in ws], k).tolist()
-                        for ws in token_lists(b.column("text")).to_pylist()
-                    ],
-                    pa.list_(pa.int64()),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).take_all():
-        shingle_sets[row["doc_id"]] = np.array(sorted(row["shingles"]), dtype=np.uint64)
-    sets_ref = ray.put(shingle_sets)
-
+    Verification is a distributed hash join: the (doc_id, shingles) dataset
+    is joined onto each candidate-pair side, so each verify batch holds only
+    ITS pairs' shingle sets. Recall: P[candidate | j] = 1-(1-j^r)^b; at the
+    default 128/32 (r=4) a true j>=0.8 pair is missed with p < 5e-8, so the
+    verified output equals the exact >=threshold pair set in practice."""
     if concurrency is None:
         from search_engine_ray.util import default_pool_size
 
@@ -219,35 +358,60 @@ def minhash_lsh_pairs_ds(
         concurrency=concurrency,
     )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
-        )
-
     cand = (
         bands_ds.groupby(["band_id", "band_key"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .map_groups(
+            _make_pairs_in_group(max_group, "minhash_lsh"), batch_format="pyarrow"
+        )
+        .union(_sentinel_pairs())
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
     )
+    cand = _pin_blocks(
+        cand,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
+        ),
+    )
+
+    parts = _join_partitions()
+    sets_ds = _shingle_set_ds(docs, k)
+    j = cand.join(
+        sets_ds, "inner", num_partitions=parts, on=("doc_a",), right_on=("doc_id",)
+    ).rename_columns({"shingles": "shingles_a"})
+    j = _pin_blocks(
+        j,
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("n_bands", pa.int64()),
+                ("shingles_a", pa.large_binary()),
+            ]
+        ),
+    )
+    j = j.join(
+        sets_ds, "inner", num_partitions=parts, on=("doc_b",), right_on=("doc_id",)
+    ).rename_columns({"shingles": "shingles_b"})
 
     def verify(batch: pa.Table) -> pa.Table:
-        sets = ray.get(sets_ref)
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
+        a_ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        sa = batch.column("shingles_a").to_pylist()
+        sb = batch.column("shingles_b").to_pylist()
         keep_a, keep_b, jac = [], [], []
-        for x, y in zip(a, b):
-            j = jaccard(sets[x], sets[y])
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jac.append(round(j, 4))
+        for x, y, la, lb in zip(a_ids, b_ids, sa, sb):
+            if x == _SENTINEL:
+                continue
+            aa = np.frombuffer(la, dtype="<i8")
+            bb = np.frombuffer(lb, dtype="<i8")
+            inter = len(np.intersect1d(aa, bb, assume_unique=True))
+            union = len(aa) + len(bb) - inter
+            jv = inter / union if union else 1.0
+            if jv >= threshold:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+                jac.append(round(jv, 4))
         return pa.table(
             {
                 "doc_a": pa.array(keep_a, pa.int64()),
@@ -256,19 +420,19 @@ def minhash_lsh_pairs_ds(
             }
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_ds(docs: rd.Dataset) -> rd.Dataset:
-    """(doc_id, simhash) 64-bit signatures."""
+    """(doc_id, simhash) 64-bit signatures — md5 hashed once per DISTINCT
+    token in the batch, signs accumulated with one bincount per batch."""
 
     def f(batch: pa.Table) -> pa.Table:
-        toks = token_lists(batch.column("text")).to_pylist()
-        sigs = [simhash64([w.lower() for w in ws]) for ws in toks]
+        sigs = simhash64_batch(token_lists(batch.column("text")))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64).astype(np.int64), pa.int64()),
+                "simhash": pa.array(sigs.astype(np.int64), pa.int64()),
             }
         )
 
@@ -281,44 +445,42 @@ def simhash_neardup_pairs_ds(docs: rd.Dataset, max_hamming: int = 3) -> rd.Datas
     sig_ds = simhash_ds(docs)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sigs = batch.column("simhash").to_pylist()
-        band_id, band_val, d_out, s_out = [], [], [], []
-        for d, s in zip(ids, sigs):
-            u = s & 0xFFFFFFFFFFFFFFFF
-            for bi in range(4):
-                band_id.append(bi)
-                band_val.append((u >> (16 * bi)) & 0xFFFF)
-                d_out.append(d)
-                s_out.append(s)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        rep_sig = np.repeat(sigs, 4)
+        band_val = (rep_sig >> (np.uint64(16) * band_id.astype(np.uint64))) & np.uint64(
+            0xFFFF
+        )
         return pa.table(
             {
                 "band_id": pa.array(band_id, pa.int64()),
-                "band_val": pa.array(band_val, pa.int64()),
-                "doc_id": pa.array(d_out, pa.int64()),
-                "simhash": pa.array(s_out, pa.int64()),
+                "band_val": pa.array(band_val.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash": pa.array(rep_sig.astype(np.int64), pa.int64()),
             }
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column("doc_id").to_pylist(), group.column("simhash").to_pylist())
-        )
-        a_out, b_out, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                h = bin((rows[i][1] ^ rows[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if h <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    ham.append(h)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        uniq = np.ones(len(ids), dtype=bool)
+        uniq[1:] = ids[1:] != ids[:-1]
+        ids, sigs = ids[uniq], sigs[uniq]
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = (sigs[ai] ^ sigs[bi]).astype(np.uint64)
+        # vectorized popcount via byte-LUT
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(1).astype(np.int64)
+        keep = ham <= max_hamming
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "hamming": pa.array(ham, pa.int64()),
+                "doc_a": pa.array(ids[ai[keep]], pa.int64()),
+                "doc_b": pa.array(ids[bi[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
             }
         )
 
@@ -331,36 +493,154 @@ def simhash_neardup_pairs_ds(docs: rd.Dataset, max_hamming: int = 3) -> rd.Datas
     )
 
 
-def embedding_neardup_pairs_ds(
-    embeddings: rd.Dataset, threshold: float = 0.95
-) -> rd.Dataset:
-    """Cosine >= threshold pairs (vec_a < vec_b): per-batch matmul against a
-    broadcast normalized matrix (small side broadcast, ray.put once)."""
-    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+def _norm_block(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    if mat.size:
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
 
-    def f(batch) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        v = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = v @ all_mat.T
-        a_out, b_out, s_out = [], [], []
-        for i, vid in enumerate(v_ids):
-            hit = np.flatnonzero((sims[i] >= threshold) & (all_ids > vid))
-            for j in hit:
-                a_out.append(int(vid))
-                b_out.append(int(all_ids[j]))
-                s_out.append(round(float(sims[i, j]), 4))
+
+@ray.remote
+def _cross_block_pairs(tbl_a: pa.Table, tbl_b: pa.Table, threshold: float) -> pa.Table:
+    """Cosine >= threshold pairs between two row blocks (vec_a < vec_b)."""
+    ids_a, mat_a = _norm_block(tbl_a)
+    ids_b, mat_b = _norm_block(tbl_b)
+    if not len(ids_a) or not len(ids_b):
         return pa.table(
             {
-                "vec_a": pa.array(a_out, pa.int64()),
-                "vec_b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(s_out, pa.float64()),
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    sims = mat_a @ mat_b.T
+    ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+    return pa.table(
+        {
+            "vec_a": pa.array(ids_a[ii], pa.int64()),
+            "vec_b": pa.array(ids_b[jj], pa.int64()),
+            "cosine": pa.array(np.round(sims[ii, jj], 4), pa.float64()),
+        }
+    )
+
+
+def embedding_neardup_pairs_ds(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    target_block_rows: int = 65536,
+) -> rd.Dataset:
+    """EXACT cosine >= threshold pairs (vec_a < vec_b) as a block
+    cross-product: the normalized matrix is split into B row blocks living in
+    the OBJECT STORE, and B(B+1)/2 tasks each compare one block pair. The
+    driver never holds vectors — only block refs. O(n^2/B^2) work per task,
+    O(n*d/B) memory per task; for approximate-at-scale use
+    ``embedding_neardup_lsh_pairs_ds``."""
+    narrow = embeddings.select_columns(["vec_id", "embedding"])
+    n = narrow.count() or 0
+    n_blocks = max(1, min(256, -(-n // target_block_rows)))
+    refs = narrow.repartition(n_blocks).to_arrow_refs()
+    out_refs = [
+        _cross_block_pairs.remote(refs[i], refs[j], threshold)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+class _HyperplaneBuckets:
+    """Actor-pool stage: vec -> (table_id, bucket, vec_id, embedding) rows.
+    Random hyperplanes are seeded identically per actor."""
+
+    def __init__(self, dim: int, n_bits: int, n_tables: int, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n_tables = self.planes.shape[0]
+        n = len(ids)
+        t_out = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        id_out = np.tile(ids, n_tables)
+        buckets = np.empty(n_tables * n, dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ self.planes[t].T) > 0
+            buckets[t * n : (t + 1) * n] = bits @ self.pow2
+        emb = batch.column("embedding")
+        emb_out = pa.concat_arrays(
+            [emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb]
+            * n_tables
+        )
+        return pa.table(
+            {
+                "table_id": pa.array(t_out, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec_id": pa.array(id_out, pa.int64()),
+                "embedding": emb_out,
             }
         )
 
-    return embeddings.map_batches(f, batch_format="pyarrow")
+
+def embedding_neardup_lsh_pairs_ds(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Approximate near-dup pairs at scale: random-hyperplane LSH bucketing
+    (n_tables independent tables for recall), exact cosine WITHIN buckets,
+    cross-table dedupe by groupby-max. Embeddings travel with their bucket
+    rows — no broadcast matrix, no driver state. Recall is tested against the
+    exact block cross-product in tests/test_dedup.py."""
+    dim = len(embeddings.take(1)[0]["embedding"])
+    if concurrency is None:
+        from search_engine_ray.util import default_pool_size
+
+        concurrency = default_pool_size()
+    bucketed = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _HyperplaneBuckets,
+        fn_constructor_args=(dim, n_bits, n_tables),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        uniq = np.ones(len(ids), dtype=bool)
+        uniq[1:] = ids[order][1:] != ids[order][:-1]
+        sel = order[uniq]
+        ids = ids[sel]
+        mat = np.array(
+            group.column("embedding").take(pa.array(sel)).to_pylist(),
+            dtype=np.float64,
+        )
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ mat.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ai[keep]], pa.int64()),
+                "vec_b": pa.array(ids[bi[keep]], pa.int64()),
+                "cosine": pa.array(np.round(sims[ai[keep], bi[keep]], 4), pa.float64()),
+            }
+        )
+
+    return (
+        bucketed.groupby(["table_id", "bucket"])
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )

@@ -128,3 +128,78 @@ def test_embedding_neardup(ray_session):
     )
     got = embedding_neardup_pairs_ds(rd.from_arrow(t2), threshold=0.999).to_pandas()
     assert (0, 99_999) in set(zip(got["vec_a"], got["vec_b"]))
+
+
+def test_ngram_jaccard_max_group_drops_hot_shingles(dup_docs):
+    """A max_group cap of 1 drops every shingle bucket with >1 doc -> no
+    pairs survive; the exact default (None) keeps them."""
+    from search_engine_ray.pipelines.dedup import ngram_jaccard_pairs_ds
+
+    capped = ngram_jaccard_pairs_ds(
+        rd.from_arrow(dup_docs), k=3, threshold=0.8, max_group=1
+    ).to_pandas()
+    assert len(capped) == 0
+
+
+def test_embedding_neardup_multiblock(ray_session):
+    """Block cross-product must find pairs that straddle block boundaries:
+    force many small blocks and check against the single-block result."""
+    from search_engine_ray.pipelines.dedup import embedding_neardup_pairs_ds
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    v0 = np.array(t.column("embedding")[0].as_py())
+    near = (v0 + 1e-4).tolist()
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(t.column("vec_id").to_pylist() + [99_999], pa.int64()),
+            "embedding": pa.array(
+                t.column("embedding").to_pylist() + [near], pa.list_(pa.float32())
+            ),
+        }
+    )
+    one = embedding_neardup_pairs_ds(rd.from_arrow(t2), threshold=0.9).to_pandas()
+    many = embedding_neardup_pairs_ds(
+        rd.from_arrow(t2), threshold=0.9, target_block_rows=8
+    ).to_pandas()
+    key = ["vec_a", "vec_b"]
+    assert sorted(map(tuple, one[key].values)) == sorted(map(tuple, many[key].values))
+    assert (0, 99_999) in set(zip(many["vec_a"], many["vec_b"]))
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """LSH-bucketed near-dup (the scale path) must recover the high-cosine
+    pairs the exact block cross-product finds at threshold 0.95+."""
+    from search_engine_ray.pipelines.dedup import (
+        embedding_neardup_lsh_pairs_ds,
+        embedding_neardup_pairs_ds,
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    base = t.column("embedding").to_pylist()
+    ids = t.column("vec_id").to_pylist()
+    rng = np.random.default_rng(3)
+    extra, extra_ids = [], []
+    for i in range(10):  # plant 10 near dups of the first 10 vectors
+        v = np.array(base[i], dtype=np.float64)
+        extra.append((v + rng.normal(0, 1e-3, v.shape)).tolist())
+        extra_ids.append(50_000 + i)
+    t2 = pa.table(
+        {
+            "vec_id": pa.array(ids + extra_ids, pa.int64()),
+            "embedding": pa.array(base + extra, pa.list_(pa.float32())),
+        }
+    )
+    exact = embedding_neardup_pairs_ds(rd.from_arrow(t2), threshold=0.95).to_pandas()
+    approx = embedding_neardup_lsh_pairs_ds(
+        rd.from_arrow(t2), threshold=0.95, n_bits=8, n_tables=8
+    ).to_pandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    approx_pairs = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert approx_pairs <= exact_pairs  # within-bucket cosine is exact
+    # multi-table recall on planted near-identical pairs should be total
+    planted = {(i, 50_000 + i) for i in range(10)} & exact_pairs
+    assert planted and planted <= approx_pairs

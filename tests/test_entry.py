@@ -72,6 +72,10 @@ def test_all_queries_have_unique_names(contract):
         "ngram_jaccard",
         "ann_cosine_topk",
         "embedding_neardup",
+        "wand_or_topk",
+        "search_phrase",
+        "lang_id",
+        "minhash_pairs",
     ],
 )
 def test_query_matches_oracle(contract, con, name):
@@ -91,7 +95,13 @@ def test_query_matches_oracle(contract, con, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["lang_id", "simhash", "minhash_pairs", "wand_or_topk", "search_phrase", "ann_lsh_topk", "media_features"],
+    [
+        "simhash",
+        "simhash_neardup",
+        "embedding_neardup_lsh",
+        "ann_lsh_topk",
+        "media_features",
+    ],
 )
 def test_rows_only_queries_run(contract, name):
     out = _to_df(contract.queries()[name](SF))
