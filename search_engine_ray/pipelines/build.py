@@ -258,6 +258,107 @@ def _compat_replay_mapping(pages: rd.Dataset) -> dict[str, int]:
     return {r["url"]: i for r, i in zip(cols, ids)}
 
 
+def _resolve_heavy_cpus() -> float:
+    """CPU slots for memory-streaming tasks: this host's kernel serializes
+    cold page faults past ~16 concurrent memory-heavy processes."""
+    env_heavy = os.environ.get("SE_RAY_HEAVY_TASK_CPUS")
+    if env_heavy is not None:
+        return float(env_heavy)
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        _cpus = 4
+    return max(1.0, round(_cpus / 16))
+
+
+def _merge_postings_to_segments(
+    postings: rd.Dataset,
+    stats: CorpusStats,
+    config: EngineConfig,
+    out_dir: str,
+    heavy_cpus: float,
+    timings: dict[str, float],
+) -> None:
+    """Disk map-side shuffle of emit-schema postings rows -> per-bucket
+    merge+encode tasks writing ``out_dir/segments`` with the term dict as a
+    merge-task side output under ``out_dir/term_dict``. Shared by the batch
+    build and generation compaction."""
+    seg_dir = os.path.join(out_dir, "segments")
+    shuffle_dir = os.environ.get("SE_RAY_SHUFFLE_BASE") or os.path.join(
+        out_dir, "shuffle"
+    )
+    if shuffle_dir != os.path.join(out_dir, "shuffle"):
+        shuffle_dir = os.path.join(
+            shuffle_dir, os.path.basename(out_dir.rstrip("/")) + "_shuffle"
+        )
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    t_pipe = time.perf_counter()
+    postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
+    timings["shuffle_write"] = time.perf_counter() - t_pipe
+
+    t_pipe = time.perf_counter()
+    bucket_dirs = sorted(
+        os.path.join(shuffle_dir, d)
+        for d in os.listdir(shuffle_dir)
+        if d.startswith("bucket=")
+    )
+    term_dict_dir = os.path.join(out_dir, "term_dict")
+    shutil.rmtree(term_dict_dir, ignore_errors=True)
+    if bucket_dirs:
+        merge_fn = make_bucket_merge_encode(stats, config)
+        os.makedirs(seg_dir, exist_ok=True)
+
+        def merge_bucket_dir(batch: pa.Table) -> pa.Table:
+            """Merge one bucket directory, write its segment file, and
+            emit the (term, file) sidecar rows — the term dictionary is
+            a SIDE OUTPUT of the merge tasks (sharded via the normal
+            write_parquet that follows), never a driver-side scan of
+            the finished segments."""
+            from search_engine_ray.util import limit_arrow_threads
+
+            limit_arrow_threads()
+            out_tables = []
+            for d in batch.column("dir").to_pylist():
+                tbl = pq.read_table(parquet_files(d))
+                if not tbl.num_rows:
+                    continue
+                merged = merge_fn(tbl)
+                bucket_name = os.path.basename(d.rstrip("/"))  # bucket=N
+                fname = f"segment-{bucket_name.split('=')[1].zfill(6)}.parquet"
+                pq.write_table(merged, os.path.join(seg_dir, fname))
+                out_tables.append(
+                    pa.table(
+                        {
+                            "term": merged.column("term"),
+                            "file": pa.array([fname] * len(merged), pa.string()),
+                        }
+                    )
+                )
+            if not out_tables:
+                return pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "file": pa.array([], pa.string()),
+                    }
+                )
+            return pa.concat_tables(out_tables)
+
+        rd.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
+            merge_bucket_dir,
+            batch_format="pyarrow",
+            batch_size=1,
+            num_cpus=heavy_cpus,
+        ).write_parquet(term_dict_dir)
+    else:
+        os.makedirs(seg_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_batches([], schema=SEGMENT_SCHEMA),
+            os.path.join(seg_dir, "empty.parquet"),
+        )
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    timings["merge_encode"] = time.perf_counter() - t_pipe
+
+
 def build_index(
     pages: rd.Dataset,
     out_dir: str,
@@ -414,15 +515,7 @@ def build_index(
         # kernel serializes cold page faults past ~16 concurrent
         # memory-streaming processes (74% sys time measured; reproduced
         # outside Ray), so cap heavy-task concurrency at ~16 per node.
-        env_heavy = os.environ.get("SE_RAY_HEAVY_TASK_CPUS")
-        if env_heavy is not None:
-            heavy_cpus = float(env_heavy)
-        else:
-            try:
-                _cpus = int(ray.cluster_resources().get("CPU", 4))
-            except Exception:
-                _cpus = 4
-            heavy_cpus = max(1.0, round(_cpus / 16))
+        heavy_cpus = _resolve_heavy_cpus()
         postings = docs_ds.map_batches(
             emit_postings_batch,
             fn_kwargs={"config": emit_config, "hot_terms": hot_terms},
@@ -438,83 +531,9 @@ def build_index(
         # phases stream, nothing sorts, and the shuffle itself is a
         # resumable on-disk artifact. (groupby-sort and Ray 2.49
         # HASH_SHUFFLE were both measured and rejected — see git history.)
-        shuffle_dir = os.environ.get("SE_RAY_SHUFFLE_BASE") or os.path.join(
-            out_dir, "shuffle"
+        _merge_postings_to_segments(
+            postings, stats, config, out_dir, heavy_cpus, timings
         )
-        if shuffle_dir != os.path.join(out_dir, "shuffle"):
-            shuffle_dir = os.path.join(
-                shuffle_dir, os.path.basename(out_dir.rstrip("/")) + "_shuffle"
-            )
-        shutil.rmtree(shuffle_dir, ignore_errors=True)
-        t_pipe = time.perf_counter()
-        postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
-        timings["shuffle_write"] = time.perf_counter() - t_pipe
-
-        t_pipe = time.perf_counter()
-        bucket_dirs = sorted(
-            os.path.join(shuffle_dir, d)
-            for d in os.listdir(shuffle_dir)
-            if d.startswith("bucket=")
-        )
-        term_dict_dir = os.path.join(out_dir, "term_dict")
-        shutil.rmtree(term_dict_dir, ignore_errors=True)
-        if bucket_dirs:
-            merge_fn = make_bucket_merge_encode(stats, config)
-            os.makedirs(seg_dir, exist_ok=True)
-
-            def merge_bucket_dir(batch: pa.Table) -> pa.Table:
-                """Merge one bucket directory, write its segment file, and
-                emit the (term, file) sidecar rows — the term dictionary is
-                a SIDE OUTPUT of the merge tasks (sharded via the normal
-                write_parquet that follows), never a driver-side scan of
-                the finished segments."""
-                from search_engine_ray.util import limit_arrow_threads
-
-                limit_arrow_threads()
-                out_tables = []
-                for d in batch.column("dir").to_pylist():
-                    from search_engine_ray.state.segments import parquet_files
-
-                    tbl = pq.read_table(parquet_files(d))
-                    if not tbl.num_rows:
-                        continue
-                    merged = merge_fn(tbl)
-                    bucket_name = os.path.basename(d.rstrip("/"))  # bucket=N
-                    fname = f"segment-{bucket_name.split('=')[1].zfill(6)}.parquet"
-                    pq.write_table(merged, os.path.join(seg_dir, fname))
-                    out_tables.append(
-                        pa.table(
-                            {
-                                "term": merged.column("term"),
-                                "file": pa.array(
-                                    [fname] * len(merged), pa.string()
-                                ),
-                            }
-                        )
-                    )
-                if not out_tables:
-                    return pa.table(
-                        {
-                            "term": pa.array([], pa.string()),
-                            "file": pa.array([], pa.string()),
-                        }
-                    )
-                return pa.concat_tables(out_tables)
-
-            rd.from_items([{"dir": d} for d in bucket_dirs]).map_batches(
-                merge_bucket_dir,
-                batch_format="pyarrow",
-                batch_size=1,
-                num_cpus=heavy_cpus,
-            ).write_parquet(term_dict_dir)
-        else:
-            os.makedirs(seg_dir, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_batches([], schema=SEGMENT_SCHEMA),
-                os.path.join(seg_dir, "empty.parquet"),
-            )
-        shutil.rmtree(shuffle_dir, ignore_errors=True)
-        timings["merge_encode"] = time.perf_counter() - t_pipe
         timings["postings"] = time.perf_counter() - t0
         t_mf = time.perf_counter()
         n_rows = sum(
@@ -735,6 +754,266 @@ def add_generation(
         doc_id_mode="rank",
         fingerprint=fingerprint,
         resume=fingerprint is not None,
+    )
+
+
+def _make_decode_reemit(config: EngineConfig, hot_ref):
+    """Segment rows -> emit-schema postings rows (compaction's map stage).
+
+    Decodes each stored (term, salt) run and RE-SALTS uniformly from the
+    current config: salt = doc_id >> salt_shift for globally-hot terms, 0
+    otherwise. Uniform re-salting is load-bearing — generations may disagree
+    about a term's hotness, and mixing a salt-0 run (all doc_ids) with
+    salted runs would break the reader's runs-concatenate-in-salt-order
+    ascending invariant. salt is monotone in doc_id, so recomputed runs are
+    disjoint and ordered regardless of which generation they came from."""
+    from search_engine_ray.stages.postings import _hash_utf8_array
+    from search_engine_ray.state.codec import decode_doc_ids, decode_tfs
+
+    nb = config.merge_buckets
+    shift = config.salt_shift
+
+    def f(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.util import limit_arrow_threads
+
+        limit_arrow_threads()
+        hot = ray.get(hot_ref) if hot_ref is not None else frozenset()
+        terms = batch.column("term").to_pylist()
+        des = batch.column("doc_ids_enc").to_pylist()
+        tes = batch.column("tfs_enc").to_pylist()
+        les = batch.column("dls_enc").to_pylist()
+        out_terms: list[str] = []
+        out_salts: list[int] = []
+        id_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
+        for term, de, te, le in zip(terms, des, tes, les):
+            ids = decode_doc_ids(de).astype(np.int64)
+            tfs = decode_tfs(te).astype(np.int32)
+            dls = decode_tfs(le).astype(np.int32)
+            if shift > 0 and term in hot:
+                salts = ids >> shift
+                cuts = np.flatnonzero(np.diff(salts)) + 1
+                bounds = np.concatenate(([0], cuts, [len(ids)]))
+                for i in range(len(bounds) - 1):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    out_terms.append(term)
+                    out_salts.append(int(salts[lo]))
+                    id_parts.append(ids[lo:hi])
+                    tf_parts.append(tfs[lo:hi])
+                    dl_parts.append(dls[lo:hi])
+            else:
+                out_terms.append(term)
+                out_salts.append(0)
+                id_parts.append(ids)
+                tf_parts.append(tfs)
+                dl_parts.append(dls)
+        if not out_terms:
+            from search_engine_ray.stages.postings import _empty_postings_table
+
+            return _empty_postings_table()
+        lens = np.array([len(p) for p in id_parts], dtype=np.int64)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        off_arr = pa.array(off, pa.int64())
+        term_arr = pa.array(out_terms, pa.string())
+        salt_np = np.array(out_salts, dtype=np.int64)
+        if shift > 0:
+            key = pc.binary_join_element_wise(
+                term_arr,
+                pa.array([f"{s:016x}" for s in out_salts], pa.string()),
+                "\x00",
+            )
+        else:
+            key = term_arr
+        mixed = _hash_utf8_array(term_arr) ^ (
+            salt_np.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        bucket = (mixed % np.uint64(nb)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "key": key,
+                "term": term_arr,
+                "salt": pa.array(salt_np, pa.int64()),
+                "doc_ids": pa.ListArray.from_arrays(
+                    off_arr, pa.array(np.concatenate(id_parts), pa.int64())
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    off_arr, pa.array(np.concatenate(tf_parts), pa.int32())
+                ),
+                "dls": pa.ListArray.from_arrays(
+                    off_arr, pa.array(np.concatenate(dl_parts), pa.int32())
+                ),
+            }
+        )
+
+    return f
+
+
+def compact(
+    out_dir: str,
+    config: EngineConfig | None = None,
+    *,
+    fingerprint: str | None = None,
+    target_blocks: int | None = None,
+) -> BuildResult:
+    """Merge all index GENERATIONS into a single one, in place (Lucene-style
+    segment merge; the reference's single mutable index is the degenerate
+    case). After compaction ``SegmentReader`` reads ONE sub-index: per-query
+    cross-generation concat+argsort and block-metadata rebuild
+    (state/segments.py SegmentReader.lookup) no longer trigger.
+
+    Shape: doc part files are hard-linked into the new generation (no data
+    movement); segment rows are decoded and re-emitted as postings runs
+    (distributed map over segment files), re-salted uniformly, then pushed
+    through the SAME disk-shuffle + bucket-merge stage as the batch build,
+    with block-max metadata rebuilt from GLOBAL corpus stats."""
+    from search_engine_ray.state.segments import generation_dirs, read_manifest
+
+    config = config or EngineConfig()
+    gens = generation_dirs(out_dir)
+    if len(gens) <= 1:
+        m = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
+        return BuildResult(
+            out_dir=out_dir,
+            n_docs=int(m.get("n_docs", 0)),
+            avgdl=float(m.get("avgdl", 0.0)),
+            n_postings_rows=int(m.get("n_segment_rows", -1)),
+            timings={"compact": 0.0},
+        )
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    if target_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        target_blocks = max(8, cpus * 2)
+
+    # global stats across generations (weighted by n_docs)
+    manifests = [read_manifest(os.path.join(g, "manifest.json")) or {} for g in gens]
+    n_docs = sum(int(m.get("n_docs", 0)) for m in manifests)
+    sum_dl = sum(
+        int(m.get("n_docs", 0)) * float(m.get("avgdl", 0.0)) for m in manifests
+    )
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
+
+    tmp = os.path.join(out_dir, ".compact-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "docs"))
+
+    # docs: hard-link every generation's part files (fall back to copy
+    # across filesystems). doc_ids are globally unique and per-file min/max
+    # pruning doesn't need global sort order.
+    for gi, g in enumerate(gens):
+        for f in parquet_files(os.path.join(g, "docs")):
+            dst = os.path.join(tmp, "docs", f"g{gi:04d}-{os.path.basename(f)}")
+            try:
+                os.link(f, dst)
+            except OSError:
+                shutil.copy2(f, dst)
+    timings["link_docs"] = time.perf_counter() - t0
+
+    seg_files = [
+        f for g in gens for f in parquet_files(os.path.join(g, "segments"))
+    ]
+    if config.merge_buckets:
+        n_buckets = config.merge_buckets
+    else:
+        total_bytes = sum(os.path.getsize(f) for f in seg_files)
+        n_buckets = int(
+            min(
+                1 << 20,
+                max(target_blocks, total_bytes // config.merge_bucket_target_bytes + 1),
+            )
+        )
+    from dataclasses import replace as _replace
+
+    emit_config = _replace(config, merge_buckets=n_buckets)
+
+    # hot terms = salted in ANY generation (narrow distributed scan; the
+    # result is the head of the Zipf curve — small side, broadcast once)
+    t_hot = time.perf_counter()
+    hot_ref = None
+    if config.salt_shift > 0:
+        def salted_terms(b: pa.Table) -> pa.Table:
+            mask = pc.greater(b.column("salt"), 0)
+            return pa.table({"term": pc.unique(b.column("term").filter(mask))})
+
+        hot = frozenset(
+            rd.read_parquet(seg_files, columns=["term", "salt"])
+            .map_batches(salted_terms, batch_format="pyarrow")
+            .unique("term")
+        )
+        hot_ref = ray.put(hot)
+    timings["hot_terms"] = time.perf_counter() - t_hot
+
+    heavy_cpus = _resolve_heavy_cpus()
+    postings = rd.read_parquet(
+        seg_files,
+        columns=["term", "doc_ids_enc", "tfs_enc", "dls_enc"],
+        override_num_blocks=target_blocks,
+    ).map_batches(
+        _make_decode_reemit(emit_config, hot_ref),
+        batch_format="pyarrow",
+        num_cpus=heavy_cpus,
+    )
+    _merge_postings_to_segments(postings, stats, emit_config, tmp, heavy_cpus, timings)
+
+    n_rows = sum(
+        pq.read_metadata(os.path.join(tmp, "segments", f)).num_rows
+        for f in os.listdir(os.path.join(tmp, "segments"))
+        if f.endswith(".parquet")
+    )
+    base_cfg = (manifests[0].get("config") or {}) if manifests else {}
+    payload = {
+        "fingerprint": fingerprint,
+        "complete": True,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_segment_rows": n_rows,
+        "compacted_from": [os.path.basename(g.rstrip("/")) or "root" for g in gens],
+        "config": {
+            **base_cfg,
+            "stop_words": sorted(config.stop_words),
+            "bm25_k1": config.bm25_k1,
+            "bm25_b": config.bm25_b,
+            "block_size": config.block_size,
+            "salt_shift": config.salt_shift,
+            "merge_buckets": n_buckets,
+        },
+        "timings_sec": timings,
+    }
+    write_manifest(os.path.join(tmp, "manifest.json"), payload)
+    write_manifest(
+        os.path.join(tmp, "docs_manifest.json"),
+        {"fingerprint": fingerprint, "complete": True, "stage": "docs"},
+    )
+
+    # swap: tear down every old generation, then promote the new one.
+    for g in gens:
+        if os.path.abspath(g) == os.path.abspath(out_dir):
+            for name in ("docs", "segments", "term_dict"):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            for name in ("manifest.json", "docs_manifest.json"):
+                try:
+                    os.remove(os.path.join(out_dir, name))
+                except OSError:
+                    pass
+        else:
+            shutil.rmtree(g, ignore_errors=True)
+    for name in os.listdir(tmp):
+        os.replace(os.path.join(tmp, name), os.path.join(out_dir, name))
+    os.rmdir(tmp)
+    timings["compact"] = time.perf_counter() - t0
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_postings_rows=n_rows,
+        timings=timings,
     )
 
 

@@ -144,3 +144,70 @@ def test_id_collision_error_policy(ray_session, tmp_path):
             out, rd.from_arrow(fresh), config,
             on_duplicate="skip", on_id_collision="error",
         )
+
+
+def test_compaction_equivalence(split_vs_full, tmp_path):
+    """compact() must fold all generations into ONE whose postings and
+    search results are identical to the single-shot full build."""
+    import shutil
+
+    from search_engine_ray.pipelines.build import compact
+
+    full_out, incr_out, config = split_vs_full
+    cp = str(tmp_path / "compacted")
+    shutil.copytree(incr_out, cp)
+    res = compact(cp, config)
+    assert res.n_docs == 1200
+    assert len(generation_dirs(cp)) == 1
+    rc = SegmentReader(cp)
+    assert len(rc._subs) == 1, "post-compaction reader must see one sub-index"
+    rf = SegmentReader(full_out)
+    terms = [HOT_TERM, "w0", "w1", "w10", "w100", "w900"]
+    pf, pc_ = rf.lookup(terms), rc.lookup(terms)
+    assert set(pf) == set(pc_)
+    for t in pf:
+        assert pf[t]["doc_ids"].tolist() == pc_[t]["doc_ids"].tolist(), t
+        assert pf[t]["tfs"].tolist() == pc_[t]["tfs"].tolist(), t
+        assert pf[t]["dls"].tolist() == pc_[t]["dls"].tolist(), t
+        assert (np.diff(pc_[t]["doc_ids"]) > 0).all()
+    sf, sc = SegmentSearcher(full_out, config), SegmentSearcher(cp, config)
+    for q, mode in [(f"{HOT_TERM} w3", "or"), ("w0 w1", "and"), ("w10 w17 w44", "or")]:
+        got = [(r.doc_id, round(r.score, 9)) for r in sc.search_bm25(q, k=10, mode=mode)]
+        want = [(r.doc_id, round(r.score, 9)) for r in sf.search_bm25(q, k=10, mode=mode)]
+        assert got == want, (q, mode)
+    for q in ["w0 w1", '"w0 w1"']:
+        got = [(r.doc_id, r.introduction) for r in sc.search(q)]
+        want = [(r.doc_id, r.introduction) for r in sf.search(q)]
+        assert got == want, q
+    # compacting an already-single-generation index is a no-op
+    res2 = compact(cp, config)
+    assert res2.timings.get("compact") == 0.0
+    assert res2.n_docs == 1200
+
+
+def test_compaction_multi_generation(ray_session, tmp_path):
+    """Three generations, unsalted config: compaction merges doc stores and
+    postings; every doc stays fetchable."""
+    import shutil
+
+    from search_engine_ray.pipelines.build import compact
+
+    config = EngineConfig()
+    table = synth_zipf_table(120, n_tokens=20, vocab=200)
+    out = str(tmp_path / "multi")
+    build_index(rd.from_arrow(table.slice(0, 40)), out, config, doc_id_mode="rank", resume=False)
+    add_generation(out, rd.from_arrow(table.slice(40, 40)), config)
+    add_generation(out, rd.from_arrow(table.slice(80)), config)
+    assert len(generation_dirs(out)) == 3
+    pre = SegmentSearcher(out, config)
+    pre_res = [(r.doc_id, round(r.score, 9)) for r in pre.search_bm25("w0 w1", k=10, mode="or")]
+    res = compact(out, config)
+    assert res.n_docs == 120
+    assert len(generation_dirs(out)) == 1
+    reader = SegmentReader(out)
+    assert reader.manifest["n_docs"] == 120
+    docs = reader.fetch_docs(list(reader.all_doc_ids()))
+    assert len(docs) == 120
+    post = SegmentSearcher(out, config)
+    post_res = [(r.doc_id, round(r.score, 9)) for r in post.search_bm25("w0 w1", k=10, mode="or")]
+    assert post_res == pre_res
