@@ -50,6 +50,10 @@ class EngineConfig:
     # only terms with global df >= this are salted (found by a cheap df
     # pre-pass); salting every term multiplied segment rows ~30x for the tail
     salt_df_threshold: int = 262144
+    # M6: prefix stripped from extracted titles (first occurrence only —
+    # JS String.replace semantics, demo.ts:140 replace('Wikipedia: ', ''));
+    # None disables. The demo preset uses 'Wikipedia: '.
+    title_strip_prefix: str | None = None
 
     def is_stop_word(self, word: str) -> bool:
         """Reference isStopWord (engine.ts:490-492): len < 2 OR in stop set."""
@@ -66,3 +70,5 @@ DEMO_SCORE_WEIGHTS = ScoreWeights(
     url_contains=5.0,
     title_contains_in_beginning=1.0,
 )
+# demo.ts:140: titles come from wiki-abstract XML as 'Wikipedia: <name>'
+DEMO_TITLE_STRIP_PREFIX = "Wikipedia: "

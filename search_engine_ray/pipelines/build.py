@@ -59,6 +59,7 @@ from search_engine_ray.stages.postings import (
     partial_df_batch,
     tokenize_docs_batch,
 )
+from search_engine_ray.state import fsio
 from search_engine_ray.state.index import replay_seed_assignment
 from search_engine_ray.state.segments import (
     SEGMENT_SCHEMA,
@@ -258,6 +259,36 @@ def _compat_replay_mapping(pages: rd.Dataset) -> dict[str, int]:
     return {r["url"]: i for r, i in zip(cols, ids)}
 
 
+@ray.remote(num_cpus=0)
+class StageCounters:
+    """Per-stage skipped/error row counters (the reference's skip counters,
+    demo.ts:100,124). Filter stages fire-and-forget increments; the driver
+    reads the totals after the stage's write barrier and records them in the
+    manifest — no extra pass over the data."""
+
+    def __init__(self) -> None:
+        self._c: dict[str, int] = {}
+
+    def add(self, key: str, n: int) -> None:
+        self._c[key] = self._c.get(key, 0) + int(n)
+
+    def get(self) -> dict[str, int]:
+        return dict(self._c)
+
+
+def _counting(stage_fn, counters, key: str):
+    """Wrap a filtering batch fn so dropped-row counts reach ``counters``."""
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        out = stage_fn(batch)
+        dropped = batch.num_rows - out.num_rows
+        if dropped:
+            counters.add.remote(key, dropped)
+        return out
+
+    return wrapped
+
+
 def _resolve_heavy_cpus() -> float:
     """CPU slots for memory-streaming tasks: this host's kernel serializes
     cold page faults past ~16 concurrent memory-heavy processes."""
@@ -283,13 +314,19 @@ def _merge_postings_to_segments(
     merge+encode tasks writing ``out_dir/segments`` with the term dict as a
     merge-task side output under ``out_dir/term_dict``. Shared by the batch
     build and generation compaction."""
+    from search_engine_ray.state import fsio
+
     seg_dir = os.path.join(out_dir, "segments")
-    shuffle_dir = os.environ.get("SE_RAY_SHUFFLE_BASE") or os.path.join(
-        out_dir, "shuffle"
-    )
-    if shuffle_dir != os.path.join(out_dir, "shuffle"):
+    # the shuffle is node-local scratch, never part of the durable index:
+    # when out_dir is a remote URI it cannot host the disk shuffle anyway
+    base = os.environ.get("SE_RAY_SHUFFLE_BASE")
+    if base is None and "://" in out_dir:
+        base = "/tmp/se_ray_shuffle"
+    if base is None:
+        shuffle_dir = os.path.join(out_dir, "shuffle")
+    else:
         shuffle_dir = os.path.join(
-            shuffle_dir, os.path.basename(out_dir.rstrip("/")) + "_shuffle"
+            base, os.path.basename(out_dir.rstrip("/")) + "_shuffle"
         )
     shutil.rmtree(shuffle_dir, ignore_errors=True)
     t_pipe = time.perf_counter()
@@ -303,10 +340,10 @@ def _merge_postings_to_segments(
         if d.startswith("bucket=")
     )
     term_dict_dir = os.path.join(out_dir, "term_dict")
-    shutil.rmtree(term_dict_dir, ignore_errors=True)
+    fsio.rmtree(term_dict_dir)
     if bucket_dirs:
         merge_fn = make_bucket_merge_encode(stats, config)
-        os.makedirs(seg_dir, exist_ok=True)
+        fsio.makedirs(seg_dir)
 
         def merge_bucket_dir(batch: pa.Table) -> pa.Table:
             """Merge one bucket directory, write its segment file, and
@@ -350,7 +387,7 @@ def _merge_postings_to_segments(
             num_cpus=heavy_cpus,
         ).write_parquet(term_dict_dir)
     else:
-        os.makedirs(seg_dir, exist_ok=True)
+        fsio.makedirs(seg_dir)
         pq.write_table(
             pa.Table.from_batches([], schema=SEGMENT_SCHEMA),
             os.path.join(seg_dir, "empty.parquet"),
@@ -396,15 +433,30 @@ def build_index(
     # ---- stage 1: docs table ------------------------------------------------
     t0 = time.perf_counter()
     n_dup_urls_skipped = 0
+    from search_engine_ray.state import fsio
+
     if not (resume and manifest_valid(docs_manifest, fingerprint)):
-        shutil.rmtree(docs_dir, ignore_errors=True)
+        fsio.rmtree(docs_dir)
         if dedup_urls:
             pages, n_dup_urls_skipped = _dedup_duplicate_urls(pages)
             timings["url_dedup"] = time.perf_counter() - t0
+        counters = StageCounters.remote()
         ds = pages.repartition(target_blocks)
-        ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+        ds = ds.map_batches(
+            _counting(
+                lambda b: extract_batch(
+                    b, title_strip_prefix=config.title_strip_prefix
+                ),
+                counters,
+                "extract_unparseable",
+            ),
+            batch_format="pyarrow",
+        )
         if skip_filter:
-            ds = ds.map_batches(skip_filter_batch, batch_format="pyarrow")
+            ds = ds.map_batches(
+                _counting(skip_filter_batch, counters, "skip_filter"),
+                batch_format="pyarrow",
+            )
 
         if doc_id_mode == "replay":
             mapping_ref = ray.put(_compat_replay_mapping(pages))
@@ -427,12 +479,17 @@ def build_index(
         # target_blocks, which also sets the sort partition count.
         ds = ds.sort("doc_id")
         ds.write_parquet(docs_dir)
+        # write_parquet is the stage barrier: all filter tasks have run, so
+        # the counter totals are final.
+        skip_counts = ray.get(counters.get.remote())
+        skip_counts["duplicate_urls"] = n_dup_urls_skipped
         write_manifest(
             docs_manifest,
             {
                 "fingerprint": fingerprint,
                 "complete": True,
                 "stage": "docs",
+                "skipped": skip_counts,
                 "skipped_duplicate_urls": n_dup_urls_skipped,
             },
         )
@@ -447,9 +504,12 @@ def build_index(
     from search_engine_ray.state.segments import parquet_files
 
     docs_files = parquet_files(docs_dir)
-    n_docs = sum(pq.read_metadata(f).num_rows for f in docs_files)
+    n_docs = sum(fsio.parquet_metadata(f).num_rows for f in docs_files)
     if n_docs:
-        sum_dl = rd.read_parquet(docs_files, columns=["dl"]).sum("dl") or 0
+        _dp, _dfs = fsio.resolve_data_paths(docs_files)
+        sum_dl = (
+            rd.read_parquet(_dp, filesystem=_dfs, columns=["dl"]).sum("dl") or 0
+        )
     else:
         sum_dl = 0
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
@@ -479,7 +539,7 @@ def build_index(
     t0 = time.perf_counter()
     n_rows = -1
     if not (resume and manifest_valid(manifest, fingerprint)):
-        shutil.rmtree(seg_dir, ignore_errors=True)
+        fsio.rmtree(seg_dir)
         docs_ds = rd.read_parquet(
             docs_dir,
             columns=["doc_id", "tokens", "dl"],
@@ -496,7 +556,9 @@ def build_index(
             t_df = time.perf_counter()
             sample_n = min(n_docs, 50_000)
             sample_files = parquet_files(docs_dir)[:4]
-            sample_tbl = pq.read_table(sample_files, columns=["tokens"])
+            sample_tbl = fsio.read_parquet_table(
+                sample_files, columns=["tokens"]
+            )
             sample_n = min(sample_n, sample_tbl.num_rows)
             pdf = partial_df_batch(
                 sample_tbl.slice(0, sample_n), config
@@ -537,11 +599,12 @@ def build_index(
         timings["postings"] = time.perf_counter() - t0
         t_mf = time.perf_counter()
         n_rows = sum(
-            pq.read_metadata(os.path.join(seg_dir, f)).num_rows
-            for f in os.listdir(seg_dir)
-            if f.endswith(".parquet")
+            fsio.parquet_metadata(f).num_rows for f in parquet_files(seg_dir)
         )
         timings["manifest_scan"] = time.perf_counter() - t_mf
+        from search_engine_ray.state.segments import read_manifest
+
+        docs_mf = read_manifest(docs_manifest) or {}
         write_manifest(
             manifest,
             {
@@ -550,6 +613,7 @@ def build_index(
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "n_segment_rows": n_rows,
+                "skipped": docs_mf.get("skipped", {}),
                 "skipped_duplicate_urls": n_dup_urls_skipped,
                 "config": {
                     "stop_words": sorted(config.stop_words),
@@ -661,7 +725,7 @@ def add_generation(
                 # Interleaved-but-disjoint rank sets (e.g. one permutation
                 # split across generations) pass untouched.
                 window_parts = [
-                    pq.read_table(
+                    fsio.read_parquet_table(
                         s._docs_files,
                         columns=["doc_id"],
                         filters=[
@@ -900,29 +964,35 @@ def compact(
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
 
-    tmp = os.path.join(out_dir, ".compact-tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(os.path.join(tmp, "docs"))
+    from search_engine_ray.state import fsio
 
-    # docs: hard-link every generation's part files (fall back to copy
-    # across filesystems). doc_ids are globally unique and per-file min/max
-    # pruning doesn't need global sort order.
+    tmp = os.path.join(out_dir, ".compact-tmp")
+    fsio.rmtree(tmp)
+    fsio.makedirs(os.path.join(tmp, "docs"))
+
+    # docs: hard-link every generation's part files (fall back to an fs
+    # copy on URI backends / across filesystems). doc_ids are globally
+    # unique and per-file min/max pruning doesn't need global sort order.
     for gi, g in enumerate(gens):
         for f in parquet_files(os.path.join(g, "docs")):
             dst = os.path.join(tmp, "docs", f"g{gi:04d}-{os.path.basename(f)}")
-            try:
-                os.link(f, dst)
-            except OSError:
-                shutil.copy2(f, dst)
+            if "://" in f:
+                fsio.copy_file(f, dst)
+            else:
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
     timings["link_docs"] = time.perf_counter() - t0
 
     seg_files = [
         f for g in gens for f in parquet_files(os.path.join(g, "segments"))
     ]
+    _sp, _sfs = fsio.resolve_data_paths(seg_files)
     if config.merge_buckets:
         n_buckets = config.merge_buckets
     else:
-        total_bytes = sum(os.path.getsize(f) for f in seg_files)
+        total_bytes = sum(fsio.file_size(f) for f in seg_files)
         n_buckets = int(
             min(
                 1 << 20,
@@ -943,7 +1013,7 @@ def compact(
             return pa.table({"term": pc.unique(b.column("term").filter(mask))})
 
         hot = frozenset(
-            rd.read_parquet(seg_files, columns=["term", "salt"])
+            rd.read_parquet(_sp, filesystem=_sfs, columns=["term", "salt"])
             .map_batches(salted_terms, batch_format="pyarrow")
             .unique("term")
         )
@@ -952,7 +1022,8 @@ def compact(
 
     heavy_cpus = _resolve_heavy_cpus()
     postings = rd.read_parquet(
-        seg_files,
+        _sp,
+        filesystem=_sfs,
         columns=["term", "doc_ids_enc", "tfs_enc", "dls_enc"],
         override_num_blocks=target_blocks,
     ).map_batches(
@@ -963,17 +1034,21 @@ def compact(
     _merge_postings_to_segments(postings, stats, emit_config, tmp, heavy_cpus, timings)
 
     n_rows = sum(
-        pq.read_metadata(os.path.join(tmp, "segments", f)).num_rows
-        for f in os.listdir(os.path.join(tmp, "segments"))
-        if f.endswith(".parquet")
+        fsio.parquet_metadata(f).num_rows
+        for f in parquet_files(os.path.join(tmp, "segments"))
     )
     base_cfg = (manifests[0].get("config") or {}) if manifests else {}
+    skipped: dict[str, int] = {}
+    for m in manifests:
+        for k, v in (m.get("skipped") or {}).items():
+            skipped[k] = skipped.get(k, 0) + int(v)
     payload = {
         "fingerprint": fingerprint,
         "complete": True,
         "n_docs": n_docs,
         "avgdl": avgdl,
         "n_segment_rows": n_rows,
+        "skipped": skipped,
         "compacted_from": [os.path.basename(g.rstrip("/")) or "root" for g in gens],
         "config": {
             **base_cfg,
@@ -994,19 +1069,16 @@ def compact(
 
     # swap: tear down every old generation, then promote the new one.
     for g in gens:
-        if os.path.abspath(g) == os.path.abspath(out_dir):
+        if g.rstrip("/") == out_dir.rstrip("/"):
             for name in ("docs", "segments", "term_dict"):
-                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+                fsio.rmtree(os.path.join(out_dir, name))
             for name in ("manifest.json", "docs_manifest.json"):
-                try:
-                    os.remove(os.path.join(out_dir, name))
-                except OSError:
-                    pass
+                fsio.remove(os.path.join(out_dir, name))
         else:
-            shutil.rmtree(g, ignore_errors=True)
-    for name in os.listdir(tmp):
-        os.replace(os.path.join(tmp, name), os.path.join(out_dir, name))
-    os.rmdir(tmp)
+            fsio.rmtree(g)
+    for name in fsio.listdir(tmp):
+        fsio.move(os.path.join(tmp, name), os.path.join(out_dir, name))
+    fsio.rmtree(tmp)
     timings["compact"] = time.perf_counter() - t0
     return BuildResult(
         out_dir=out_dir,

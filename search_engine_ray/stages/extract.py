@@ -22,13 +22,18 @@ _EXTRACT_PATTERN = (
 )
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+def extract_batch(
+    batch: pa.Table, title_strip_prefix: str | None = None
+) -> pa.Table:
     """Add ``title`` and ``text`` columns extracted from ``html``.
 
     Rows whose html does not match the wrapper are dropped (ingestion skip
     semantics — the reference drops bad records per-record, demo.ts:145-147).
     If the batch already carries a ``text`` column it is preserved for the
     byte-identity check; the extracted text is authoritative.
+
+    ``title_strip_prefix`` (M6, demo.ts:140): remove the FIRST occurrence of
+    the substring from each title — JS ``String.replace`` semantics.
     """
     from search_engine_ray.util import limit_arrow_threads
 
@@ -39,6 +44,10 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     parts = pc.extract_regex(html, pattern=_EXTRACT_PATTERN)
     title = pc.struct_field(parts, "title")
     text = pc.struct_field(parts, "text")
+    if title_strip_prefix:
+        title = pc.replace_substring(
+            title, pattern=title_strip_prefix, replacement="", max_replacements=1
+        )
     keep = pc.is_valid(parts)
     out = batch
     if "text" in out.column_names:

@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 
 from search_engine_ray.config import EngineConfig
 from search_engine_ray.functions.scoring import bm25_term_upper_bound
+from search_engine_ray.state import fsio
 from search_engine_ray.state.codec import (
     block_boundaries,
     decode_doc_ids,
@@ -63,12 +64,15 @@ class CorpusStats:
 
 
 def parquet_files(dir_path: str) -> list[str]:
-    """Part files only — directories also hold manifests/markers."""
-    return sorted(
-        os.path.join(dir_path, f)
-        for f in os.listdir(dir_path)
+    """Part files only — directories also hold manifests/markers.
+    ``dir_path`` may be a local path or a pyarrow.fs URI; returned paths
+    keep the original scheme (pyarrow readers infer the filesystem)."""
+
+    return [
+        fsio.join(dir_path, f)
+        for f in fsio.listdir(dir_path)
         if f.endswith(".parquet")
-    )
+    ]
 
 
 def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
@@ -204,17 +208,24 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
 
 
 def write_manifest(path: str, payload: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=True, default=str)
-    os.replace(tmp, path)
+
+    data = json.dumps(payload, indent=2, sort_keys=True, default=str).encode()
+    # local: atomic tmp+rename; URI backends: direct put (object stores are
+    # atomic per object anyway)
+    if "://" not in path:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    else:
+        fsio.write_bytes(path, data)
 
 
 def read_manifest(path: str) -> dict | None:
+
     try:
-        with open(path) as f:
-            return json.load(f)
+        return json.loads(fsio.read_bytes(path))
     except (OSError, json.JSONDecodeError):
         return None
 
@@ -238,7 +249,7 @@ def load_doc_store(out_dir: str) -> DocStore:
     """Eager doc-store load across generations (conformance / small)."""
     store = DocStore()
     for gen in generation_dirs(out_dir) or [out_dir]:
-        t = pq.read_table(parquet_files(os.path.join(gen, "docs")))
+        t = fsio.read_parquet_table(parquet_files(os.path.join(gen, "docs")))
         for d, ti, u, tok in zip(
             t.column("doc_id").to_pylist(),
             t.column("title").to_pylist(),
@@ -253,7 +264,7 @@ def load_inverted_index(out_dir: str) -> InvertedIndex:
     """Eager decode of all segments (all generations) into memory."""
     runs: dict[str, list[tuple[bytes, bytes]]] = {}
     for gen in generation_dirs(out_dir) or [out_dir]:
-        t = pq.read_table(
+        t = fsio.read_parquet_table(
             parquet_files(os.path.join(gen, "segments")),
             columns=["term", "salt", "doc_ids_enc", "tfs_enc"],
         )
@@ -313,7 +324,7 @@ class _SubIndex:
         self._term_dict: dict[str, list[str]] | None = None
         td_dir = os.path.join(out_dir, "term_dict")
         if os.path.isdir(td_dir):
-            td = pq.read_table(parquet_files(td_dir))
+            td = fsio.read_parquet_table(parquet_files(td_dir))
             d: dict[str, list[str]] = {}
             for term, fname in zip(
                 td.column("term").to_pylist(), td.column("file").to_pylist()
@@ -324,7 +335,8 @@ class _SubIndex:
         # doc_id-sorted so these ranges are disjoint
         self._docs_ranges: list[tuple[int, int]] = []
         for f in self._docs_files:
-            md = pq.read_metadata(f)
+
+            md = fsio.parquet_metadata(f)
             idx = md.schema.to_arrow_schema().get_field_index("doc_id")
             lo, hi = None, None
             for rg in range(md.num_row_groups):
@@ -351,7 +363,7 @@ class _SubIndex:
                 return {}
         else:
             files = self._seg_files
-        t = pq.read_table(files, filters=[("term", "in", terms)])
+        t = fsio.read_parquet_table(files, filters=[("term", "in", terms)])
         out: dict[str, dict] = {}
         by_term: dict[str, list[int]] = {}
         for i, term in enumerate(t.column("term").to_pylist()):
@@ -396,7 +408,7 @@ class _SubIndex:
         ]
         if not files:
             return {}
-        t = pq.read_table(files, filters=[("doc_id", "in", wanted)])
+        t = fsio.read_parquet_table(files, filters=[("doc_id", "in", wanted)])
         out = {}
         for d, ti, u, tok in zip(
             t.column("doc_id").to_pylist(),
@@ -411,7 +423,7 @@ class _SubIndex:
         """Narrow column scan (duplicate detection for incremental adds)."""
         if not self._docs_files:
             return []
-        return pq.read_table(self._docs_files, columns=["url"]).column(
+        return fsio.read_parquet_table(self._docs_files, columns=["url"]).column(
             "url"
         ).to_pylist()
 
@@ -425,17 +437,17 @@ class _SubIndex:
 
 
 def generation_dirs(out_dir: str) -> list[str]:
-    """Generations of an index: the root (if built) then gen-NNNN dirs."""
+    """Generations of an index: the root (if built) then gen-NNNN dirs.
+    ``out_dir`` may be a local path or a pyarrow.fs URI."""
+
     gens = []
-    if os.path.isdir(os.path.join(out_dir, "segments")):
+    if fsio.isdir(fsio.join(out_dir, "segments")):
         gens.append(out_dir)
-    if os.path.isdir(out_dir):
-        gens.extend(
-            os.path.join(out_dir, d)
-            for d in sorted(os.listdir(out_dir))
-            if d.startswith("gen-")
-            and os.path.isdir(os.path.join(out_dir, d, "segments"))
-        )
+    gens.extend(
+        fsio.join(out_dir, d)
+        for d in fsio.listdir(out_dir)
+        if d.startswith("gen-") and fsio.isdir(fsio.join(out_dir, d, "segments"))
+    )
     return gens
 
 
@@ -531,6 +543,6 @@ class SegmentReader:
         ids: set[int] = set()
         for sub in self._subs:
             if sub._docs_files:
-                t = pq.read_table(sub._docs_files, columns=["doc_id"])
+                t = fsio.read_parquet_table(sub._docs_files, columns=["doc_id"])
                 ids.update(t.column("doc_id").to_pylist())
         return ids

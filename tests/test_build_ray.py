@@ -181,3 +181,47 @@ def test_build_url_dedup(ray_session, tmp_path):
         got = [(r.url, r.introduction) for r in s.search(q)]
         want = [(r.url, r.introduction) for r in local.search(q)]
         assert got == want, q
+
+
+def test_skip_counters_in_manifest(ray_session, tmp_path):
+    """A5/M8: dropped rows are counted per stage and recorded in both
+    manifests; the demo preset's title prefix strip applies in the build."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import DEMO_TITLE_STRIP_PREFIX, EngineConfig
+    from search_engine_ray.sources.fixtures import wrap_html
+    from search_engine_ray.state.segments import SegmentReader
+
+    rows = {
+        "url": pa.array(["u1", "u2", "u3", "u4"], pa.string()),
+        "html": pa.array(
+            [
+                wrap_html("Wikipedia: Alpha", "alpha text body"),
+                b"<not html at all>",
+                wrap_html("Beta", "bad|pipe text"),
+                wrap_html("Gamma", "gamma text body"),
+            ],
+            pa.binary(),
+        ),
+        "rank": pa.array([1, 2, 3, 4], pa.int64()),
+    }
+    out = str(tmp_path / "counted")
+    config = EngineConfig(title_strip_prefix=DEMO_TITLE_STRIP_PREFIX)
+    build_index(
+        rd.from_arrow(pa.table(rows)), out, config,
+        doc_id_mode="rank", skip_filter=True, resume=False,
+    )
+    with open(f"{out}/manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["skipped"] == {
+        "extract_unparseable": 1,
+        "skip_filter": 1,
+        "duplicate_urls": 0,
+    }
+    assert manifest["n_docs"] == 2
+    reader = SegmentReader(out)
+    titles = {d.title for d in reader.fetch_docs([1, 4]).values()}
+    assert titles == {"Alpha", "Gamma"}

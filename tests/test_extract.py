@@ -64,3 +64,30 @@ def test_skip_filter_rules():
     )
     out = skip_filter_batch(t)
     assert out.column("url").to_pylist() == ["u1"]
+
+
+def test_title_strip_prefix_m6():
+    """M6 (demo.ts:140): strip 'Wikipedia: ' from titles — FIRST occurrence
+    only, JS String.replace semantics."""
+    t = pa.table(
+        {
+            "url": pa.array(["a", "b", "c"], pa.string()),
+            "html": pa.array(
+                [
+                    wrap_html("Wikipedia: Anarchism", "x"),
+                    wrap_html("No prefix here", "y"),
+                    wrap_html("Wikipedia: Wikipedia: twice", "z"),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = extract_batch(t, title_strip_prefix="Wikipedia: ")
+    assert out.column("title").to_pylist() == [
+        "Anarchism",
+        "No prefix here",
+        "Wikipedia: twice",
+    ]
+    # disabled by default
+    out2 = extract_batch(t)
+    assert out2.column("title").to_pylist()[0] == "Wikipedia: Anarchism"

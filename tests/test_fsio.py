@@ -1,0 +1,85 @@
+"""Object-store-ready IO: index out_dir as a pyarrow.fs URI (file://) and
+the fsio routing layer itself (§2.12 extension surface)."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.pipelines.build import add_generation, build_index, compact
+from search_engine_ray.pipelines.serving import SegmentSearcher
+from search_engine_ray.sources.synth import synth_zipf_table
+from search_engine_ray.state import fsio
+from search_engine_ray.state.segments import SegmentReader, generation_dirs
+
+
+def test_fsio_primitives(tmp_path):
+    root = f"file://{tmp_path}/fsroot"
+    fsio.makedirs(fsio.join(root, "a/b"))
+    assert fsio.isdir(fsio.join(root, "a"))
+    fsio.write_bytes(fsio.join(root, "a/x.bin"), b"hello")
+    assert fsio.read_bytes(fsio.join(root, "a/x.bin")) == b"hello"
+    assert fsio.file_size(fsio.join(root, "a/x.bin")) == 5
+    assert fsio.listdir(fsio.join(root, "a")) == ["b", "x.bin"]
+    fsio.copy_file(fsio.join(root, "a/x.bin"), fsio.join(root, "a/y.bin"))
+    fsio.move(fsio.join(root, "a/y.bin"), fsio.join(root, "a/z.bin"))
+    assert sorted(fsio.listdir(fsio.join(root, "a"))) == ["b", "x.bin", "z.bin"]
+    fsio.remove(fsio.join(root, "a/z.bin"))
+    fsio.rmtree(fsio.join(root, "a"))
+    assert not fsio.exists(fsio.join(root, "a"))
+    # local (non-URI) paths route through the same helpers
+    local = str(tmp_path / "plain")
+    fsio.makedirs(local)
+    assert fsio.isdir(local)
+
+
+def test_fsio_split_routing(tmp_path, monkeypatch):
+    """Every metadata op goes through the resolved FileSystem: spy on
+    _split and check URI ops resolve a filesystem (mocked-fs seam)."""
+    calls = []
+    real_split = fsio._split
+
+    def spy(path):
+        f, p = real_split(path)
+        calls.append((path, type(f).__name__))
+        return f, p
+
+    monkeypatch.setattr(fsio, "_split", spy)
+    root = f"file://{tmp_path}/spy"
+    fsio.makedirs(root)
+    fsio.write_bytes(fsio.join(root, "m.json"), b"{}")
+    fsio.listdir(root)
+    assert all(t == "LocalFileSystem" for _, t in calls)
+    assert any(p.startswith("file://") for p, _ in calls)
+    assert len(calls) >= 3
+
+
+def test_build_search_compact_on_file_uri(ray_session, tmp_path):
+    """Full lifecycle (build -> search -> add_generation -> compact) with
+    the index rooted at a file:// URI."""
+    config = EngineConfig()
+    table = synth_zipf_table(80, n_tokens=20, vocab=150)
+    out = f"file://{tmp_path}/uri_idx"
+    res = build_index(
+        rd.from_arrow(table.slice(0, 50)), out, config,
+        doc_id_mode="rank", resume=False,
+    )
+    assert res.n_docs == 50
+    s = SegmentSearcher(out, config)
+    r1 = [(r.doc_id, round(r.score, 9)) for r in s.search_bm25("w0 w1", k=10, mode="or")]
+    assert r1
+    add_generation(out, rd.from_arrow(table.slice(50)), config)
+    assert len(generation_dirs(out)) == 2
+    s2 = SegmentSearcher(out, config)
+    pre = [(r.doc_id, round(r.score, 9)) for r in s2.search_bm25("w0 w1", k=10, mode="or")]
+    res2 = compact(out, config)
+    assert res2.n_docs == 80
+    assert len(generation_dirs(out)) == 1
+    s3 = SegmentSearcher(out, config)
+    post = [(r.doc_id, round(r.score, 9)) for r in s3.search_bm25("w0 w1", k=10, mode="or")]
+    assert post == pre
+    reader = SegmentReader(out)
+    assert reader.manifest["n_docs"] == 80
+    docs = reader.fetch_docs(list(reader.all_doc_ids())[:10])
+    assert len(docs) == 10
