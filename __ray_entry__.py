@@ -301,8 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "wand_or_topk": q_wand_or_topk,
         "search_phrase": q_search_phrase,
-        # rows-only (no SQL oracle)
         "simhash": q_simhash,
+        # rows-only (no SQL oracle)
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -432,6 +432,34 @@ SELECT doc_id, CASE
   ELSE 'und' END AS lang_pred
 FROM s
 """
+    # simhash: little-endian uint64 of md5's first 8 bytes per token
+    # occurrence, per-bit sign sum, bit set when acc > 0. Exact integer
+    # arithmetic throughout (list_sum would go through DOUBLE and lose the
+    # low bits); the uint64 is mapped to the engine's int64 two's-complement
+    # representation at the end.
+    _le64 = " + ".join(
+        f"(('0x' || substr(md5(word), {2 * i + 1}, 2))::UBIGINT::HUGEINT"
+        f" * {256 ** i}::HUGEINT)"
+        for i in range(8)
+    )
+    simhash = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+w AS (SELECT doc_id, lower(unnest(ts)) AS word FROM tok),
+h AS (SELECT doc_id, ({_le64}) AS hv FROM w),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h, range(0, 64) t(i) GROUP BY doc_id, i),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS s
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(CASE WHEN sig.s >= 9223372036854775808::HUGEINT
+                     THEN sig.s - 18446744073709551616::HUGEINT
+                     ELSE sig.s END, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+"""
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "term_df": f"""
@@ -478,4 +506,5 @@ SELECT doc_id FROM (
         # p < 5e-8, and the verify step is exact Jaccard — the output equals
         # the exact n-gram pair set (same SQL oracle).
         "minhash_pairs": ngram,
+        "simhash": simhash,
     }

@@ -76,6 +76,7 @@ def test_all_queries_have_unique_names(contract):
         "search_phrase",
         "lang_id",
         "minhash_pairs",
+        "simhash",
     ],
 )
 def test_query_matches_oracle(contract, con, name):
@@ -96,7 +97,6 @@ def test_query_matches_oracle(contract, con, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "simhash",
         "simhash_neardup",
         "embedding_neardup_lsh",
         "ann_lsh_topk",
