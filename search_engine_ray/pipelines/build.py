@@ -135,10 +135,36 @@ def _dedup_duplicate_urls(
             }
         )
 
+    def combine_partials(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        if not len(h):
+            return batch
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(h)
+        h, cnt = h[order], cnt[order]
+        new = np.empty(len(h), dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        uh = h[starts]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "h": pa.array(uh, pa.uint64()),
+                "cnt": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+            }
+        )
+
     # disk map-side shuffle of per-batch (url_hash, count) partials — the
     # same barrier-free pattern as the postings shuffle (a sort-based
     # groupby for this count measured 44s at 500k docs on this host; the
-    # partials here are ~16 bytes per distinct url per batch).
+    # partials here are ~16 bytes per distinct url per batch). The partials
+    # are COALESCED into a handful of blocks and combined before the
+    # Hive-partitioned write: writing straight from the map stage created
+    # input_blocks x n_buckets tiny files, which alone cost ~20s at 64
+    # blocks (and got WORSE with more CPUs).
     shuffle_dir = os.path.join(
         os.environ.get("SE_RAY_SHUFFLE_BASE") or "/tmp/se_ray_url_dedup",
         f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
@@ -146,6 +172,8 @@ def _dedup_duplicate_urls(
     shutil.rmtree(shuffle_dir, ignore_errors=True)
     pages.select_columns(["url"]).map_batches(
         partial_hash_counts, batch_format="pyarrow"
+    ).repartition(8).map_batches(
+        combine_partials, batch_format="pyarrow"
     ).write_parquet(shuffle_dir, partition_cols=["bucket"])
 
     bucket_dirs = sorted(
@@ -259,6 +287,19 @@ def _compat_replay_mapping(pages: rd.Dataset) -> dict[str, int]:
     return {r["url"]: i for r, i in zip(cols, ids)}
 
 
+@ray.remote
+def _sample_pdf_task(path: str, n_rows: int, config: EngineConfig):
+    """(rows_sampled, partial-df table) over the first n_rows of one docs
+    part file — the hot-term sample pre-pass, off the driver."""
+    from search_engine_ray.state import fsio
+    from search_engine_ray.util import limit_arrow_threads
+
+    limit_arrow_threads()
+    tbl = fsio.read_parquet_table(path, columns=["tokens"])
+    n = min(n_rows, tbl.num_rows)
+    return n, partial_df_batch(tbl.slice(0, n), config)
+
+
 @ray.remote(num_cpus=0)
 class StageCounters:
     """Per-stage skipped/error row counters (the reference's skip counters,
@@ -283,7 +324,10 @@ def _counting(stage_fn, counters, key: str):
         out = stage_fn(batch)
         dropped = batch.num_rows - out.num_rows
         if dropped:
-            counters.add.remote(key, dropped)
+            # synchronous: a fire-and-forget add could land AFTER the
+            # driver reads totals at the write barrier. Only batches that
+            # actually drop rows pay the round-trip.
+            ray.get(counters.add.remote(key, dropped))
         return out
 
     return wrapped
@@ -540,10 +584,23 @@ def build_index(
     n_rows = -1
     if not (resume and manifest_valid(manifest, fingerprint)):
         fsio.rmtree(seg_dir)
+        # emit-block sizing: the Hive-partitioned shuffle write creates
+        # (emit blocks x merge buckets) files, and tiny-file creation alone
+        # dominated shuffle_write wall (~5ms/file). Emit concurrency is
+        # already capped at cpus/heavy_cpus slots, so fewer, LARGER emit
+        # blocks cost no parallelism and cut the file count.
+        heavy_cpus = _resolve_heavy_cpus()
+        try:
+            _cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            _cpus = 4
+        emit_blocks = min(
+            target_blocks, max(8, round(_cpus / heavy_cpus * 1.5))
+        )
         docs_ds = rd.read_parquet(
             docs_dir,
             columns=["doc_id", "tokens", "dl"],
-            override_num_blocks=target_blocks,
+            override_num_blocks=emit_blocks,
         )
         # hot-term detection for salting (head-term skew, SURVEY §4.3.1):
         # terms frequent enough to salt (df fraction >= threshold/n_docs)
@@ -553,19 +610,27 @@ def build_index(
         # over-salts slightly, which is harmless (ranges stay disjoint).
         hot_terms: frozenset[str] = frozenset()
         if config.salt_shift > 0 and n_docs > 0:
+            # one remote task per sample file (a driver-side read of the
+            # token sample was 3-14s of serial critical path)
             t_df = time.perf_counter()
             sample_n = min(n_docs, 50_000)
             sample_files = parquet_files(docs_dir)[:4]
-            sample_tbl = fsio.read_parquet_table(
-                sample_files, columns=["tokens"]
+            per_file = -(-sample_n // len(sample_files))
+            parts = ray.get(
+                [
+                    _sample_pdf_task.remote(f, per_file, config)
+                    for f in sample_files
+                ]
             )
-            sample_n = min(sample_n, sample_tbl.num_rows)
-            pdf = partial_df_batch(
-                sample_tbl.slice(0, sample_n), config
+            n_sampled = sum(n for n, _ in parts)
+            pdf = (
+                pa.concat_tables([t for _, t in parts])
+                .group_by("term")
+                .aggregate([("pdf", "sum")])
             )
             frac_thr = 0.5 * config.salt_df_threshold / n_docs
-            counts = pdf.column("pdf").to_numpy(zero_copy_only=False)
-            keep = counts / sample_n >= frac_thr
+            counts = pdf.column("pdf_sum").to_numpy(zero_copy_only=False)
+            keep = counts / max(n_sampled, 1) >= frac_thr
             hot_terms = frozenset(
                 t
                 for t, k in zip(pdf.column("term").to_pylist(), keep)
@@ -577,7 +642,6 @@ def build_index(
         # kernel serializes cold page faults past ~16 concurrent
         # memory-streaming processes (74% sys time measured; reproduced
         # outside Ray), so cap heavy-task concurrency at ~16 per node.
-        heavy_cpus = _resolve_heavy_cpus()
         postings = docs_ds.map_batches(
             emit_postings_batch,
             fn_kwargs={"config": emit_config, "hot_terms": hot_terms},
