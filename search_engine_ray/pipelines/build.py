@@ -157,67 +157,90 @@ def _dedup_duplicate_urls(
             }
         )
 
-    # disk map-side shuffle of per-batch (url_hash, count) partials — the
-    # same barrier-free pattern as the postings shuffle (a sort-based
-    # groupby for this count measured 44s at 500k docs on this host; the
-    # partials here are ~16 bytes per distinct url per batch). The partials
-    # are COALESCED into a handful of blocks and combined before the
-    # Hive-partitioned write: writing straight from the map stage created
-    # input_blocks x n_buckets tiny files, which alone cost ~20s at 64
-    # blocks (and got WORSE with more CPUs).
-    shuffle_dir = os.path.join(
-        os.environ.get("SE_RAY_SHUFFLE_BASE") or "/tmp/se_ray_url_dedup",
-        f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
+    # per-batch (url_hash, count) partials, coalesced into a handful of
+    # blocks and combined (a sort-based groupby for this count measured 44s
+    # at 500k docs on this host; writing the raw partials straight to a
+    # Hive-partitioned shuffle created input_blocks x n_buckets tiny files,
+    # ~20s of file creation that got WORSE with more CPUs).
+    combined = (
+        pages.select_columns(["url"])
+        .map_batches(partial_hash_counts, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(combine_partials, batch_format="pyarrow")
     )
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
-    pages.select_columns(["url"]).map_batches(
-        partial_hash_counts, batch_format="pyarrow"
-    ).repartition(8).map_batches(
-        combine_partials, batch_format="pyarrow"
-    ).write_parquet(shuffle_dir, partition_cols=["bucket"])
+    refs = combined.to_arrow_refs()
+    sizes = ray.get([_block_rows_build.remote(r) for r in refs])
+    total_rows = sum(sizes)
 
-    bucket_dirs = sorted(
-        os.path.join(shuffle_dir, d)
-        for d in os.listdir(shuffle_dir)
-        if d.startswith("bucket=")
-    )
+    if total_rows <= 64_000_000:
+        # tree-reduce in the object store: pairwise sorted-merge of the
+        # (h, cnt) tables (~16 bytes/distinct url — 64M rows ~ 1 GB), dup
+        # hashes extracted in the final task. No files at all.
+        live = [r for r, n in zip(refs, sizes) if n]
+        while len(live) > 1:
+            nxt = []
+            for i in range(0, len(live) - 1, 2):
+                nxt.append(_merge_hash_counts.remote(live[i], live[i + 1]))
+            if len(live) % 2:
+                nxt.append(live[-1])
+            live = nxt
+        cand = (
+            ray.get(_dup_hashes_of.remote(live[0]))
+            if live
+            else np.zeros(0, np.uint64)
+        )
+    else:
+        # crawl scale: the distinct-hash table no longer fits one task —
+        # fall back to the disk bucket shuffle + per-bucket dup scan.
+        shuffle_dir = os.path.join(
+            os.environ.get("SE_RAY_SHUFFLE_BASE") or "/tmp/se_ray_url_dedup",
+            f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
+        )
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        rd.from_arrow_refs(refs).write_parquet(
+            shuffle_dir, partition_cols=["bucket"]
+        )
+        bucket_dirs = sorted(
+            os.path.join(shuffle_dir, d)
+            for d in os.listdir(shuffle_dir)
+            if d.startswith("bucket=")
+        )
 
-    def find_dup_hashes(batch: pa.Table) -> pa.Table:
-        out = []
-        for d in batch.column("dir").to_pylist():
-            tbl = pq.read_table(parquet_files(d), columns=["h", "cnt"])
-            h = tbl.column("h").to_numpy(zero_copy_only=False)
-            if not len(h):
-                continue
-            cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
-            order = np.argsort(h)
-            h, cnt = h[order], cnt[order]
-            new = np.empty(len(h), dtype=bool)
-            new[0] = True
-            new[1:] = h[1:] != h[:-1]
-            starts = np.flatnonzero(new)
-            sums = np.add.reduceat(cnt, starts)
-            dups = h[starts][sums > 1]
-            if len(dups):
-                out.append(pa.table({"h": pa.array(dups, pa.uint64())}))
-        if not out:
-            return pa.table({"h": pa.array([], pa.uint64())})
-        return pa.concat_tables(out)
+        def find_dup_hashes(batch: pa.Table) -> pa.Table:
+            out = []
+            for d in batch.column("dir").to_pylist():
+                tbl = pq.read_table(parquet_files(d), columns=["h", "cnt"])
+                h = tbl.column("h").to_numpy(zero_copy_only=False)
+                if not len(h):
+                    continue
+                cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+                order = np.argsort(h)
+                h, cnt = h[order], cnt[order]
+                new = np.empty(len(h), dtype=bool)
+                new[0] = True
+                new[1:] = h[1:] != h[:-1]
+                starts = np.flatnonzero(new)
+                sums = np.add.reduceat(cnt, starts)
+                dups = h[starts][sums > 1]
+                if len(dups):
+                    out.append(pa.table({"h": pa.array(dups, pa.uint64())}))
+            if not out:
+                return pa.table({"h": pa.array([], pa.uint64())})
+            return pa.concat_tables(out)
 
-    dup_hash_rows = (
-        rd.from_items([{"dir": d} for d in bucket_dirs])
-        .map_batches(find_dup_hashes, batch_format="pyarrow", batch_size=8)
-        .take_all()
-        if bucket_dirs
-        else []
-    )
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
-    if not dup_hash_rows:
+        dup_hash_rows = (
+            rd.from_items([{"dir": d} for d in bucket_dirs])
+            .map_batches(find_dup_hashes, batch_format="pyarrow", batch_size=8)
+            .take_all()
+            if bucket_dirs
+            else []
+        )
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        cand = np.sort(
+            np.array([r["h"] for r in dup_hash_rows], dtype=np.uint64)
+        )
+    if not len(cand):
         return pages, 0
-
-    # candidate urls = rows whose url-hash collides (true dups + rare hash
-    # false positives); only THEIR narrow rows reach the driver.
-    cand = np.sort(np.array([r["h"] for r in dup_hash_rows], dtype=np.uint64))
     cand_ref = ray.put(cand)
 
     def flag_dups(batch: pa.Table) -> pa.Table:
@@ -285,6 +308,47 @@ def _compat_replay_mapping(pages: rd.Dataset) -> dict[str, int]:
     ranks = [int(r["rank"]) for r in cols]
     ids = replay_seed_assignment(ranks)
     return {r["url"]: i for r, i in zip(cols, ids)}
+
+
+@ray.remote
+def _block_rows_build(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _merge_hash_counts(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Sum counts of two (h, cnt) tables (tree-reduce step)."""
+    h = np.concatenate(
+        [
+            a.column("h").to_numpy(zero_copy_only=False),
+            b.column("h").to_numpy(zero_copy_only=False),
+        ]
+    )
+    cnt = np.concatenate(
+        [
+            a.column("cnt").to_numpy(zero_copy_only=False),
+            b.column("cnt").to_numpy(zero_copy_only=False),
+        ]
+    )
+    order = np.argsort(h)
+    h, cnt = h[order], cnt[order]
+    new = np.empty(len(h), dtype=bool)
+    new[0] = True
+    new[1:] = h[1:] != h[:-1]
+    starts = np.flatnonzero(new)
+    return pa.table(
+        {
+            "h": pa.array(h[starts], pa.uint64()),
+            "cnt": pa.array(np.add.reduceat(cnt, starts), pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _dup_hashes_of(t: pa.Table) -> np.ndarray:
+    h = t.column("h").to_numpy(zero_copy_only=False)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+    return np.sort(h[cnt > 1]).astype(np.uint64)
 
 
 @ray.remote
@@ -946,14 +1010,6 @@ def _make_decode_reemit(config: EngineConfig, hot_ref):
         off_arr = pa.array(off, pa.int64())
         term_arr = pa.array(out_terms, pa.string())
         salt_np = np.array(out_salts, dtype=np.int64)
-        if shift > 0:
-            key = pc.binary_join_element_wise(
-                term_arr,
-                pa.array([f"{s:016x}" for s in out_salts], pa.string()),
-                "\x00",
-            )
-        else:
-            key = term_arr
         mixed = _hash_utf8_array(term_arr) ^ (
             salt_np.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         )
@@ -961,7 +1017,6 @@ def _make_decode_reemit(config: EngineConfig, hot_ref):
         return pa.table(
             {
                 "bucket": pa.array(bucket, pa.int64()),
-                "key": key,
                 "term": term_arr,
                 "salt": pa.array(salt_np, pa.int64()),
                 "doc_ids": pa.ListArray.from_arrays(

@@ -92,9 +92,11 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
         from search_engine_ray.util import limit_arrow_threads
 
         limit_arrow_threads()
-        keys = group.column("key").to_numpy(zero_copy_only=False)
-        terms_np = group.column("term").to_numpy(zero_copy_only=False)
-        salts_np = group.column("salt").to_numpy(zero_copy_only=False)
+        term_col = group.column("term")
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        terms_np = term_col.to_numpy(zero_copy_only=False)
+        salts_np = group.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
         doc_col = group.column("doc_ids").combine_chunks()
         all_doc = doc_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         parents = pc.list_parent_indices(doc_col).to_numpy(zero_copy_only=False)
@@ -105,14 +107,33 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
             group.column("dls").combine_chunks().flatten().to_numpy(zero_copy_only=False)
         ).astype(np.int64)
 
-        # factorize (term,salt) keys; np.unique sorts, and key strings sort
-        # by (term, numeric salt) by construction — output rows stay
-        # term-sorted, which is what gives parquet row-group pruning.
-        uniq_keys, row_codes = np.unique(keys, return_inverse=True)
-        n_groups = len(uniq_keys)
-        # representative row per group (first occurrence) for term/salt cols
-        rep = np.zeros(n_groups, dtype=np.int64)
-        rep[row_codes[::-1]] = np.arange(len(row_codes) - 1, -1, -1)
+        # factorize (term, salt) groups WITHOUT a string key (the key string
+        # used to be shipped through the shuffle — ~30% of its bytes — and
+        # factorized with an object-dtype np.unique, the slowest sort here).
+        # dictionary-encode terms once, remap codes to LEXICOGRAPHIC rank so
+        # output rows stay term-sorted (parquet row-group pruning), then
+        # int-lexsort (salt, rank).
+        dict_arr = pc.dictionary_encode(term_col)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        vocab = dict_arr.dictionary
+        vocab_rank = np.empty(len(vocab), dtype=np.int64)
+        vocab_rank[
+            pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+        ] = np.arange(len(vocab))
+        tcode = vocab_rank[codes]
+        g_order = np.lexsort((salts_np, tcode))
+        tc_s = tcode[g_order]
+        sa_s = salts_np[g_order]
+        new_g = np.empty(len(tc_s), dtype=bool)
+        if len(tc_s):
+            new_g[0] = True
+            new_g[1:] = (tc_s[1:] != tc_s[:-1]) | (sa_s[1:] != sa_s[:-1])
+        group_id_sorted = np.cumsum(new_g) - 1
+        row_codes = np.empty(len(tc_s), dtype=np.int64)
+        row_codes[g_order] = group_id_sorted
+        n_groups = int(group_id_sorted[-1]) + 1 if len(tc_s) else 0
+        # representative input row per group (term/salt equal within a group)
+        rep = g_order[np.flatnonzero(new_g)]
 
         val_codes = row_codes[parents]
         order = np.lexsort((all_doc, val_codes))
