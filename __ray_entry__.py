@@ -273,6 +273,20 @@ def q_ann_lsh_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import ivf_cosine_topk_ds, read_embeddings
+
+    sf_dir = sf_dir.rstrip("/")
+    q = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    out = ivf_cosine_topk_ds(read_embeddings(sf_dir), q[None, :], [0], k=10).to_pandas()
+    return out[["query_id", "vec_id"]]
+
+
 def q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -306,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
     }
 

@@ -116,6 +116,62 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_add(args: argparse.Namespace) -> int:
+    """Incremental add: new pages become a new generation."""
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import add_generation
+
+    _init_ray(args.num_cpus)
+    pages = rd.read_parquet(args.input)
+    if args.limit:
+        pages = pages.limit(args.limit)
+    t0 = time.perf_counter()
+    res = add_generation(
+        args.index,
+        pages,
+        EngineConfig(),
+        on_duplicate=args.on_duplicate,
+    )
+    print(
+        json.dumps(
+            {
+                "n_docs_added": res.n_docs,
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "out": res.out_dir,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Fold all generations into one (Lucene-style segment merge)."""
+    import ray
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import compact
+
+    _init_ray(args.num_cpus)
+    t0 = time.perf_counter()
+    res = compact(args.index, EngineConfig())
+    print(
+        json.dumps(
+            {
+                "n_docs": res.n_docs,
+                "n_segment_rows": res.n_postings_rows,
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "timings": {k: round(v, 2) for k, v in res.timings.items()},
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_bm25(args: argparse.Namespace) -> int:
     from search_engine_ray.config import EngineConfig
     from search_engine_ray.pipelines.serving import SegmentSearcher
@@ -151,6 +207,19 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--max-count", type=int, default=10)
     q.add_argument("queries", nargs="*")
     q.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("add", help="add pages to an index as a new generation")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--limit", type=int, default=0)
+    a.add_argument("--on-duplicate", choices=["error", "skip"], default="skip")
+    a.add_argument("--num-cpus", type=int, default=0)
+    a.set_defaults(fn=cmd_add)
+
+    c = sub.add_parser("compact", help="merge all generations into one")
+    c.add_argument("--index", required=True)
+    c.add_argument("--num-cpus", type=int, default=0)
+    c.set_defaults(fn=cmd_compact)
 
     w = sub.add_parser("bm25", help="BM25 top-k (WAND or conjunctive)")
     w.add_argument("--index", required=True)

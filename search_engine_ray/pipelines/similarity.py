@@ -5,6 +5,10 @@
 - LSH-bucketed (random hyperplane) variant: the scale path — candidates only
   from matching buckets, verified/ranked by true cosine. Recall vs brute
   force is measured in tests (probabilistic but deterministic via seed).
+- IVF (inverted-file) variant: k-means coarse quantizer trained on a
+  bounded sample, vectors assigned to their nearest centroid list, queries
+  probe the nprobe nearest lists. The classic ANN scale path (one coarse
+  pass over centroids + exact cosine within probed lists).
 """
 
 from __future__ import annotations
@@ -76,6 +80,115 @@ def brute_force_cosine_topk_ds(
         embeddings.map_batches(partial, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+def _make_final_topk(k: int):
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        q = group.column("query_id")[0].as_py()
+        order = np.lexsort((v, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([q] * len(order), pa.int64()),
+                "vec_id": pa.array(v[order], pa.int64()),
+                "cosine": pa.array(np.round(s[order], 4), pa.float64()),
+            }
+        )
+
+    return final_topk
+
+
+def train_ivf_centroids(
+    embeddings: rd.Dataset,
+    n_centroids: int = 64,
+    sample_n: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a BOUNDED sample (the standard IVF training
+    recipe — the sample is the small side; the corpus itself never leaves
+    the cluster). Returns normalized (n_centroids, dim) centroids."""
+    rows = embeddings.select_columns(["embedding"]).limit(sample_n).take_all()
+    m = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n_c = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), size=n_c, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_c):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign_ds(embeddings: rd.Dataset, centroids: np.ndarray) -> rd.Dataset:
+    """+ list_id column: nearest-centroid assignment (broadcast centroids).
+    Writing this partitioned by list_id IS the IVF index layout."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        cent = ray.get(c_ref)
+        _, m = _to_matrix(batch)
+        lid = np.argmax(_normalize(m) @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid, pa.int64()))
+
+    return embeddings.map_batches(f, batch_format="pyarrow")
+
+
+def ivf_cosine_topk_ds(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Approximate top-k via IVF probing: each query scores only vectors
+    whose list_id is among its nprobe nearest centroids. Same schema and
+    combiner shape as brute force; recall measured in tests."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.argsort(-(qm @ centroids.T), axis=1)[:, : min(nprobe, len(centroids))]
+    q_ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), qm, centroids, probed)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, cent, probes = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        lid = np.argmax(mn @ cent.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids)):
+            sel = np.isin(lid, probes[j])
+            if not sel.any():
+                continue
+            sims = mn[sel] @ qmat[j]
+            sids = ids[sel]
+            kk = min(k, len(sids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([int(qids[j])] * len(top))
+            out_v.extend(sids[top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_make_final_topk(k), batch_format="pyarrow")
     )
 
 

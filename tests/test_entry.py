@@ -100,6 +100,7 @@ def test_query_matches_oracle(contract, con, name):
         "simhash_neardup",
         "embedding_neardup_lsh",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "media_features",
     ],
 )

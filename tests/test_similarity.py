@@ -82,3 +82,40 @@ def test_multimodal_plumbing(ray_session):
     frames = frame_sample_ds(media, every_ms=500).to_pandas()
     assert (frames["ts_ms"] % 500 == 0).all()
     assert set(frames["media_id"]).issubset(set(range(30)))
+
+
+def test_ivf_recall(emb):
+    """IVF probing must recover most of the true top-k; top-1 (the query
+    vector itself, cosine 1.0) must always survive since the query's own
+    list is the first probed."""
+    from search_engine_ray.pipelines.similarity import (
+        brute_force_cosine_topk_ds,
+        ivf_cosine_topk_ds,
+    )
+
+    q = _query_vec()
+    exact = brute_force_cosine_topk_ds(emb, q[None, :], [0], k=10).to_pandas()
+    approx = ivf_cosine_topk_ds(
+        emb, q[None, :], [0], k=10, n_centroids=16, nprobe=6
+    ).to_pandas()
+    exact_ids = exact["vec_id"].tolist()
+    approx_ids = approx["vec_id"].tolist()
+    assert approx_ids[0] == exact_ids[0] == 0  # self-match survives
+    recall = len(set(exact_ids) & set(approx_ids)) / len(exact_ids)
+    assert recall >= 0.6, (recall, exact_ids, approx_ids)
+    # approx scores are TRUE cosines for the vectors it returns
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_ivf_assignment_partitions(emb):
+    from search_engine_ray.pipelines.similarity import (
+        ivf_assign_ds,
+        train_ivf_centroids,
+    )
+
+    cent = train_ivf_centroids(emb, n_centroids=8, sample_n=500)
+    assert cent.shape[0] <= 8
+    out = ivf_assign_ds(emb, cent).to_pandas()
+    assert out["list_id"].between(0, cent.shape[0] - 1).all()
+    assert out["list_id"].nunique() > 1  # vectors actually spread over lists
