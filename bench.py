@@ -114,7 +114,12 @@ def _build_synth(num_cpus: int, n_docs: int, salt_shift: int = 16) -> dict:
     config = EngineConfig(salt_shift=salt_shift)  # merge buckets auto-sized
     pages = rd.read_parquet(path)
     t0 = time.perf_counter()
-    res = build_index(pages, out, config, doc_id_mode="rank", resume=False)
+    # fused single-pass build: the headline path (docs part files written
+    # as a side output of the postings-emit stage; search-identical to the
+    # two-stage resumable build, tested in test_build_ray.py)
+    res = build_index(
+        pages, out, config, doc_id_mode="rank", resume=False, fuse=True
+    )
     wall = time.perf_counter() - t0
     return {
         "out": out,

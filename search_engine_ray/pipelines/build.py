@@ -88,6 +88,27 @@ def _default_concurrency() -> int:
     return default_pool_size()
 
 
+def _narrow_view(pages: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Column-pruned view of ``pages``: when the dataset is a PURE parquet
+    read (no transforms — verified on the logical plan), re-read only
+    ``cols`` straight from the source files; Ray does not push a
+    select_columns projection into ReadParquet, so the generic path decodes
+    every column (measured 6.1s vs 1.6s for the url column at 2M docs)."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        dag = pages._plan._logical_plan.dag
+        if isinstance(dag, Read):
+            files = pages.input_files()
+            if files and all(".parquet" in f for f in files):
+                schema_names = pq.read_schema(files[0]).names
+                if all(c in schema_names for c in cols):
+                    return rd.read_parquet(files, columns=cols)
+    except Exception:
+        pass
+    return pages.select_columns(cols)
+
+
 def _dedup_duplicate_urls(
     pages: rd.Dataset,
 ) -> tuple[rd.Dataset, int]:
@@ -163,11 +184,15 @@ def _dedup_duplicate_urls(
     # Hive-partitioned shuffle created input_blocks x n_buckets tiny files,
     # ~20s of file creation that got WORSE with more CPUs).
     combined = (
-        pages.select_columns(["url"])
+        _narrow_view(pages, ["url"])
         .map_batches(partial_hash_counts, batch_format="pyarrow")
         .repartition(8)
         .map_batches(combine_partials, batch_format="pyarrow")
     )
+    # materialize ONCE: to_arrow_refs on a lazy dataset re-executes the
+    # plan a second time for schema inference (measured: the whole count
+    # pass ran twice, ~7s each at 2M docs)
+    combined = combined.materialize()
     refs = combined.to_arrow_refs()
     sizes = ray.get([_block_rows_build.remote(r) for r in refs])
     total_rows = sum(sizes)
@@ -250,7 +275,7 @@ def _dedup_duplicate_urls(
         return batch.filter(pa.array(c[pos] == h))
 
     flagged = (
-        pages.select_columns(["url", *key_cols])
+        _narrow_view(pages, ["url", *key_cols])
         .map_batches(flag_dups, batch_format="pyarrow")
         .take_all()
     )
@@ -365,6 +390,24 @@ def _sample_pdf_task(path: str, n_rows: int, config: EngineConfig):
 
 
 @ray.remote(num_cpus=0)
+class _DocStatsAcc:
+    """Exact (n_docs, sum_dl) accumulated by the fused build's map tasks —
+    corpus stats land as a side effect of the single pass, no footer scan
+    or dl-column re-read."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.sum_dl = 0
+
+    def add(self, n: int, sum_dl: int) -> None:
+        self.n += int(n)
+        self.sum_dl += int(sum_dl)
+
+    def get(self) -> tuple[int, int]:
+        return self.n, self.sum_dl
+
+
+@ray.remote(num_cpus=0)
 class StageCounters:
     """Per-stage skipped/error row counters (the reference's skip counters,
     demo.ts:100,124). Filter stages fire-and-forget increments; the driver
@@ -410,6 +453,36 @@ def _resolve_heavy_cpus() -> float:
     return max(1.0, round(_cpus / 16))
 
 
+def _shuffle_dir_for(out_dir: str) -> str:
+    """Node-local scratch for the disk shuffle — never part of the durable
+    index (a remote URI out_dir cannot host it anyway)."""
+    base = os.environ.get("SE_RAY_SHUFFLE_BASE")
+    if base is None and "://" in out_dir:
+        base = "/tmp/se_ray_shuffle"
+    if base is None:
+        return os.path.join(out_dir, "shuffle")
+    return os.path.join(base, os.path.basename(out_dir.rstrip("/")) + "_shuffle")
+
+
+def _shuffle_write(
+    postings: rd.Dataset, out_dir: str, timings: dict[str, float]
+) -> tuple[str, list[str]]:
+    """Execute the disk map-side shuffle; returns (shuffle_dir, bucket dirs).
+    This is the stage barrier — side-effect accumulators (doc stats, skip
+    counters) are final once it returns."""
+    shuffle_dir = _shuffle_dir_for(out_dir)
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    t_pipe = time.perf_counter()
+    postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
+    timings["shuffle_write"] = time.perf_counter() - t_pipe
+    bucket_dirs = sorted(
+        os.path.join(shuffle_dir, d)
+        for d in os.listdir(shuffle_dir)
+        if d.startswith("bucket=")
+    )
+    return shuffle_dir, bucket_dirs
+
+
 def _merge_postings_to_segments(
     postings: rd.Dataset,
     stats: CorpusStats,
@@ -422,31 +495,23 @@ def _merge_postings_to_segments(
     merge+encode tasks writing ``out_dir/segments`` with the term dict as a
     merge-task side output under ``out_dir/term_dict``. Shared by the batch
     build and generation compaction."""
+    shuffle_dir, bucket_dirs = _shuffle_write(postings, out_dir, timings)
+    _merge_buckets(shuffle_dir, bucket_dirs, stats, config, out_dir, heavy_cpus, timings)
+
+
+def _merge_buckets(
+    shuffle_dir: str,
+    bucket_dirs: list[str],
+    stats: CorpusStats,
+    config: EngineConfig,
+    out_dir: str,
+    heavy_cpus: float,
+    timings: dict[str, float],
+) -> None:
     from search_engine_ray.state import fsio
 
     seg_dir = os.path.join(out_dir, "segments")
-    # the shuffle is node-local scratch, never part of the durable index:
-    # when out_dir is a remote URI it cannot host the disk shuffle anyway
-    base = os.environ.get("SE_RAY_SHUFFLE_BASE")
-    if base is None and "://" in out_dir:
-        base = "/tmp/se_ray_shuffle"
-    if base is None:
-        shuffle_dir = os.path.join(out_dir, "shuffle")
-    else:
-        shuffle_dir = os.path.join(
-            base, os.path.basename(out_dir.rstrip("/")) + "_shuffle"
-        )
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
     t_pipe = time.perf_counter()
-    postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
-    timings["shuffle_write"] = time.perf_counter() - t_pipe
-
-    t_pipe = time.perf_counter()
-    bucket_dirs = sorted(
-        os.path.join(shuffle_dir, d)
-        for d in os.listdir(shuffle_dir)
-        if d.startswith("bucket=")
-    )
     term_dict_dir = os.path.join(out_dir, "term_dict")
     fsio.rmtree(term_dict_dir)
     if bucket_dirs:
@@ -504,6 +569,221 @@ def _merge_postings_to_segments(
     timings["merge_encode"] = time.perf_counter() - t_pipe
 
 
+def _build_index_fused(
+    pages: rd.Dataset,
+    out_dir: str,
+    config: EngineConfig,
+    *,
+    skip_filter: bool,
+    dedup_urls: bool,
+    fingerprint: str | None,
+    resume: bool,
+    postings_batch_size: int,
+    target_blocks: int | None,
+) -> BuildResult:
+    """Single-pass build: read -> extract -> tokenize -> [write docs part
+    file + emit postings] -> disk shuffle -> merge. One streamed pass over
+    the corpus; corpus stats accumulate in a side actor and are final at
+    the shuffle-write barrier (exactly when the merge needs them)."""
+    import uuid
+
+    from search_engine_ray.state import fsio
+
+    timings: dict[str, float] = {}
+    docs_dir = os.path.join(out_dir, "docs")
+    seg_dir = os.path.join(out_dir, "segments")
+    docs_manifest = os.path.join(out_dir, "docs_manifest.json")
+    manifest = os.path.join(out_dir, "manifest.json")
+    if resume and manifest_valid(manifest, fingerprint) and manifest_valid(
+        docs_manifest, fingerprint
+    ):
+        from search_engine_ray.state.segments import read_manifest
+
+        m = read_manifest(manifest) or {}
+        return BuildResult(
+            out_dir=out_dir,
+            n_docs=int(m.get("n_docs", 0)),
+            avgdl=float(m.get("avgdl", 0.0)),
+            n_postings_rows=int(m.get("n_segment_rows", -1)),
+            timings={"fused": 0.0},
+        )
+    t_all = time.perf_counter()
+    if target_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        target_blocks = max(8, cpus * 2)
+    heavy_cpus = _resolve_heavy_cpus()
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        _cpus = 4
+    emit_blocks = min(target_blocks, max(8, round(_cpus / heavy_cpus * 1.5)))
+
+    n_dup_urls_skipped = 0
+    t0 = time.perf_counter()
+    if dedup_urls:
+        pages, n_dup_urls_skipped = _dedup_duplicate_urls(pages)
+        timings["url_dedup"] = time.perf_counter() - t0
+
+    # hot-term sample + corpus-size estimate from the INPUT (no docs table
+    # exists yet). count() is metadata-cheap on parquet-backed inputs —
+    # fused mode is the raw-crawl fast path; heavily transformed inputs
+    # should use the two-stage build.
+    t_df = time.perf_counter()
+    est_docs = pages.count() or 0
+    hot_terms: frozenset[str] = frozenset()
+    avgdl_est = 100.0
+    if config.salt_shift > 0 and est_docs:
+        sample = (
+            pages.limit(min(est_docs, 50_000))
+            .map_batches(
+                lambda b: extract_batch(
+                    b, title_strip_prefix=config.title_strip_prefix
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(tokenize_docs_batch, batch_format="pyarrow")
+            .select_columns(["tokens", "dl"])
+        )
+        parts = [
+            (t.num_rows, partial_df_batch(t, config), t.column("dl"))
+            for t in sample.iter_batches(
+                batch_size=16384, batch_format="pyarrow"
+            )
+            if t.num_rows
+        ]
+        n_sampled = sum(n for n, _, _ in parts) or 1
+        if parts:
+            avgdl_est = float(
+                sum(pc.sum(dl).as_py() or 0 for _, _, dl in parts) / n_sampled
+            )
+            pdf = (
+                pa.concat_tables([p for _, p, _ in parts])
+                .group_by("term")
+                .aggregate([("pdf", "sum")])
+            )
+            frac_thr = 0.5 * config.salt_df_threshold / est_docs
+            counts = pdf.column("pdf_sum").to_numpy(zero_copy_only=False)
+            keep = counts / n_sampled >= frac_thr
+            hot_terms = frozenset(
+                t for t, k in zip(pdf.column("term").to_pylist(), keep) if k
+            )
+    timings["df_pass"] = time.perf_counter() - t_df
+
+    if config.merge_buckets:
+        n_buckets = config.merge_buckets
+    else:
+        est_bytes = int(est_docs * avgdl_est * 6)
+        n_buckets = int(
+            min(
+                1 << 20,
+                max(
+                    target_blocks,
+                    est_bytes // config.merge_bucket_target_bytes + 1,
+                ),
+            )
+        )
+    from dataclasses import replace as _replace
+
+    emit_config = _replace(config, merge_buckets=n_buckets)
+
+    fsio.rmtree(docs_dir)
+    fsio.makedirs(docs_dir)
+    fsio.rmtree(seg_dir)
+    counters = StageCounters.remote()
+    stats_acc = _DocStatsAcc.remote()
+
+    ds = pages.repartition(emit_blocks)
+    ds = ds.map_batches(
+        _counting(
+            lambda b: extract_batch(b, title_strip_prefix=config.title_strip_prefix),
+            counters,
+            "extract_unparseable",
+        ),
+        batch_format="pyarrow",
+    )
+    if skip_filter:
+        ds = ds.map_batches(
+            _counting(skip_filter_batch, counters, "skip_filter"),
+            batch_format="pyarrow",
+        )
+    ds = ds.map_batches(_assign_doc_ids_rank, batch_format="pyarrow")
+
+    def fused_tail(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.util import limit_arrow_threads
+
+        limit_arrow_threads()
+        batch = tokenize_docs_batch(batch)
+        doc_tbl = batch.select(DOCS_COLUMNS)
+        pq.write_table(
+            doc_tbl, os.path.join(docs_dir, f"part-{uuid.uuid4().hex}.parquet")
+        )
+        dl_sum = pc.sum(doc_tbl.column("dl")).as_py() or 0
+        ray.get(stats_acc.add.remote(doc_tbl.num_rows, int(dl_sum)))
+        return emit_postings_batch(batch, emit_config, hot_terms)
+
+    postings = ds.map_batches(
+        fused_tail,
+        batch_format="pyarrow",
+        batch_size=postings_batch_size,
+        num_cpus=heavy_cpus,
+    )
+    shuffle_dir, bucket_dirs = _shuffle_write(postings, out_dir, timings)
+    n_docs, sum_dl = ray.get(stats_acc.get.remote())
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
+    _merge_buckets(
+        shuffle_dir, bucket_dirs, stats, config, out_dir, heavy_cpus, timings
+    )
+
+    skip_counts = ray.get(counters.get.remote())
+    skip_counts["duplicate_urls"] = n_dup_urls_skipped
+    n_rows = sum(fsio.parquet_metadata(f).num_rows for f in parquet_files(seg_dir))
+    write_manifest(
+        docs_manifest,
+        {
+            "fingerprint": fingerprint,
+            "complete": True,
+            "stage": "docs",
+            "fused": True,
+            "skipped": skip_counts,
+            "skipped_duplicate_urls": n_dup_urls_skipped,
+        },
+    )
+    timings["fused_total"] = time.perf_counter() - t_all
+    write_manifest(
+        manifest,
+        {
+            "fingerprint": fingerprint,
+            "complete": True,
+            "fused": True,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_segment_rows": n_rows,
+            "skipped": skip_counts,
+            "skipped_duplicate_urls": n_dup_urls_skipped,
+            "config": {
+                "stop_words": sorted(config.stop_words),
+                "bm25_k1": config.bm25_k1,
+                "bm25_b": config.bm25_b,
+                "block_size": config.block_size,
+                "salt_shift": config.salt_shift,
+                "merge_buckets": n_buckets,
+            },
+            "timings_sec": timings,
+        },
+    )
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_postings_rows=n_rows,
+        timings=timings,
+    )
+
+
 def build_index(
     pages: rd.Dataset,
     out_dir: str,
@@ -517,6 +797,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] | None = None,
     postings_batch_size: int = 16384,
     target_blocks: int | None = None,
+    fuse: bool = False,
 ) -> BuildResult:
     """Build doc store + index segments from an input_hint-shaped Dataset.
 
@@ -524,8 +805,29 @@ def build_index(
     per CPU). Profiling showed the default parquet split (hundreds of ~1 MiB
     blocks for a 226 MiB corpus) makes per-task scheduling overhead dominate
     and the build stops scaling past 8 CPUs; right-sizing blocks to the
-    cluster restored near-linear map-stage scaling."""
+    cluster restored near-linear map-stage scaling.
+
+    ``fuse=True``: single-pass build — doc-store part files are written as
+    a SIDE OUTPUT of the same streamed stage that emits postings, so the
+    docs checkpoint barrier, its parquet write+re-read, and the separate
+    stats pass all disappear (rank mode only). Resume granularity becomes
+    the whole build; for shard-level resumability at crawl scale, run one
+    fused build per input shard as a generation and ``compact``."""
     config = config or EngineConfig()
+    if fuse:
+        if doc_id_mode != "rank":
+            raise ValueError("fuse=True requires doc_id_mode='rank'")
+        return _build_index_fused(
+            pages,
+            out_dir,
+            config,
+            skip_filter=skip_filter,
+            dedup_urls=dedup_urls,
+            fingerprint=fingerprint,
+            resume=resume,
+            postings_batch_size=postings_batch_size,
+            target_blocks=target_blocks,
+        )
     if target_blocks is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 4))

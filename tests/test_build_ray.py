@@ -225,3 +225,37 @@ def test_skip_counters_in_manifest(ray_session, tmp_path):
     reader = SegmentReader(out)
     titles = {d.title for d in reader.fetch_docs([1, 4]).values()}
     assert titles == {"Alpha", "Gamma"}
+
+
+def test_fused_build_matches_two_stage(ray_session, tmp_path):
+    """fuse=True must produce search-identical results to the two-stage
+    build, with manifests carrying exact stats and skip counters."""
+    import json
+
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.synth import synth_zipf_table
+
+    config = EngineConfig(salt_shift=8, salt_df_threshold=50)
+    table = synth_zipf_table(800, n_tokens=30, vocab=400)
+    out_a = str(tmp_path / "two_stage")
+    out_b = str(tmp_path / "fused")
+    ra = build_index(rd.from_arrow(table), out_a, config, doc_id_mode="rank", resume=False)
+    rb = build_index(
+        rd.from_arrow(table), out_b, config, doc_id_mode="rank", resume=False, fuse=True
+    )
+    assert rb.n_docs == ra.n_docs == 800
+    assert abs(rb.avgdl - ra.avgdl) < 1e-9
+    sa, sb = SegmentSearcher(out_a, config), SegmentSearcher(out_b, config)
+    for q, mode in [("w0 w1", "or"), ("w1 w2", "and"), ("w0 w3 w7", "or")]:
+        got = [(r.doc_id, round(r.score, 9)) for r in sb.search_bm25(q, k=10, mode=mode)]
+        want = [(r.doc_id, round(r.score, 9)) for r in sa.search_bm25(q, k=10, mode=mode)]
+        assert got == want, (q, mode)
+    got = [r.doc_id for r in sb.search("w0 w1")]
+    want = [r.doc_id for r in sa.search("w0 w1")]
+    assert got == want
+    with open(f"{out_b}/manifest.json") as f:
+        m = json.load(f)
+    assert m["fused"] is True and m["n_docs"] == 800
