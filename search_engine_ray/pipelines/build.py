@@ -794,7 +794,6 @@ def build_index(
     dedup_urls: bool = True,
     fingerprint: str | None = None,
     resume: bool = True,
-    tokenize_concurrency: int | tuple[int, int] | None = None,
     postings_batch_size: int = 16384,
     target_blocks: int | None = None,
     fuse: bool = False,
