@@ -316,8 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wand_or_topk": q_wand_or_topk,
         "search_phrase": q_search_phrase,
         "simhash": q_simhash,
-        # rows-only (no SQL oracle)
         "simhash_neardup": q_simhash_neardup,
+        # rows-only (no SQL oracle)
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -475,6 +475,16 @@ SELECT d.doc_id,
                      ELSE sig.s END, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
 """
+    # banding (4 x 16-bit) catches EVERY pair within hamming 3 (pigeonhole)
+    # and the verify keeps only h <= 3, so the engine output equals the
+    # exact all-pairs hamming filter.
+    simhash_neardup = f"""
+WITH sigs AS ({simhash})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "term_df": f"""
@@ -522,4 +532,5 @@ SELECT doc_id FROM (
         # the exact n-gram pair set (same SQL oracle).
         "minhash_pairs": ngram,
         "simhash": simhash,
+        "simhash_neardup": simhash_neardup,
     }

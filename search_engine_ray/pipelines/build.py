@@ -475,6 +475,9 @@ def _shuffle_write(
     t_pipe = time.perf_counter()
     postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
     timings["shuffle_write"] = time.perf_counter() - t_pipe
+    # an all-empty postings stream writes nothing at all
+    if not os.path.isdir(shuffle_dir):
+        return shuffle_dir, []
     bucket_dirs = sorted(
         os.path.join(shuffle_dir, d)
         for d in os.listdir(shuffle_dir)

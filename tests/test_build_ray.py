@@ -259,3 +259,29 @@ def test_fused_build_matches_two_stage(ray_session, tmp_path):
     with open(f"{out_b}/manifest.json") as f:
         m = json.load(f)
     assert m["fused"] is True and m["n_docs"] == 800
+
+
+def test_fused_build_empty_after_filters(ray_session, tmp_path):
+    """Fused build where every row is filtered out must still produce a
+    valid (empty) index with exact zero stats and full skip accounting."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.state.segments import SegmentReader
+
+    rows = {
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "html": pa.array([b"<garbage>", b"<also garbage>"], pa.binary()),
+        "rank": pa.array([1, 2], pa.int64()),
+    }
+    out = str(tmp_path / "fused_empty")
+    res = build_index(
+        rd.from_arrow(pa.table(rows)), out, EngineConfig(),
+        doc_id_mode="rank", resume=False, fuse=True,
+    )
+    assert res.n_docs == 0
+    reader = SegmentReader(out)
+    assert reader.manifest["n_docs"] == 0
+    assert reader.manifest["skipped"]["extract_unparseable"] == 2
+    assert reader.lookup(["anything"]) == {}

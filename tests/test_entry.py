@@ -77,6 +77,7 @@ def test_all_queries_have_unique_names(contract):
         "lang_id",
         "minhash_pairs",
         "simhash",
+        "simhash_neardup",
     ],
 )
 def test_query_matches_oracle(contract, con, name):
@@ -97,7 +98,6 @@ def test_query_matches_oracle(contract, con, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "simhash_neardup",
         "embedding_neardup_lsh",
         "ann_lsh_topk",
         "ann_ivf_topk",
