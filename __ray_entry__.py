@@ -239,6 +239,33 @@ def q_search_phrase(sf_dir: str):
     return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
 
 
+# fixed query set for the distributed batch-serving entry (terms known to
+# exist in the documents corpus; AND mode, k=10 each)
+_BATCH_QUERIES = [
+    "table query",
+    "table window",
+    "query scan",
+    "window scan",
+    "table scan",
+    "query window",
+]
+
+
+def q_batch_bm25(sf_dir: str):
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.serving import batch_search_bm25_ds
+
+    _docs_searcher(sf_dir)  # ensure the index is built (resume-cached)
+    queries = rd.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(_BATCH_QUERIES)]
+    )
+    return batch_search_bm25_ds(
+        queries, _idx_dir(sf_dir.rstrip("/")), EngineConfig(), k=10, mode="and"
+    )
+
+
 def q_simhash_neardup(sf_dir: str):
     from search_engine_ray.pipelines.dedup import simhash_neardup_pairs_ds
 
@@ -317,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": q_search_phrase,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "batch_bm25": q_batch_bm25,
         # rows-only (no SQL oracle)
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -475,6 +503,38 @@ SELECT d.doc_id,
                      ELSE sig.s END, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
 """
+    def _bm25_subquery(terms: list[str], qid: int) -> str:
+        termlist = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+(WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+stats AS (SELECT count(*) AS n, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE term IN ({termlist}) AND length(term) >= 2
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = {len(terms)}),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_K1} + 1) /
+             (tf.tf + {_K1} * (1 - {_B} + {_B} * (dl.dl / stats.avgdl)))) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id)
+SELECT {qid}::BIGINT AS query_id, doc_id, round(s, 6) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    batch_bm25 = "\nUNION ALL\n".join(
+        _bm25_subquery(q.split(), i) for i, q in enumerate(_BATCH_QUERIES)
+    )
+
     # banding (4 x 16-bit) catches EVERY pair within hamming 3 (pigeonhole)
     # and the verify keeps only h <= 3, so the engine output equals the
     # exact all-pairs hamming filter.
@@ -533,4 +593,5 @@ SELECT doc_id FROM (
         "minhash_pairs": ngram,
         "simhash": simhash,
         "simhash_neardup": simhash_neardup,
+        "batch_bm25": batch_bm25,
     }

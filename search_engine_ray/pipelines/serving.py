@@ -213,3 +213,62 @@ class SegmentSearcher:
             )
             for d, s in ranked
         ]
+
+
+class _BatchSearchActor:
+    """Actor-pool stage for DISTRIBUTED query serving: each actor opens the
+    index once (__init__) and answers its batches' queries locally — the
+    serving side expressed as a Ray Data pipeline (queries in, scored hits
+    out), scaling query throughput with ``concurrency`` instead of one
+    driver-side searcher."""
+
+    def __init__(self, out_dir: str, config: EngineConfig | None, k: int, mode: str):
+        self.searcher = SegmentSearcher(out_dir, config)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        qids, queries = (
+            batch.column("query_id").to_pylist(),
+            batch.column("query").to_pylist(),
+        )
+        out_q, out_d, out_s = [], [], []
+        for qid, q in zip(qids, queries):
+            for r in self.searcher.search_bm25(q, k=self.k, mode=self.mode):
+                out_q.append(qid)
+                out_d.append(r.doc_id)
+                out_s.append(round(r.score, 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def batch_search_bm25_ds(
+    queries,
+    out_dir: str,
+    config: EngineConfig | None = None,
+    k: int = 10,
+    mode: str = "and",
+    concurrency: int | None = None,
+    batch_size: int = 64,
+):
+    """(query_id, query) Dataset -> (query_id, doc_id, score) Dataset via a
+    SegmentSearcher actor pool. The index opens once per actor; term/doc
+    LRUs amortize across that actor's queries."""
+    if concurrency is None:
+        from search_engine_ray.util import default_pool_size
+
+        concurrency = min(4, default_pool_size())
+    return queries.map_batches(
+        _BatchSearchActor,
+        fn_constructor_args=(out_dir, config, k, mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -78,6 +78,7 @@ def test_all_queries_have_unique_names(contract):
         "minhash_pairs",
         "simhash",
         "simhash_neardup",
+        "batch_bm25",
     ],
 )
 def test_query_matches_oracle(contract, con, name):

@@ -45,3 +45,40 @@ def test_bm25_modes(ray_session, tmp_path):
     assert seg.search_bm25('"planet sixth"', k=5, mode="and") == []
     hits = seg.search_bm25('"sixth planet"', k=5, mode="and")
     assert [r.url.rsplit("/", 1)[-1] for r in hits] == ["Saturn"]
+
+
+def test_batch_search_matches_single(ray_session, tmp_path):
+    """The actor-pool batch-serving pipeline must return exactly the
+    single-searcher results for every query."""
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import (
+        SegmentSearcher,
+        batch_search_bm25_ds,
+    )
+    from search_engine_ray.sources.synth import synth_zipf_table
+
+    config = EngineConfig()
+    out = str(tmp_path / "batchidx")
+    build_index(
+        rd.from_arrow(synth_zipf_table(300, n_tokens=25, vocab=200)),
+        out, config, doc_id_mode="rank", resume=False,
+    )
+    queries = ["w0 w1", "w2 w3", "w1 w5", "w0 w2 w4"]
+    qds = rd.from_items(
+        [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+    )
+    got = (
+        batch_search_bm25_ds(qds, out, config, k=10, mode="and", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    s = SegmentSearcher(out, config)
+    want = []
+    for i, q in enumerate(queries):
+        for r in s.search_bm25(q, k=10, mode="and"):
+            want.append((i, r.doc_id, round(r.score, 6)))
+    assert list(map(tuple, got[["query_id", "doc_id", "score"]].values)) == want
