@@ -36,16 +36,35 @@ def cmd_build(args: argparse.Namespace) -> int:
     import ray
     import ray.data as rd
 
-    from search_engine_ray.config import DEMO_SCORE_WEIGHTS, DEMO_STOP_WORDS, EngineConfig
+    from search_engine_ray.config import (
+        DEMO_SCORE_WEIGHTS,
+        DEMO_STOP_WORDS,
+        DEMO_TITLE_STRIP_PREFIX,
+        EngineConfig,
+    )
     from search_engine_ray.pipelines.build import build_index
 
     _init_ray(args.num_cpus)
+    demo = args.stop_words == "demo"
     config = EngineConfig(
-        stop_words=DEMO_STOP_WORDS if args.stop_words == "demo" else frozenset(),
-        score_weights=DEMO_SCORE_WEIGHTS if args.stop_words == "demo" else None,
+        stop_words=DEMO_STOP_WORDS if demo else frozenset(),
+        score_weights=DEMO_SCORE_WEIGHTS if demo else None,
+        # the demo preset also strips 'Wikipedia: ' from titles (demo.ts:140)
+        title_strip_prefix=DEMO_TITLE_STRIP_PREFIX if demo else None,
         salt_shift=args.salt_shift,
     )
-    pages = rd.read_parquet(args.input)
+    fmt = args.format
+    if fmt == "auto":
+        fmt = "wiki-xml" if args.input.endswith(".xml") else "parquet"
+    if fmt == "wiki-xml":
+        import glob
+
+        from search_engine_ray.sources.wiki_xml import wiki_abstract_pages
+
+        files = sorted(glob.glob(args.input)) or [args.input]
+        pages = wiki_abstract_pages(files)
+    else:
+        pages = rd.read_parquet(args.input)
     if args.limit:
         pages = pages.limit(args.limit)  # K7 ingest cap (demo.ts:99)
     t0 = time.perf_counter()
@@ -191,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="build index from pages parquet")
     b.add_argument("--input", required=True)
+    b.add_argument(
+        "--format",
+        choices=["auto", "parquet", "wiki-xml"],
+        default="auto",
+        help="input format (wiki-xml = the reference demo's abstract dump)",
+    )
     b.add_argument("--out", required=True)
     b.add_argument("--limit", type=int, default=0)
     b.add_argument("--stop-words", choices=["none", "demo"], default="none")
