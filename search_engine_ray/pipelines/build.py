@@ -1079,6 +1079,7 @@ def add_generation(
     on_duplicate: str = "error",  # "error" | "skip"
     on_id_collision: str = "rebase",  # "rebase" | "error"
     fingerprint: str | None = None,
+    fuse: bool = False,
 ) -> BuildResult:
     """Incrementally add documents to an existing index as a new GENERATION
     (Lucene-style segment generations) — the batch rebuild of the
@@ -1250,6 +1251,7 @@ def add_generation(
         doc_id_mode="rank",
         fingerprint=fingerprint,
         resume=fingerprint is not None,
+        fuse=fuse,
     )
 
 
@@ -1509,6 +1511,89 @@ def compact(
         avgdl=avgdl,
         n_postings_rows=n_rows,
         timings=timings,
+    )
+
+
+def build_sharded(
+    shards: list[tuple[str, rd.Dataset]],
+    out_dir: str,
+    config: EngineConfig | None = None,
+    *,
+    skip_filter: bool = False,
+    compact_after: bool = True,
+) -> BuildResult:
+    """Shard-resumable crawl-scale build: one FUSED single-pass build per
+    input shard as an index generation, then one compaction.
+
+    Each shard is fingerprinted by its name, so a re-run after a failure
+    SKIPS every completed shard (its generation manifest validates) and
+    rebuilds only the ones that died — the 'failed run skips finished
+    partitions' recipe, with the fused build's speed inside each shard.
+    ``shards`` is [(shard_name, pages_dataset)]; shard doc_ids must be
+    disjoint (rank mode), e.g. pre-striped ranks per shard."""
+    from search_engine_ray.state.segments import generation_dirs, read_manifest
+
+    config = config or EngineConfig()
+    if not shards:
+        raise ValueError("no shards")
+    shard_names = [n for n, _ in shards]
+    root_m = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
+    if root_m.get("shards") == shard_names and root_m.get("complete"):
+        # full re-run after success: everything is already in
+        return BuildResult(
+            out_dir=out_dir,
+            n_docs=int(root_m.get("n_docs", 0)),
+            avgdl=float(root_m.get("avgdl", 0.0)),
+            n_postings_rows=int(root_m.get("n_segment_rows", -1)),
+            timings={"sharded": 0.0},
+        )
+    first_name, first_ds = shards[0]
+    root_done = manifest_valid(
+        os.path.join(out_dir, "manifest.json"), f"shard:{first_name}"
+    ) or root_m.get("compacted_from")
+    if not root_done:
+        build_index(
+            first_ds,
+            out_dir,
+            config,
+            doc_id_mode="rank",
+            skip_filter=skip_filter,
+            fingerprint=f"shard:{first_name}",
+            resume=True,
+            fuse=True,
+        )
+    for name, ds in shards[1:]:
+        gen_fp = f"shard:{name}"
+        done = any(
+            (read_manifest(os.path.join(g, "manifest.json")) or {}).get(
+                "fingerprint"
+            )
+            == gen_fp
+            for g in generation_dirs(out_dir)
+        )
+        if done:
+            continue
+        add_generation(
+            out_dir, ds, config, on_duplicate="skip", fingerprint=gen_fp, fuse=True
+        )
+    if compact_after:
+        res = compact(out_dir, config)
+        # record the shard list so a full re-run is a no-op
+        m = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
+        m["shards"] = shard_names
+        write_manifest(os.path.join(out_dir, "manifest.json"), m)
+        return res
+    m = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
+    reader_n = sum(
+        int((read_manifest(os.path.join(g, "manifest.json")) or {}).get("n_docs", 0))
+        for g in generation_dirs(out_dir)
+    )
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=reader_n,
+        avgdl=float(m.get("avgdl", 0.0)),
+        n_postings_rows=-1,
+        timings={},
     )
 
 

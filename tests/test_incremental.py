@@ -211,3 +211,58 @@ def test_compaction_multi_generation(ray_session, tmp_path):
     post = SegmentSearcher(out, config)
     post_res = [(r.doc_id, round(r.score, 9)) for r in post.search_bm25("w0 w1", k=10, mode="or")]
     assert post_res == pre_res
+
+
+def test_build_sharded_resumable(ray_session, tmp_path):
+    """Shard-resumable fused build: per-shard generations + compaction,
+    search-equivalent to the single full build; a re-run after partial
+    completion skips finished shards; a re-run after success is a no-op."""
+    from search_engine_ray.pipelines.build import build_sharded
+
+    config = EngineConfig()
+    table = synth_zipf_table(150, n_tokens=20, vocab=200)
+    shards = [
+        ("s0", rd.from_arrow(table.slice(0, 50))),
+        ("s1", rd.from_arrow(table.slice(50, 50))),
+        ("s2", rd.from_arrow(table.slice(100))),
+    ]
+    full_out = str(tmp_path / "full")
+    build_index(rd.from_arrow(table), full_out, config, doc_id_mode="rank", resume=False)
+
+    out = str(tmp_path / "sharded")
+    res = build_sharded(shards, out, config)
+    assert res.n_docs == 150
+    assert len(generation_dirs(out)) == 1  # compacted
+    sf, ss = SegmentSearcher(full_out, config), SegmentSearcher(out, config)
+    for q, mode in [("w0 w1", "or"), ("w1 w2", "and")]:
+        got = [(r.doc_id, round(r.score, 9)) for r in ss.search_bm25(q, k=10, mode=mode)]
+        want = [(r.doc_id, round(r.score, 9)) for r in sf.search_bm25(q, k=10, mode=mode)]
+        assert got == want, (q, mode)
+    # full re-run after success: no work, same answer
+    res2 = build_sharded(shards, out, config)
+    assert res2.timings.get("sharded") == 0.0
+    assert res2.n_docs == 150
+
+
+def test_compaction_mixed_salt_configs(ray_session, tmp_path):
+    """Generations that disagree about a term's hotness (one salted, one
+    not) must re-salt uniformly at compaction — the ascending-run invariant
+    is checked by the merge itself (raises on violation)."""
+    import shutil as _sh
+
+    from search_engine_ray.pipelines.build import compact
+
+    salted = EngineConfig(block_size=32, salt_shift=6, salt_df_threshold=10)
+    unsalted = EngineConfig(block_size=32, salt_shift=0)
+    table = synth_zipf_table(400, n_tokens=30, vocab=100)
+    out = str(tmp_path / "mixed")
+    # gen 0 salted (low threshold -> hot terms salted), gen 1 UNSALTED
+    build_index(rd.from_arrow(table.slice(0, 200)), out, salted, doc_id_mode="rank", resume=False)
+    add_generation(out, rd.from_arrow(table.slice(200)), unsalted)
+    pre = SegmentSearcher(out, salted)
+    pre_res = [(r.doc_id, round(r.score, 9)) for r in pre.search_bm25(f"{HOT_TERM} w1", k=10, mode="or")]
+    res = compact(out, salted)  # compaction config decides re-salting
+    assert res.n_docs == 400
+    post = SegmentSearcher(out, salted)
+    post_res = [(r.doc_id, round(r.score, 9)) for r in post.search_bm25(f"{HOT_TERM} w1", k=10, mode="or")]
+    assert post_res == pre_res
