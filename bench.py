@@ -211,15 +211,34 @@ def _build_documents_sf(sf_dir: str) -> dict:
     return {"wall_sec": time.perf_counter() - t0}
 
 
+def _training_data_ops(sf_dir: str) -> dict:
+    """Wall time of the headline training-data pipelines at the bench SF
+    (exact dedup, MinHash+LSH near-dup with join verify, ANN top-k)."""
+    import __ray_entry__ as e
+
+    out = {}
+    for key in ("exact_dedup", "minhash_pairs", "ann_cosine_topk"):
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        res = e.queries()[key](sf_dir)
+        n = res.count() if isinstance(res, rd.Dataset) else len(res)
+        out[f"{key}_sf_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"{key}_sf_rows"] = int(n)
+    return out
+
+
 def run_default() -> dict:
     ray = _init_ray(NUM_CPUS)
     try:
         synth = _build_synth(NUM_CPUS, BENCH_DOCS)
         sf_build = _build_documents_sf(SF_DIR)
+        td_ops = _training_data_ops(SF_DIR)
         qlat = _query_latencies(synth)
     finally:
         ray.shutdown()
     queries = dict(qlat["per_query"])
+    queries.update(td_ops)
     queries["build_synth_sec"] = round(synth["wall_sec"], 3)
     queries["build_documents_sf_sec"] = round(sf_build["wall_sec"], 3)
     queries["query_p50_sec"] = qlat["p50_sec"]
