@@ -120,12 +120,57 @@ def minhash_signature(
     return prod.min(axis=1).astype(np.uint64)
 
 
+def minhash_signatures_batch(
+    per_doc_shingles: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures for a whole batch in ONE matrix pass:
+    hash every shingle once, per-doc min via reduceat — identical values to
+    per-doc ``minhash_signature`` (tested), no per-doc Python matrix."""
+    n_docs = len(per_doc_shingles)
+    num_perm = len(a)
+    lens = np.array([len(s) for s in per_doc_shingles], dtype=np.int64)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nz = np.flatnonzero(lens)
+    if not len(nz):
+        return out
+    flat = np.concatenate([per_doc_shingles[i] for i in nz])
+    prod = (a[:, None] * flat[None, :] + b[:, None]) % _PRIME  # (perm, N)
+    starts = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    mins = np.minimum.reduceat(prod, starts, axis=1)  # (perm, n_nonzero)
+    out[nz] = mins.T
+    return out
+
+
+_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix64 multiplier
+_FNV = np.uint64(0x100000001B3)
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) LSH band bucket keys: an FNV-style fold of each band's
+    ``rows`` signature values through a 64-bit avalanche mix, fully vectorized
+    (no per-doc Python). Two docs agree on a band key iff their band
+    signatures agree (up to a 2^-63 hash collision, absorbed by the exact
+    verify stage downstream)."""
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // bands
+    view = np.ascontiguousarray(sigs[:, : bands * rows]).reshape(n_docs, bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full((n_docs, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        for r in range(rows):
+            x = view[:, :, r].copy()
+            x ^= x >> np.uint64(33)
+            x *= _MIX
+            x ^= x >> np.uint64(29)
+            h = (h ^ x) * _FNV
+    # top bit dropped so the key is a nonnegative int64 (Arrow-friendly)
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
 def band_keys(sig: np.ndarray, bands: int) -> list[int]:
-    """LSH band bucket keys: crc32 over each band's bytes."""
-    rows = len(sig) // bands
-    return [
-        zlib.crc32(sig[i * rows : (i + 1) * rows].tobytes()) for i in range(bands)
-    ]
+    """LSH band bucket keys for ONE signature (reference implementation of
+    ``band_keys_batch``, same values row by row)."""
+    return band_keys_batch(sig.reshape(1, -1), bands)[0].tolist()
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

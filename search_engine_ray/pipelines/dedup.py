@@ -4,15 +4,18 @@ embedding near-dup.
 Distributed shapes (no whole-dataset driver materialization anywhere):
 - exact: hash-partition by text fingerprint -> per-group min(doc_id) winner
   (groupby, the D2 url-dedup pattern at corpus scale).
-- n-gram Jaccard: shingle explode -> groupby(shingle) -> within-bucket pair
-  emit (group size capped by ``max_group``) -> groupby(pair) intersection
-  counts -> hash join against the per-doc shingle-count dataset (twice, once
-  per pair side) -> jaccard = |I| / (|A|+|B|-|I|). Exact, no probabilistic
-  step — doubles as the verifier for MinHash.
-- MinHash+LSH: per-doc signature (vectorized universal hashing) -> band
-  explode -> groupby(band bucket) -> candidate pairs -> exact-jaccard verify
-  via hash join of the (doc_id, shingles) dataset onto each pair side —
-  shingle sets travel to their candidate pairs, never to the driver.
+- n-gram Jaccard: shingle explode (each row CARRIES its doc's shingle
+  count) -> ONE shuffle into coarse key buckets (``_pairs_in_buckets``:
+  vectorized per-key pair emission, hot keys capped by ``max_group``
+  locally) -> ONE more coarse shuffle by pair for the intersection count
+  (``_pair_counts``) -> jaccard = |I| / (|A|+|B|-|I|) scored in a stateless
+  map_batches. Exact, no probabilistic step, ZERO hash joins — the per-doc
+  counts travel with the pairs. Doubles as the verifier for MinHash.
+- MinHash+LSH: per-doc signature (one vectorized matrix pass per batch) ->
+  band rows with the band index salted into the key -> the same coarse
+  bucketed pair emit -> exact-jaccard verify via hash join of the
+  (doc_id, shingles) dataset onto each pair side — shingle sets travel to
+  their candidate pairs, never to the driver.
 - SimHash: 64-bit signature per doc; near-dup pairs via 4x16-bit band
   blocking (Hamming <= 3 guaranteed caught by pigeonhole).
 - embedding near-dup: EXACT all-pairs as a block cross-product — the matrix
@@ -29,17 +32,16 @@ import logging
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max, Min
 
 from search_engine_ray.functions.textstats import (
-    band_keys,
+    band_keys_batch,
     md5_fingerprints,
     minhash_params,
-    minhash_signature,
+    minhash_signatures_batch,
     shingle_hashes,
     simhash64_batch,
     token_lists,
@@ -76,9 +78,9 @@ def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
 
 
 def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
-    """(shingle, doc_id) rows — one DISTINCT shingle hash per (doc, shingle).
-    Single pass; per-doc counts are derived downstream by a groupby, not a
-    second tokenize+hash pass."""
+    """(shingle, doc_id, n_doc) rows — one DISTINCT shingle hash per
+    (doc, shingle), each row carrying its doc's total shingle count so
+    downstream Jaccard scoring needs no per-doc-count join."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     toks = token_lists(batch.column("text")).to_pylist()
     per_doc = [shingle_hashes([w.lower() for w in words], k) for words in toks]
@@ -92,6 +94,7 @@ def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
                 pa.int64(),
             ),
             "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
+            "n_doc": pa.array(np.repeat(n, n), pa.int64()),
         }
     )
 
@@ -103,39 +106,165 @@ def _pair_table(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ids[a_idx], ids[b_idx]
 
 
-def _make_pairs_in_group(max_group: int | None, what: str):
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if max_group is not None and len(ids) > max_group:
-            # a genuinely hot bucket: quadratic pair-emit would explode —
-            # drop it, loudly. (At crawl scale a shingle shared by >max_group
-            # docs carries ~no Jaccard signal anyway: it is a stop-shingle.)
-            logger.warning(
-                "%s: dropping hot group of %d docs (> max_group=%d)",
-                what,
-                len(ids),
-                max_group,
-            )
-            ids = ids[:0]
-        a, b = _pair_table(ids)
-        return pa.table(
-            {
-                "doc_a": pa.array(a, pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-            }
+def _n_pair_buckets() -> int:
+    # ~8 coarse buckets per expected CPU: enough parallelism that the emit
+    # stage saturates the pool, few enough that per-group Python overhead is
+    # nil. At cluster scale this tracks cluster CPUs automatically.
+    try:
+        return max(64, int(ray.cluster_resources().get("CPU", 8)) * 8)
+    except Exception:
+        return 64
+
+
+def _bucketer(key_col: str, n_buckets: int, salt: int = 0x9E3779B97F4A7C15):
+    """map_batches fn appending a coarse ``_bkt`` hash bucket of ``key_col``."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(salt)) >> np.uint64(32)
+        return batch.append_column(
+            "_bkt", pa.array((b % np.uint64(n_buckets)).astype(np.int64), pa.int64())
         )
 
-    return pairs_in_group
+    return bucket
 
 
-def _shingle_count_ds(shingle_ds: rd.Dataset) -> rd.Dataset:
-    schema = pa.schema([("doc_id", pa.int64()), ("n_shingles", pa.int64())])
-    counts = _pin_blocks(
-        shingle_ds.groupby("doc_id").aggregate(Count(alias_name="n_shingles")), schema
+def _pairs_in_buckets(
+    rows: rd.Dataset,
+    key_col: str,
+    max_group: int | None,
+    what: str,
+    payload_cols: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """Candidate pairs (doc_a < doc_b) sharing ``key_col``, ONE occurrence
+    per shared key (so a downstream pair-count == number of shared keys).
+    Each ``payload_cols`` column c (a per-doc attribute riding on the row)
+    is carried onto both pair sides as ``c_a`` / ``c_b`` — this is what lets
+    downstream scoring avoid hash joins entirely.
+
+    Shape: rows are shuffled once, grouped by a COARSE bucket of the key
+    (key mod n_buckets) — one Python call per bucket, not one per distinct
+    key — and the per-key pair emission inside a bucket is fully vectorized
+    (run-length boundaries + repeat/cumsum index algebra, no Python loop).
+    ``max_group`` caps genuinely hot keys locally (all rows of a key land in
+    one bucket): a key shared by that many docs carries ~no similarity
+    signal — it is a stop-shingle — and quadratic emit on it would explode.
+    ``rows`` must contain at most one row per (key, doc_id)."""
+    n_buckets = _n_pair_buckets()
+    out_names = ["doc_a", "doc_b"] + [
+        f"{c}_{s}" for c in payload_cols for s in ("a", "b")
+    ]
+
+    def emit(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pay = {
+            c: group.column(c).to_numpy(zero_copy_only=False) for c in payload_cols
+        }
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        n = len(keys)
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        cnts = np.diff(np.append(starts, n))
+        ok = cnts >= 2
+        if max_group is not None:
+            hot = cnts > max_group
+            if hot.any():
+                logger.warning(
+                    "%s: dropping %d hot keys (> max_group=%d, largest %d docs)",
+                    what,
+                    int(hot.sum()),
+                    max_group,
+                    int(cnts.max()),
+                )
+            ok &= ~hot
+        starts, cnts = starts[ok], cnts[ok]
+        empty = pa.table(
+            {name: pa.array([], pa.int64()) for name in out_names}
+        )
+        if not len(starts):
+            return empty
+        # gather rows of surviving keys into one contiguous array
+        total = int(cnts.sum())
+        prev = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        sel = np.repeat(starts - prev, cnts) + np.arange(total)
+        idk = ids[sel]
+        # each row at in-group position p is 'doc_a' for (cnt-1-p) pairs
+        pos = np.arange(total) - np.repeat(prev, cnts)
+        rep = np.repeat(cnts, cnts) - 1 - pos
+        npairs = int(rep.sum())
+        if not npairs:
+            return empty
+        a_pos = np.repeat(np.arange(total), rep)
+        run_prev = np.concatenate(([0], np.cumsum(rep)[:-1]))
+        off = np.arange(npairs) - np.repeat(run_prev, rep)
+        b_pos = a_pos + 1 + off
+        cols = {
+            "doc_a": pa.array(idk[a_pos], pa.int64()),
+            "doc_b": pa.array(idk[b_pos], pa.int64()),
+        }
+        for c in payload_cols:
+            vk = pay[c][order][sel]
+            cols[f"{c}_a"] = pa.array(vk[a_pos], pa.int64())
+            cols[f"{c}_b"] = pa.array(vk[b_pos], pa.int64())
+        return pa.table(cols)
+
+    return (
+        rows.map_batches(_bucketer(key_col, n_buckets), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(emit, batch_format="pyarrow")
     )
-    # sentinel count row: keeps the sentinel PAIR alive through both joins
-    # (and the join inputs never block-empty); filtered in the score stage.
-    return counts.union(_sentinel_row(schema, doc_id=_SENTINEL, n_shingles=0))
+
+
+def _pair_counts(
+    pairs: rd.Dataset, count_col: str, payload_cols: tuple[str, ...] = ()
+) -> rd.Dataset:
+    """(doc_a, doc_b, <payload firsts>, count_col) — one row per distinct
+    pair with its multiplicity, via the SAME coarse-bucket shape as
+    ``_pairs_in_buckets``: one shuffle on a hash bucket of the pair, then a
+    vectorized run-length count per bucket (no per-pair Python, no
+    multi-column sort-based groupby). Payload columns (anything besides
+    doc_a/doc_b) are per-doc attributes, constant within a pair — the run's
+    first value is kept."""
+    n_buckets = _n_pair_buckets()
+    payload = [f"{c}_{s}" for c in payload_cols for s in ("a", "b")]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (
+                a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)
+            ) >> np.uint64(32)
+        return batch.append_column(
+            "_bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def count(group: pa.Table) -> pa.Table:
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        n = len(a)
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, n))
+        cols = {
+            "doc_a": pa.array(a[starts], pa.int64()),
+            "doc_b": pa.array(b[starts], pa.int64()),
+        }
+        for c in payload:
+            v = group.column(c).to_numpy(zero_copy_only=False)[order]
+            cols[c] = pa.array(v[starts], pa.int64())
+        cols[count_col] = pa.array(cnts, pa.int64())
+        return pa.table(cols)
+
+    return (
+        pairs.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(count, batch_format="pyarrow")
+    )
 
 
 # A doc_id no real corpus uses. Ray's groupby-aggregate emits a SCHEMALESS
@@ -147,15 +276,14 @@ def _shingle_count_ds(shingle_ds: rd.Dataset) -> rd.Dataset:
 _SENTINEL = -(2**62)
 
 
-def _sentinel_pairs() -> rd.Dataset:
-    return rd.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array([_SENTINEL], pa.int64()),
-                "doc_b": pa.array([_SENTINEL], pa.int64()),
-            }
-        )
-    )
+def _sentinel_pairs(**extra: int) -> rd.Dataset:
+    cols = {
+        "doc_a": pa.array([_SENTINEL], pa.int64()),
+        "doc_b": pa.array([_SENTINEL], pa.int64()),
+    }
+    for name, v in extra.items():
+        cols[name] = pa.array([v], pa.int64())
+    return rd.from_arrow(pa.table(cols))
 
 
 def _sentinel_row(schema: pa.Schema, **cols) -> rd.Dataset:
@@ -192,32 +320,6 @@ def _pin_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     )
 
 
-def _attach_counts(pairs: rd.Dataset, counts: rd.Dataset, parts: int) -> rd.Dataset:
-    """Hash-join per-doc shingle counts onto both pair sides:
-    (doc_a, doc_b, n_inter) -> + (n_a, n_b). The join ships counts to the
-    pairs — nothing lands on the driver. Pinned between the joins because a
-    join output partition with zero rows poisons the next join (see
-    _pin_blocks)."""
-    value_col = [c for c in pairs.schema().names if c not in ("doc_a", "doc_b")][0]
-    j = pairs.join(
-        counts, "inner", num_partitions=parts, on=("doc_a",), right_on=("doc_id",)
-    ).rename_columns({"n_shingles": "n_a"})
-    j = _pin_blocks(
-        j,
-        pa.schema(
-            [
-                ("doc_a", pa.int64()),
-                ("doc_b", pa.int64()),
-                (value_col, pa.int64()),
-                ("n_a", pa.int64()),
-            ]
-        ),
-    )
-    return j.join(
-        counts, "inner", num_partitions=parts, on=("doc_b",), right_on=("doc_id",)
-    ).rename_columns({"n_shingles": "n_b"})
-
-
 def ngram_jaccard_pairs_ds(
     docs: rd.Dataset,
     k: int = 3,
@@ -229,35 +331,30 @@ def ngram_jaccard_pairs_ds(
     Shuffle-count analysis: shingle explode is the wide step; the pair-emit
     inside a shingle group is quadratic in group size, so ``max_group``
     (default None = exact, for oracle parity) caps genuinely hot shingles
-    with a logged drop at crawl scale. Per-doc shingle counts are a
-    groupby-count over the same exploded rows and are hash-JOINED onto the
-    candidate pairs — no driver-side count dict."""
+    with a logged drop at crawl scale. Per-doc shingle counts RIDE on the
+    exploded rows and onto the pairs (``payload_cols``), so the score is a
+    stateless map over the pair counts — zero joins, no driver state."""
     shingle_ds = docs.map_batches(
         lambda b: _shingle_rows(b, k), batch_format="pyarrow"
-    )
-    counts = _shingle_count_ds(shingle_ds)
-
-    inter = (
-        shingle_ds.groupby("shingle")
-        .map_groups(
-            _make_pairs_in_group(max_group, "ngram_jaccard"), batch_format="pyarrow"
+    ).union(
+        _sentinel_row(
+            pa.schema(
+                [("shingle", pa.int64()), ("doc_id", pa.int64()), ("n_doc", pa.int64())]
+            ),
+            shingle=_SENTINEL,
+            doc_id=_SENTINEL,
+            n_doc=0,
         )
-        .union(_sentinel_pairs())
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_inter"))
     )
-    inter = _pin_blocks(
-        inter,
-        pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_inter", pa.int64())]
-        ),
-    )
-    joined = _attach_counts(inter, counts, _join_partitions())
+    pairs = _pairs_in_buckets(
+        shingle_ds, "shingle", max_group, "ngram_jaccard", payload_cols=("n_doc",)
+    ).union(_sentinel_pairs(n_doc_a=0, n_doc_b=0))
+    counted = _pair_counts(pairs, "n_inter", payload_cols=("n_doc",))
 
     def score(batch: pa.Table) -> pa.Table:
         ni = batch.column("n_inter").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("n_doc_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("n_doc_b").to_numpy(zero_copy_only=False).astype(np.float64)
         real = batch.column("doc_a").to_numpy(zero_copy_only=False) != _SENTINEL
         jac = ni / np.maximum(na + nb - ni, 1.0)
         keep = (jac >= threshold) & real
@@ -269,36 +366,41 @@ def ngram_jaccard_pairs_ds(
             }
         )
 
-    return joined.map_batches(score, batch_format="pyarrow")
+    return counted.map_batches(score, batch_format="pyarrow")
 
 
 class _MinhashBands:
-    """Actor-pool stage: doc -> LSH band rows (band_id, band_key, doc_id).
-    Permutation params generated once per actor (seeded, identical)."""
+    """Actor-pool stage: doc -> LSH band rows (band_key, doc_id), one row per
+    band with the band index salted INTO the key (two docs share a band_key
+    iff they agree on that band's signature slice). Permutation params
+    generated once per actor (seeded, identical)."""
 
     def __init__(self, num_perm: int, bands: int, k: int) -> None:
         self.a, self.b = minhash_params(num_perm)
         self.bands = bands
         self.k = k
+        with np.errstate(over="ignore"):
+            self.band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * (
+                np.uint64(0x9E3779B97F4A7C15)
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         toks = token_lists(batch.column("text")).to_pylist()
-        band_id: list[int] = []
-        band_key: list[int] = []
-        doc_out: list[int] = []
-        for d, words in zip(ids, toks):
-            hs = shingle_hashes([w.lower() for w in words], self.k)
-            sig = minhash_signature(hs, self.a, self.b)
-            for bi, bk in enumerate(band_keys(sig, self.bands)):
-                band_id.append(bi)
-                band_key.append(bk)
-                doc_out.append(d)
+        per_doc = [
+            shingle_hashes([w.lower() for w in words], self.k) for words in toks
+        ]
+        # one matrix pass for the whole batch (per-doc minhash matrices
+        # were the stage's hot spot), then vectorized banded keys
+        sigs = minhash_signatures_batch(per_doc, self.a, self.b)
+        keys = band_keys_batch(sigs, self.bands)  # (n_docs, bands)
+        packed = (keys.astype(np.uint64) ^ self.band_salt[None, :]) & np.uint64(
+            (1 << 63) - 1
+        )
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int64()),
-                "band_key": pa.array(band_key, pa.int64()),
-                "doc_id": pa.array(doc_out, pa.int64()),
+                "band_key": pa.array(packed.astype(np.int64).reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
             }
         )
 
@@ -358,14 +460,12 @@ def minhash_lsh_pairs_ds(
         concurrency=concurrency,
     )
 
-    cand = (
-        bands_ds.groupby(["band_id", "band_key"])
-        .map_groups(
-            _make_pairs_in_group(max_group, "minhash_lsh"), batch_format="pyarrow"
-        )
-        .union(_sentinel_pairs())
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
+    parts = _join_partitions()
+    cand = _pair_counts(
+        _pairs_in_buckets(bands_ds, "band_key", max_group, "minhash_lsh").union(
+            _sentinel_pairs()
+        ),
+        "n_bands",
     )
     cand = _pin_blocks(
         cand,
@@ -373,8 +473,6 @@ def minhash_lsh_pairs_ds(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
         ),
     )
-
-    parts = _join_partitions()
     sets_ds = _shingle_set_ds(docs, k)
     j = cand.join(
         sets_ds, "inner", num_partitions=parts, on=("doc_a",), right_on=("doc_id",)
