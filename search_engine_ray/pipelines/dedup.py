@@ -50,11 +50,36 @@ from search_engine_ray.functions.textstats import (
 logger = logging.getLogger(__name__)
 
 
-def _join_partitions() -> int:
+def _cluster_cpus() -> int:
     try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         return 4
+
+
+def _join_partitions(est_rows: int | None = None) -> int:
+    cap = max(2, _cluster_cpus() // 2)
+    if est_rows is None:
+        return cap
+    # data-proportional: each hash-join partition should hold ~200k rows;
+    # tiny inputs get few partitions (the per-partition fixed cost dominates
+    # them), huge inputs cap at the CPU count and grow per-partition size
+    return max(2, min(cap, est_rows // 200_000 + 1))
+
+
+_SHUFFLE_ROWS_PER_BLOCK = 131_072
+
+
+def _coalesced(rows: rd.Dataset, est_rows: int | None) -> rd.Dataset:
+    """Right-size block count before an all-to-all: the sort shuffle pays a
+    fixed per-block cost, so 64 tiny blocks cost ~10x more than 2 right
+    blocks (measured). Blocks scale with the DATA (est_rows / 128k), capped
+    at 2x cluster CPUs — at 100TB the cap keeps blocks large, at bench scale
+    tiny inputs collapse to a handful of blocks. No-op when est is unknown."""
+    if est_rows is None:
+        return rows
+    n = max(1, min(_cluster_cpus() * 2, est_rows // _SHUFFLE_ROWS_PER_BLOCK + 1))
+    return rows.repartition(n)
 
 
 def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
@@ -136,6 +161,7 @@ def _pairs_in_buckets(
     max_group: int | None,
     what: str,
     payload_cols: tuple[str, ...] = (),
+    est_rows: int | None = None,
 ) -> rd.Dataset:
     """Candidate pairs (doc_a < doc_b) sharing ``key_col``, ONE occurrence
     per shared key (so a downstream pair-count == number of shared keys).
@@ -211,14 +237,18 @@ def _pairs_in_buckets(
         return pa.table(cols)
 
     return (
-        rows.map_batches(_bucketer(key_col, n_buckets), batch_format="pyarrow")
+        _coalesced(rows, est_rows)
+        .map_batches(_bucketer(key_col, n_buckets), batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(emit, batch_format="pyarrow")
     )
 
 
 def _pair_counts(
-    pairs: rd.Dataset, count_col: str, payload_cols: tuple[str, ...] = ()
+    pairs: rd.Dataset,
+    count_col: str,
+    payload_cols: tuple[str, ...] = (),
+    est_rows: int | None = None,
 ) -> rd.Dataset:
     """(doc_a, doc_b, <payload firsts>, count_col) — one row per distinct
     pair with its multiplicity, via the SAME coarse-bucket shape as
@@ -261,7 +291,8 @@ def _pair_counts(
         return pa.table(cols)
 
     return (
-        pairs.map_batches(bucket, batch_format="pyarrow")
+        _coalesced(pairs, est_rows)
+        .map_batches(bucket, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(count, batch_format="pyarrow")
     )
@@ -302,9 +333,10 @@ def _cast_block(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return t.select(schema.names).cast(schema)
 
 
-def _pin_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+def _pin_blocks(ds: rd.Dataset, schema: pa.Schema) -> tuple[rd.Dataset, int]:
     """Drop empty blocks and cast the rest to ``schema`` (remote tasks;
-    blocks never touch the driver).
+    blocks never touch the driver); returns (pinned dataset, row count) —
+    the count is a free byproduct and lets callers size downstream joins.
 
     Ray 2.49's hash-shuffle join crashes on ANY empty input block — typed or
     not ('no match for key field' in Acero) — and groupby-aggregate emits
@@ -315,9 +347,10 @@ def _pin_blocks(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
     row does)."""
     refs = ds.to_arrow_refs()
     sizes = ray.get([_block_rows.remote(r) for r in refs])
-    return rd.from_arrow_refs(
+    pinned = rd.from_arrow_refs(
         [_cast_block.remote(r, schema) for r, n in zip(refs, sizes) if n]
     )
+    return pinned, int(sum(sizes))
 
 
 def ngram_jaccard_pairs_ds(
@@ -334,6 +367,9 @@ def ngram_jaccard_pairs_ds(
     with a logged drop at crawl scale. Per-doc shingle counts RIDE on the
     exploded rows and onto the pairs (``payload_cols``), so the score is a
     stateless map over the pair counts — zero joins, no driver state."""
+    # row estimate for shuffle block sizing: ~1 shingle per token, ~100
+    # tokens/doc. count() is metadata-cheap on parquet-backed inputs.
+    est = (docs.count() or 0) * 100
     shingle_ds = docs.map_batches(
         lambda b: _shingle_rows(b, k), batch_format="pyarrow"
     ).union(
@@ -347,9 +383,14 @@ def ngram_jaccard_pairs_ds(
         )
     )
     pairs = _pairs_in_buckets(
-        shingle_ds, "shingle", max_group, "ngram_jaccard", payload_cols=("n_doc",)
+        shingle_ds,
+        "shingle",
+        max_group,
+        "ngram_jaccard",
+        payload_cols=("n_doc",),
+        est_rows=est,
     ).union(_sentinel_pairs(n_doc_a=0, n_doc_b=0))
-    counted = _pair_counts(pairs, "n_inter", payload_cols=("n_doc",))
+    counted = _pair_counts(pairs, "n_inter", payload_cols=("n_doc",), est_rows=est)
 
     def score(batch: pa.Table) -> pa.Table:
         ni = batch.column("n_inter").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -453,6 +494,8 @@ def minhash_lsh_pairs_ds(
         from search_engine_ray.util import default_pool_size
 
         concurrency = default_pool_size()
+    n_docs = docs.count() or 0
+    est_band_rows = n_docs * bands
     bands_ds = docs.map_batches(
         _MinhashBands,
         fn_constructor_args=(num_perm, bands, k),
@@ -460,24 +503,25 @@ def minhash_lsh_pairs_ds(
         concurrency=concurrency,
     )
 
-    parts = _join_partitions()
     cand = _pair_counts(
-        _pairs_in_buckets(bands_ds, "band_key", max_group, "minhash_lsh").union(
-            _sentinel_pairs()
-        ),
+        _pairs_in_buckets(
+            bands_ds, "band_key", max_group, "minhash_lsh", est_rows=est_band_rows
+        ).union(_sentinel_pairs()),
         "n_bands",
+        est_rows=est_band_rows,
     )
-    cand = _pin_blocks(
+    cand, n_cand = _pin_blocks(
         cand,
         pa.schema(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
         ),
     )
-    sets_ds = _shingle_set_ds(docs, k)
+    parts = _join_partitions(n_cand + n_docs)
+    sets_ds = _coalesced(_shingle_set_ds(docs, k), n_docs)
     j = cand.join(
         sets_ds, "inner", num_partitions=parts, on=("doc_a",), right_on=("doc_id",)
     ).rename_columns({"shingles": "shingles_a"})
-    j = _pin_blocks(
+    j, _ = _pin_blocks(
         j,
         pa.schema(
             [
@@ -582,8 +626,9 @@ def simhash_neardup_pairs_ds(docs: rd.Dataset, max_hamming: int = 3) -> rd.Datas
             }
         )
 
+    est = (docs.count() or 0) * 4
     return (
-        sig_ds.map_batches(explode, batch_format="pyarrow")
+        _coalesced(sig_ds.map_batches(explode, batch_format="pyarrow"), est)
         .groupby(["band_id", "band_val"])
         .map_groups(pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
@@ -736,8 +781,10 @@ def embedding_neardup_lsh_pairs_ds(
             }
         )
 
+    est = (embeddings.count() or 0) * n_tables
     return (
-        bucketed.groupby(["table_id", "bucket"])
+        _coalesced(bucketed, est)
+        .groupby(["table_id", "bucket"])
         .map_groups(pairs, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))
