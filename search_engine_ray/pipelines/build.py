@@ -588,7 +588,6 @@ def _build_index_fused(
     file + emit postings] -> disk shuffle -> merge. One streamed pass over
     the corpus; corpus stats accumulate in a side actor and are final at
     the shuffle-write barrier (exactly when the merge needs them)."""
-    import uuid
 
     from search_engine_ray.state import fsio
 
@@ -622,7 +621,13 @@ def _build_index_fused(
         _cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         _cpus = 4
-    emit_blocks = min(target_blocks, max(8, round(_cpus / heavy_cpus * 1.5)))
+    # Fused emit tasks interleave tokenize/emit compute with their own
+    # docs + shuffle writes (see fused_tail), so they run at num_cpus=1 —
+    # the I/O phases relieve the memory pressure that forces pure-compute
+    # merge tasks to heavy_cpus slots. ~3 blocks per CPU packs the tail
+    # waves (2M docs @ 32 CPUs: 24 blocks/heavy=2/Write-op = 20.7s stream,
+    # 96 blocks/1 cpu/inline write = 6.8s; @ 8 CPUs 22.5s -> 18.8s).
+    emit_blocks = max(8, _cpus * 3)
 
     n_dup_urls_skipped = 0
     t0 = time.perf_counter()
@@ -714,26 +719,63 @@ def _build_index_fused(
         )
     ds = ds.map_batches(_assign_doc_ids_rank, batch_format="pyarrow")
 
+    shuffle_dir = _shuffle_dir_for(out_dir)
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
+
     def fused_tail(batch: pa.Table) -> pa.Table:
         from search_engine_ray.util import limit_arrow_threads
 
         limit_arrow_threads()
         batch = tokenize_docs_batch(batch)
+        if not batch.num_rows:
+            return pa.table({"n": pa.array([0], pa.int64())})
         doc_tbl = batch.select(DOCS_COLUMNS)
-        pq.write_table(
-            doc_tbl, os.path.join(docs_dir, f"part-{uuid.uuid4().hex}.parquet")
-        )
+        # deterministic file names (min doc_id is unique per batch and
+        # stable across task retries): a retried task OVERWRITES its own
+        # partial output instead of duplicating postings under a fresh
+        # uuid — the map-side shuffle write is idempotent.
+        stem = f"b{pc.min(doc_tbl.column('doc_id')).as_py():014d}"
+        pq.write_table(doc_tbl, os.path.join(docs_dir, f"part-{stem}.parquet"))
         dl_sum = pc.sum(doc_tbl.column("dl")).as_py() or 0
         ray.get(stats_acc.add.remote(doc_tbl.num_rows, int(dl_sum)))
-        return emit_postings_batch(batch, emit_config, hot_terms)
+        # map-side bucket-partitioned shuffle write INSIDE the emit task:
+        # postings never enter the object store and Ray's separate Write
+        # operator (a second scheduling wave over every block) disappears
+        # (2M docs @ 32 CPUs: 21.3s -> 6.8s stream wall)
+        out = emit_postings_batch(batch, emit_config, hot_terms)
+        bk = out.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(bk, kind="stable")
+        srt = out.take(pa.array(order))
+        bks = bk[order]
+        starts = np.flatnonzero(np.concatenate(([True], bks[1:] != bks[:-1])))
+        ends = np.append(starts[1:], len(bks))
+        for st, en in zip(starts, ends):
+            bdir = os.path.join(shuffle_dir, f"bucket={bks[st]}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(
+                srt.slice(st, en - st).drop_columns(["bucket"]),
+                os.path.join(bdir, f"{stem}.parquet"),
+            )
+        return pa.table({"n": pa.array([out.num_rows], pa.int64())})
 
-    postings = ds.map_batches(
+    stats_rows = ds.map_batches(
         fused_tail,
         batch_format="pyarrow",
         batch_size=postings_batch_size,
-        num_cpus=heavy_cpus,
+        num_cpus=1,
     )
-    shuffle_dir, bucket_dirs = _shuffle_write(postings, out_dir, timings)
+    t_pipe = time.perf_counter()
+    stats_rows.sum("n")  # the stage barrier: all emit/write tasks have run
+    timings["shuffle_write"] = time.perf_counter() - t_pipe
+    bucket_dirs = (
+        sorted(
+            os.path.join(shuffle_dir, d)
+            for d in os.listdir(shuffle_dir)
+            if d.startswith("bucket=")
+        )
+        if os.path.isdir(shuffle_dir)
+        else []
+    )
     n_docs, sum_dl = ray.get(stats_acc.get.remote())
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
@@ -952,19 +994,18 @@ def build_index(
     n_rows = -1
     if not (resume and manifest_valid(manifest, fingerprint)):
         fsio.rmtree(seg_dir)
-        # emit-block sizing: the Hive-partitioned shuffle write creates
-        # (emit blocks x merge buckets) files, and tiny-file creation alone
-        # dominated shuffle_write wall (~5ms/file). Emit concurrency is
-        # already capped at cpus/heavy_cpus slots, so fewer, LARGER emit
-        # blocks cost no parallelism and cut the file count.
+        # emit-block sizing balances two measured costs: the Hive-
+        # partitioned shuffle write creates (emit blocks x merge buckets)
+        # files (~5ms each), while too-FEW blocks leave tail waves
+        # underpacked and stall the pipeline (24 vs 48 blocks at 32 CPUs:
+        # 20.7s vs 13.4s stream wall). ~3 tasks per heavy slot is the
+        # sweet spot.
         heavy_cpus = _resolve_heavy_cpus()
         try:
             _cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             _cpus = 4
-        emit_blocks = min(
-            target_blocks, max(8, round(_cpus / heavy_cpus * 1.5))
-        )
+        emit_blocks = max(8, round(_cpus / heavy_cpus * 3))
         docs_ds = rd.read_parquet(
             docs_dir,
             columns=["doc_id", "tokens", "dl"],

@@ -68,16 +68,26 @@ def synth_zipf_parquet(
     cache_dir: str = "/tmp/search_engine_ray_synth",
     **kwargs,
 ) -> str:
-    """Generate (or reuse) the corpus as a parquet directory; returns path."""
+    """Generate (or reuse) the corpus as a parquet directory; returns path.
+
+    Written as MANY part files (~62k docs each): Ray assigns read tasks per
+    FILE, so a single 900 MB file reads in ONE task — a measured 14 s
+    serial floor that capped stream-phase scaling. Many files is also the
+    honest crawl shape (a 100 TB corpus is never one parquet file)."""
     key = f"n{n_docs}_" + "_".join(f"{k}{v}" for k, v in sorted(kwargs.items()))
-    path = os.path.join(cache_dir, key or f"n{n_docs}")
-    marker = os.path.join(path, "_complete")
+    path = os.path.join(cache_dir, key + "_sharded")
+    # sibling marker: the corpus dir must hold ONLY parquet files
+    marker = path + ".complete"
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
         t = synth_zipf_table(n_docs, **kwargs)
-        # multiple row groups so Ray parallelizes the read
-        pq.write_table(
-            t, os.path.join(path, "pages.parquet"), row_group_size=max(1000, n_docs // 64)
-        )
+        per_file = 62_500
+        n_files = max(1, -(-n_docs // per_file))
+        for i in range(n_files):
+            pq.write_table(
+                t.slice(i * per_file, per_file),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+                row_group_size=16384,
+            )
         open(marker, "w").close()
-    return os.path.join(path, "pages.parquet")
+    return path
