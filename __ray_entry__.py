@@ -149,6 +149,36 @@ def q_exact_dedup(sf_dir: str):
     return exact_dedup_ds(_docs(sf_dir))
 
 
+def q_url_dedup(sf_dir: str):
+    """Exact URL dedup in the batch build path (SURVEY D2): documents
+    adapted to a pages shape where every 3 consecutive doc_ids share one
+    url; the build's dedup keeps the deterministic winner (min add_order).
+    Returns one (url, keep_doc_id) row per distinct url."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.build import url_dedup_ds
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{i // 3}" for i in ids], pa.string()),
+                "add_order": pa.array(ids, pa.int64()),
+            }
+        )
+
+    pages = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["doc_id"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": batch.column("url"), "keep_doc_id": batch.column("add_order")}
+        )
+
+    return url_dedup_ds(pages).map_batches(rename, batch_format="pyarrow")
+
+
 def q_search_and(sf_dir: str):
     s = _docs_searcher(sf_dir)
     rows = s.search("table query", max_count=100)
@@ -333,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": q_extract_roundtrip,
         "postings_pairs": q_postings_pairs,
         "exact_dedup": q_exact_dedup,
+        "url_dedup": q_url_dedup,
         "search_and": q_search_and,
         "bm25_topk": q_bm25_topk,
         "ngram_jaccard": q_ngram_jaccard,
@@ -572,6 +603,7 @@ SELECT DISTINCT term, doc_id FROM (
   SELECT doc_id, unnest({tok}) AS term FROM documents)
 WHERE length(term) >= 2""",
         "exact_dedup": "SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)",
+        "url_dedup": "SELECT 'doc://' || CAST(doc_id // 3 AS VARCHAR) AS url, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
         "search_and": f"""
 SELECT doc_id FROM (
   SELECT doc_id FROM (

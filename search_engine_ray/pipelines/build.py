@@ -307,6 +307,16 @@ def _dedup_duplicate_urls(
     return pages.map_batches(keep_winner, batch_format="pyarrow"), n_skipped
 
 
+def url_dedup_ds(pages: rd.Dataset) -> rd.Dataset:
+    """Public D2 operator: one surviving row per url with a deterministic
+    winner — min (warc_ts, add_order, rank) over whichever exist (the
+    reference throws on duplicate adds, engine.ts:56-58; its demo driver
+    skips, demo.ts:129-131). Same machinery the batch build runs when
+    ``dedup_urls=True``."""
+    kept, _ = _dedup_duplicate_urls(pages)
+    return kept
+
+
 def _assign_doc_ids_rank(batch: pa.Table) -> pa.Table:
     return batch.append_column("doc_id", pc.cast(batch.column("rank"), pa.int64()))
 

@@ -285,3 +285,21 @@ def test_fused_build_empty_after_filters(ray_session, tmp_path):
     assert reader.manifest["n_docs"] == 0
     assert reader.manifest["skipped"]["extract_unparseable"] == 2
     assert reader.lookup(["anything"]) == {}
+
+
+def test_url_dedup_ds_public(ray_session):
+    """url_dedup_ds (the public D2 operator): one survivor per url, winner
+    = min add_order, non-duplicated rows untouched."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.build import url_dedup_ds
+
+    tbl = pa.table(
+        {
+            "url": pa.array(["a", "b", "a", "c", "b", "a"], pa.string()),
+            "add_order": pa.array([5, 1, 2, 9, 4, 8], pa.int64()),
+        }
+    )
+    kept = url_dedup_ds(rd.from_arrow(tbl)).take_all()
+    got = sorted((r["url"], r["add_order"]) for r in kept)
+    assert got == [("a", 2), ("b", 1), ("c", 9)]
