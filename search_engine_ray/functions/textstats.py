@@ -93,14 +93,107 @@ def lang_scores(texts: pa.Array) -> list[str]:
 _PRIME = np.uint64(4294967311)
 
 
+# rolling shingle hash: crc32 per token, folded with a 32-bit polynomial
+# recurrence acc = acc*P + h (mod 2^32). Values stay < 2^32 (required by
+# the minhash universal-hash a*h+b mod prime trick in uint64).
+_SHINGLE_P = np.uint64(1_000_003)
+_SHINGLE_MASK = np.uint64(0xFFFFFFFF)
+
+
+def _token_crc32(strings) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
 def shingle_hashes(words: list[str], k: int = 3) -> np.ndarray:
-    """Distinct k-token shingle hashes (crc32 of the joined shingle)."""
-    if len(words) < k:
-        joined = [" ".join(words)] if words else []
-    else:
-        joined = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    hs = {zlib.crc32(s.encode("utf-8")) for s in joined}
-    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+    """Distinct k-token shingle hashes for ONE doc (reference implementation
+    of ``shingle_hashes_batch`` — byte-identical values, tested). Docs
+    shorter than k fold ALL tokens into one shingle; empty docs yield none."""
+    h = _token_crc32(words)
+    n = len(h)
+    if not n:
+        return h
+    with np.errstate(over="ignore"):
+        if n < k:
+            acc = np.uint64(0)
+            for j in range(n):
+                acc = (acc * _SHINGLE_P + h[j]) & _SHINGLE_MASK
+            return np.array([acc], dtype=np.uint64)
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc * _SHINGLE_P + h[j : n - k + 1 + j]) & _SHINGLE_MASK
+    return np.unique(acc)
+
+
+def shingle_hashes_batch(
+    toks: pa.ListArray | pa.ChunkedArray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT k-token-shingle hashes for a whole batch, fully
+    vectorized: one utf8_lower + dictionary_encode over the flattened
+    tokens, crc32 once per DISTINCT token, then the rolling fold runs as k
+    whole-array ops and per-doc dedup as one lexsort + run-length mask.
+
+    Returns ``(hashes, starts)``: flat uint64 hashes with doc i owning the
+    (ascending-sorted) slice ``hashes[starts[i]:starts[i+1]]``;
+    ``len(starts) == n_docs + 1``. Matches ``shingle_hashes`` applied to
+    each doc's lowercased tokens (ASCII corpora; pc.utf8_lower)."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.utf8_lower(toks.flatten()).dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = _token_crc32(enc.dictionary.to_pylist())[idx] if len(idx) else np.zeros(
+        0, np.uint64
+    )
+    lens = np.diff(offs)
+    doc_ids = np.arange(n_docs, dtype=np.int64)
+
+    parts_h: list[np.ndarray] = []
+    parts_p: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        # full windows for docs with >= k tokens
+        full = lens >= k
+        n_sh = np.where(full, lens - k + 1, 0)
+        total = int(n_sh.sum())
+        if total:
+            sel = np.flatnonzero(full)
+            prev = np.concatenate(([0], np.cumsum(n_sh[sel])[:-1]))
+            pos = np.arange(total) - np.repeat(prev, n_sh[sel])
+            start = np.repeat(offs[sel], n_sh[sel]) + pos
+            acc = np.zeros(total, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc * _SHINGLE_P + h[start + j]) & _SHINGLE_MASK
+            parts_h.append(acc)
+            parts_p.append(np.repeat(doc_ids[sel], n_sh[sel]))
+        # short docs (0 < len < k): ONE shingle folding all tokens —
+        # k-1 vectorized passes, one per length class
+        for ln in range(1, k):
+            sel = np.flatnonzero(lens == ln)
+            if not len(sel):
+                continue
+            acc = np.zeros(len(sel), dtype=np.uint64)
+            for j in range(ln):
+                acc = (acc * _SHINGLE_P + h[offs[sel] + j]) & _SHINGLE_MASK
+            parts_h.append(acc)
+            parts_p.append(doc_ids[sel])
+
+    if not parts_h:
+        return np.zeros(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+    hs = np.concatenate(parts_h)
+    ps = np.concatenate(parts_p)
+    order = np.lexsort((hs, ps))
+    hs, ps = hs[order], ps[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+    hs, ps = hs[keep], ps[keep]
+    counts = np.bincount(ps, minlength=n_docs).astype(np.int64)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return hs, starts
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -120,26 +213,41 @@ def minhash_signature(
     return prod.min(axis=1).astype(np.uint64)
 
 
+def minhash_signatures_flat(
+    flat: np.ndarray, starts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) signatures from flat-layout shingles (the
+    ``shingle_hashes_batch`` output) in ONE matrix pass: hash every shingle
+    once, per-doc min via reduceat. Empty docs get all-max signatures."""
+    n_docs = len(starts) - 1
+    num_perm = len(a)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.diff(starts)
+    nz = np.flatnonzero(lens)
+    if not len(nz) or not len(flat):
+        return out
+    prod = (a[:, None] * flat[None, :] + b[:, None]) % _PRIME  # (perm, N)
+    # segment i of reduceat runs starts[nz[i]] .. starts[nz[i+1]]; empty
+    # docs occupy zero width, so each segment is exactly doc nz[i]'s slice
+    mins = np.minimum.reduceat(prod, starts[nz], axis=1)
+    out[nz] = mins.T
+    return out
+
+
 def minhash_signatures_batch(
     per_doc_shingles: list[np.ndarray], a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """(n_docs, num_perm) signatures for a whole batch in ONE matrix pass:
-    hash every shingle once, per-doc min via reduceat — identical values to
-    per-doc ``minhash_signature`` (tested), no per-doc Python matrix."""
-    n_docs = len(per_doc_shingles)
-    num_perm = len(a)
+    """(n_docs, num_perm) signatures for a list-of-arrays batch — identical
+    values to per-doc ``minhash_signature`` (tested); wraps the flat core."""
     lens = np.array([len(s) for s in per_doc_shingles], dtype=np.int64)
-    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    nz = np.flatnonzero(lens)
-    if not len(nz):
-        return out
-    flat = np.concatenate([per_doc_shingles[i] for i in nz])
-    prod = (a[:, None] * flat[None, :] + b[:, None]) % _PRIME  # (perm, N)
-    starts = np.zeros(len(nz), dtype=np.int64)
-    np.cumsum(lens[nz][:-1], out=starts[1:])
-    mins = np.minimum.reduceat(prod, starts, axis=1)  # (perm, n_nonzero)
-    out[nz] = mins.T
-    return out
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    flat = (
+        np.concatenate(per_doc_shingles)
+        if per_doc_shingles
+        else np.zeros(0, np.uint64)
+    )
+    return minhash_signatures_flat(flat, starts, a, b)
 
 
 _MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix64 multiplier

@@ -41,8 +41,8 @@ from search_engine_ray.functions.textstats import (
     band_keys_batch,
     md5_fingerprints,
     minhash_params,
-    minhash_signatures_batch,
-    shingle_hashes,
+    minhash_signatures_flat,
+    shingle_hashes_batch,
     simhash64_batch,
     token_lists,
 )
@@ -105,19 +105,14 @@ def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
 def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
     """(shingle, doc_id, n_doc) rows — one DISTINCT shingle hash per
     (doc, shingle), each row carrying its doc's total shingle count so
-    downstream Jaccard scoring needs no per-doc-count join."""
+    downstream Jaccard scoring needs no per-doc-count join. One vectorized
+    batch pass (shingle_hashes_batch), no per-doc Python."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    toks = token_lists(batch.column("text")).to_pylist()
-    per_doc = [shingle_hashes([w.lower() for w in words], k) for words in toks]
-    n = np.array([len(h) for h in per_doc], dtype=np.int64)
+    hs, starts = shingle_hashes_batch(token_lists(batch.column("text")), k)
+    n = np.diff(starts)
     return pa.table(
         {
-            "shingle": pa.array(
-                (
-                    np.concatenate(per_doc) if per_doc else np.zeros(0, np.uint64)
-                ).astype(np.int64),
-                pa.int64(),
-            ),
+            "shingle": pa.array(hs.astype(np.int64), pa.int64()),
             "doc_id": pa.array(np.repeat(ids, n), pa.int64()),
             "n_doc": pa.array(np.repeat(n, n), pa.int64()),
         }
@@ -427,13 +422,12 @@ class _MinhashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        toks = token_lists(batch.column("text")).to_pylist()
-        per_doc = [
-            shingle_hashes([w.lower() for w in words], self.k) for words in toks
-        ]
-        # one matrix pass for the whole batch (per-doc minhash matrices
-        # were the stage's hot spot), then vectorized banded keys
-        sigs = minhash_signatures_batch(per_doc, self.a, self.b)
+        # one vectorized shingle pass + one signature matrix pass for the
+        # whole batch, then vectorized banded keys — no per-doc Python
+        flat, starts = shingle_hashes_batch(
+            token_lists(batch.column("text")), self.k
+        )
+        sigs = minhash_signatures_flat(flat, starts, self.a, self.b)
         keys = band_keys_batch(sigs, self.bands)  # (n_docs, bands)
         packed = (keys.astype(np.uint64) ^ self.band_salt[None, :]) & np.uint64(
             (1 << 63) - 1
@@ -452,18 +446,16 @@ def _shingle_set_ds(docs: rd.Dataset, k: int) -> rd.Dataset:
     columns; a binary blob joins fine and unpacks zero-copy)."""
 
     def f(b: pa.Table) -> pa.Table:
-        sets = [
-            np.sort(shingle_hashes([w.lower() for w in ws], k))
-            .astype("<i8")
-            .tobytes()
-            for ws in token_lists(b.column("text")).to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "shingles": pa.array(sets, pa.large_binary()),
-            }
+        # shingle_hashes_batch returns each doc's slice already ascending;
+        # the large_binary column is built ZERO-COPY from the flat int64
+        # buffer with byte offsets — no per-doc tobytes loop
+        flat, starts = shingle_hashes_batch(token_lists(b.column("text")), k)
+        val_buf = pa.py_buffer(np.ascontiguousarray(flat.astype("<i8")).tobytes())
+        off_buf = pa.py_buffer((starts * 8).astype("<i8").tobytes())
+        sets = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), b.num_rows, [None, off_buf, val_buf]
         )
+        return pa.table({"doc_id": b.column("doc_id"), "shingles": sets})
 
     return docs.map_batches(f, batch_format="pyarrow").union(
         _sentinel_row(

@@ -203,3 +203,46 @@ def test_embedding_neardup_lsh_recall(ray_session):
     # multi-table recall on planted near-identical pairs should be total
     planted = {(i, 50_000 + i) for i in range(10)} & exact_pairs
     assert planted and planted <= approx_pairs
+
+
+def test_shingle_hashes_batch_matches_per_doc():
+    """shingle_hashes_batch == shingle_hashes per doc (incl. short/empty
+    docs), each doc slice ascending-sorted and distinct."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.functions.textstats import (
+        minhash_params,
+        minhash_signatures_flat,
+        minhash_signature,
+        shingle_hashes,
+        shingle_hashes_batch,
+        token_lists,
+    )
+
+    texts = pa.array(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            "one",
+            "two words",
+            "the quick brown fox jumps over the lazy dog again",
+            "a a a a a a",
+        ]
+    )
+    toks = token_lists(texts)
+    flat, starts = shingle_hashes_batch(toks, 3)
+    assert len(starts) == len(texts) + 1
+    for i in range(len(texts)):
+        words = [w.lower() for w in toks[i].as_py()]
+        ref = np.sort(shingle_hashes(words, 3))
+        got = flat[starts[i] : starts[i + 1]]
+        assert got.tolist() == ref.tolist(), i
+        assert (np.diff(got.astype(np.int64)) > 0).all()  # sorted distinct
+
+    # flat signatures == per-doc signatures on the same shingle sets
+    a, b = minhash_params(16)
+    sigs = minhash_signatures_flat(flat, starts, a, b)
+    for i in range(len(texts)):
+        per = minhash_signature(flat[starts[i] : starts[i + 1]], a, b)
+        assert sigs[i].tolist() == per.tolist(), i
