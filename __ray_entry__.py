@@ -101,6 +101,12 @@ def q_token_count(sf_dir: str):
     return token_count_ds(_docs(sf_dir))
 
 
+def q_token_count_bpe(sf_dir: str):
+    from search_engine_ray.pipelines.text import bpe_token_count_ds
+
+    return bpe_token_count_ds(_docs(sf_dir))
+
+
 def q_term_df(sf_dir: str):
     from search_engine_ray.pipelines.text import term_df_ds
 
@@ -355,6 +361,7 @@ def q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "quality": q_quality,
@@ -578,6 +585,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        "token_count_bpe": r"SELECT doc_id, len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'))::BIGINT AS n_bpe_tokens FROM documents",
         "term_df": f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
   SELECT doc_id, unnest({tok}) AS term FROM documents)

@@ -43,6 +43,33 @@ def token_count_ds(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer shape restricted to this corpus's alphabet:
+# letter runs / digit runs / punctuation runs (each with an optional
+# leading space) / residual whitespace. RE2 on both sides (pyarrow
+# count_substring_regex and DuckDB regexp_extract_all), so semantics are
+# engine-identical.
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def bpe_token_count_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Per-doc token count under a BPE-ish pretokenizer regex — the
+    standard training-data budget estimator (whitespace counting
+    undercounts mixed alnum/punctuation). One vectorized RE2 kernel per
+    batch."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pc.count_substring_regex(
+                    batch.column("text"), BPE_PRETOKEN_RE
+                ).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def quality_ds(docs: rd.Dataset) -> rd.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
