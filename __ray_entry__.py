@@ -358,6 +358,30 @@ def q_media_features(sf_dir: str):
     return media_features_ds(rd.from_arrow(fake_media_table(100)))
 
 
+def q_tumbling_window(sf_dir: str):
+    from search_engine_ray.pipelines.windows import read_events, tumbling_window_ds
+
+    return tumbling_window_ds(read_events(sf_dir.rstrip("/")))
+
+
+def q_window_users(sf_dir: str):
+    from search_engine_ray.pipelines.windows import read_events, window_unique_users_ds
+
+    return window_unique_users_ds(read_events(sf_dir.rstrip("/")))
+
+
+def q_sessionize(sf_dir: str):
+    from search_engine_ray.pipelines.windows import read_events, session_windows_ds
+
+    return session_windows_ds(read_events(sf_dir.rstrip("/")))
+
+
+def q_asof_join(sf_dir: str):
+    from search_engine_ray.pipelines.windows import asof_prev_event_ds, read_events
+
+    return asof_prev_event_ds(read_events(sf_dir.rstrip("/")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -383,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "batch_bm25": q_batch_bm25,
+        "tumbling_window": q_tumbling_window,
+        "window_users": q_window_users,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         # rows-only (no SQL oracle)
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -634,4 +662,39 @@ SELECT doc_id FROM (
         "simhash": simhash,
         "simhash_neardup": simhash_neardup,
         "batch_bm25": batch_bm25,
+        # monetary sums in integer cents on both sides so the value hash is
+        # independent of float summation order
+        "tumbling_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+FROM events GROUP BY 1, 2""",
+        "window_users": """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1""",
+        "sessionize": """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM l
+)
+SELECT user_id, session_no::BIGINT AS session_no, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM g GROUP BY 1, 2""",
+        "asof_join": """
+SELECT e.event_id, s.event_id AS matched_event_id,
+       CASE WHEN s.event_id IS NULL THEN NULL
+            ELSE epoch_us(e.ts) - epoch_us(s.ts) END AS us_since_match
+FROM events e ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+) s ON e.user_id = s.user_id AND e.ts >= s.ts""",
     }

@@ -1,0 +1,258 @@
+"""Windowed / streaming-style operators over the ``events`` table.
+
+The reference engine has no event-time operators, but the brief's
+large-scale training-data pipeline needs them (windowed aggregates,
+sessionization, as-of joins). Each operator here is expressed
+Ray-Data-first:
+
+- tumbling aggregates use the combiner pattern: a per-batch partial
+  groupby (numpy factorize + bincount) so the all-to-all shuffle carries
+  one row per (window, key) per batch, not one per event;
+- sessionization and the as-of join need *per-user event-time order*, so
+  they hash-partition by ``user_id`` (``groupby(user_id).map_groups``)
+  and sort only inside each group. Partitioning assumption: one user's
+  events fit in one task's memory (true for web event logs, where even a
+  pathological user is millions of rows, not billions). Hot users could
+  be salted by day if that breaks.
+
+Monetary sums are computed in integer cents (``round(value * 100)``)
+and divided by 100.0 once at the end, so the result is independent of
+summation order — float64 partial sums would make the driver's
+value-hash comparison flaky.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=columns or ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[us] column -> int64 microseconds numpy array."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_ds(events: rd.Dataset, width: str = "hour") -> rd.Dataset:
+    """Tumbling-window aggregate per (window_start, event_type):
+    event count and exact value sum. Combiner inside map_batches, then a
+    small groupby-sum over (n_windows x n_types) rows per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # int64-us window key through the shuffle (Ray's aggregate sort
+        # downcasts timestamp keys); cast back to timestamp[us] in finish.
+        win = pc.floor_temporal(batch.column("ts"), unit=width)
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        wus = win.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tcodes = etype.dictionary_encode()
+        ti = tcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(tcodes.dictionary)
+        key = wus * nt + ti
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        csum = np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "window_us": pa.array(uniq // nt, pa.int64()),
+                "event_type": tcodes.dictionary.take(pa.array(uniq % nt, pa.int64())),
+                "pn": pa.array(n, pa.int64()),
+                "pcents": pa.array(csum, pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("pn", alias_name="n_events"), Sum("pcents", alias_name="cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("window_us")
+                .cast(pa.int64())
+                .cast(pa.timestamp("us")),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pc.divide(
+                    batch.column("cents").cast(pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def window_unique_users_ds(events: rd.Dataset, width: str = "hour") -> rd.Dataset:
+    """Distinct users per tumbling window (hourly actives). Two shuffles,
+    both shrunk by per-batch distinct: (window, user) pairs dedup to one
+    row globally, then a count per window."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit=width)
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        w = win.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        key = np.stack([w, u], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "window_us": pa.array(uniq[:, 0], pa.int64()),
+                "user_id": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    distinct = (
+        events.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["window_us", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = batch.column("window_us")
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        wus = win.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(wus, return_counts=True)
+        return pa.table(
+            {
+                "window_us": pa.array(uniq, pa.int64()),
+                "pu": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_us")
+        .aggregate(Sum("pu", alias_name="n_users"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("window_us")
+                .cast(pa.int64())
+                .cast(pa.timestamp("us")),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def session_windows_ds(events: rd.Dataset, gap_secs: int = 1800) -> rd.Dataset:
+    """Gap-based sessionization per user: a new session starts when the
+    time since the user's previous event exceeds ``gap_secs`` (strict).
+    Hash-partitioned by user_id; per-group work is a vectorized sort +
+    diff + cumsum. Returns one row per (user_id, session_no)."""
+    gap_us = int(gap_secs) * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = _ts_us(group.column("ts"))
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        # map_groups may hand us a coalesced batch of several groups;
+        # lexsort (user, ts, event_id) keeps each user contiguous.
+        order = np.lexsort((eid, ts, uid))
+        ts, eid, uid = ts[order], eid[order], uid[order]
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            same_user = uid[1:] == uid[:-1]
+            new[1:] = ~same_user | (ts[1:] - ts[:-1] > gap_us)
+        sid = np.cumsum(new)  # session counter over this whole chunk
+        # 1-based per-user session_no = sid - sid_at_user_first_row + 1
+        boundaries = np.r_[True, uid[1:] != uid[:-1]] if len(ts) else new[:0]
+        first_sid_of_user = np.maximum.accumulate(np.where(boundaries, sid, 0))
+        session_no = sid - first_sid_of_user + 1
+        # aggregate per (uid, sid): count, min ts, max ts
+        seg_start = np.flatnonzero(new)
+        seg_end = np.r_[seg_start[1:], len(ts)]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[seg_start], pa.int64()),
+                "session_no": pa.array(session_no[seg_start], pa.int64()),
+                "n_events": pa.array(seg_end - seg_start, pa.int64()),
+                "session_start": pa.array(ts[seg_start], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(ts[seg_end - 1], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def asof_prev_event_ds(events: rd.Dataset, match_type: str = "signup") -> rd.Dataset:
+    """As-of join of every event to the user's most recent ``match_type``
+    event at-or-before it (DuckDB `ASOF LEFT JOIN` semantics). Both sides
+    are the events table, hash-partitioned once by user_id; inside each
+    group a single searchsorted resolves all probes. The match side is
+    deduped to one row per (user, ts) — max event_id — so ties are
+    deterministic on both engines."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = _ts_us(group.column("ts"))
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        etype = group.column("event_type").to_numpy(zero_copy_only=False)
+        out_eid = []
+        out_match = []
+        out_us = []
+        order = np.lexsort((eid, ts, uid))
+        ts, eid, uid, etype = ts[order], eid[order], uid[order], etype[order]
+        bounds = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1, len(uid)]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            t, e, k = ts[lo:hi], eid[lo:hi], etype[lo:hi]
+            m = k == match_type
+            mt, me = t[m], e[m]
+            # dedup match side per ts keeping max event_id (rows are
+            # ts-then-event_id sorted, so the last of a ts-run wins)
+            if len(mt):
+                last = np.r_[mt[1:] != mt[:-1], True]
+                mt, me = mt[last], me[last]
+            idx = np.searchsorted(mt, t, side="right") - 1
+            hit = idx >= 0
+            match_eid = np.where(hit, me[np.clip(idx, 0, None)], -1)
+            delta = np.where(hit, t - mt[np.clip(idx, 0, None)], 0)
+            out_eid.append(e)
+            out_match.append(match_eid)
+            out_us.append(delta)
+        eids = np.concatenate(out_eid) if out_eid else np.array([], np.int64)
+        matches = np.concatenate(out_match) if out_match else np.array([], np.int64)
+        deltas = np.concatenate(out_us) if out_us else np.array([], np.int64)
+        hit = matches >= 0
+        return pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "matched_event_id": pa.array(
+                    np.where(hit, matches, 0), pa.int64(), mask=~hit
+                ),
+                "us_since_match": pa.array(
+                    np.where(hit, deltas, 0), pa.int64(), mask=~hit
+                ),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

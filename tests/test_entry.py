@@ -79,6 +79,12 @@ def test_all_queries_have_unique_names(contract):
         "simhash",
         "simhash_neardup",
         "batch_bm25",
+        "token_count_bpe",
+        "url_dedup",
+        "tumbling_window",
+        "window_users",
+        "sessionize",
+        "asof_join",
     ],
 )
 def test_query_matches_oracle(contract, con, name):

@@ -1,0 +1,171 @@
+"""Windowed / event-time operators vs DuckDB at sf0.001 + edge cases."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from search_engine_ray.pipelines import windows as W
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return c
+
+
+def _assert_frames_equal(r: pd.DataFrame, o: pd.DataFrame):
+    cols = list(r.columns)
+    assert set(cols) == set(o.columns)
+    r = r.sort_values(cols).reset_index(drop=True)
+    o = o[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(r, o)
+
+
+def test_tumbling_window_matches_duckdb(ray_session, con):
+    got = W.tumbling_window_ds(W.read_events(SF)).to_pandas()
+    want = con.execute(
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        FROM events GROUP BY 1,2
+        """
+    ).fetchdf()
+    _assert_frames_equal(got, want)
+
+
+def test_window_unique_users_matches_duckdb(ray_session, con):
+    got = W.window_unique_users_ds(W.read_events(SF)).to_pandas()
+    want = con.execute(
+        """
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY 1
+        """
+    ).fetchdf()
+    _assert_frames_equal(got, want)
+
+
+def test_session_windows_matches_duckdb(ray_session, con):
+    got = W.session_windows_ds(W.read_events(SF)).to_pandas()
+    want = con.execute(
+        """
+        WITH l AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ), g AS (
+          SELECT user_id, ts,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM l
+        )
+        SELECT user_id, session_no::BIGINT AS session_no,
+               count(*)::BIGINT AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM g GROUP BY 1,2
+        """
+    ).fetchdf()
+    _assert_frames_equal(got, want)
+
+
+def test_asof_prev_event_matches_duckdb(ray_session, con):
+    got = W.asof_prev_event_ds(W.read_events(SF)).to_pandas()
+    want = con.execute(
+        """
+        SELECT e.event_id, s.event_id AS matched_event_id,
+               CASE WHEN s.event_id IS NULL THEN NULL
+                    ELSE epoch_us(e.ts) - epoch_us(s.ts) END AS us_since_match
+        FROM events e ASOF LEFT JOIN (
+          SELECT user_id, ts, max(event_id) AS event_id
+          FROM events WHERE event_type='signup' GROUP BY 1,2
+        ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+        """
+    ).fetchdf()
+    got["matched_event_id"] = got["matched_event_id"].astype("float64")
+    want["matched_event_id"] = want["matched_event_id"].astype("float64")
+    got["us_since_match"] = got["us_since_match"].astype("float64")
+    want["us_since_match"] = want["us_since_match"].astype("float64")
+    _assert_frames_equal(got, want)
+
+
+def _events_ds(rows):
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+M = 1_000_000  # 1 second in us
+
+
+def test_session_gap_boundary_is_strict(ray_session):
+    # gap == exactly 1800s keeps the session; 1800s + 1us splits it.
+    rows = [
+        (0, 0, 1, "click", 1.0),
+        (1, 1800 * M, 1, "click", 1.0),  # exactly the gap -> same session
+        (2, 1800 * M + 1800 * M + 1, 1, "click", 1.0),  # gap+1us -> new session
+    ]
+    out = (
+        W.session_windows_ds(_events_ds(rows))
+        .to_pandas()
+        .sort_values("session_no")
+        .reset_index(drop=True)
+    )
+    assert out["session_no"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [2, 1]
+
+
+def test_session_multiple_users_one_group_chunk(ray_session):
+    # two users landing in the same map_groups chunk stay separate
+    rows = [(i, i * M, i % 2, "click", 1.0) for i in range(10)]
+    out = W.session_windows_ds(_events_ds(rows)).to_pandas()
+    assert sorted(out["user_id"].unique().tolist()) == [0, 1]
+    assert (out.groupby("user_id")["n_events"].sum() == 5).all()
+
+
+def test_asof_inclusive_and_tie_break(ray_session):
+    # event at the exact signup ts matches it (inclusive); two signups at
+    # the same ts resolve to max event_id; events before any signup -> null
+    rows = [
+        (0, 10 * M, 1, "click", 1.0),  # before any signup -> null
+        (1, 20 * M, 1, "signup", 1.0),
+        (2, 20 * M, 1, "signup", 1.0),  # same-ts dup, max event_id wins
+        (3, 20 * M, 1, "click", 1.0),  # at signup ts -> inclusive match
+        (4, 50 * M, 1, "click", 1.0),
+    ]
+    out = (
+        W.asof_prev_event_ds(_events_ds(rows))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert pd.isna(out.loc[0, "matched_event_id"])
+    assert out.loc[3, "matched_event_id"] == 2
+    assert out.loc[4, "matched_event_id"] == 2
+    assert out.loc[4, "us_since_match"] == 30 * M
+
+
+def test_tumbling_sum_is_exact_cents(ray_session):
+    rows = [(i, 0, 1, "click", 0.01) for i in range(3)]
+    out = W.tumbling_window_ds(_events_ds(rows)).to_pandas()
+    assert out["sum_value"].tolist() == [0.03]
+    assert out["n_events"].tolist() == [3]
