@@ -382,6 +382,12 @@ def q_asof_join(sf_dir: str):
     return asof_prev_event_ds(read_events(sf_dir.rstrip("/")))
 
 
+def q_range_join(sf_dir: str):
+    from search_engine_ray.pipelines.windows import incident_range_join_ds, read_events
+
+    return incident_range_join_ds(read_events(sf_dir.rstrip("/")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -411,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_users": q_window_users,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         # rows-only (no SQL oracle)
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -697,4 +704,16 @@ FROM events e ASOF LEFT JOIN (
   SELECT user_id, ts, max(event_id) AS event_id
   FROM events WHERE event_type = 'signup' GROUP BY 1, 2
 ) s ON e.user_id = s.user_id AND e.ts >= s.ts""",
+        # membership in merged padded intervals == exists-in-any-raw-interval,
+        # so DISTINCT over the unmerged interval join is exact
+        "range_join": """
+WITH hot AS (
+  SELECT date_trunc('hour', ts) AS h
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= 2
+), iv AS (
+  SELECT h - INTERVAL '30 minutes' AS s, h + INTERVAL '90 minutes' AS e FROM hot
+)
+SELECT DISTINCT e.event_id
+FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e""",
     }

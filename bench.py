@@ -52,6 +52,40 @@ REFERENCE_QUERIES = {
 README_BENCH = ["philosophy psychology", '"carl friedrich" german']
 
 
+def _host_markers() -> dict:
+    """Cheap host-state probes recorded alongside every benchmark: this
+    box's run-to-run drift is up to 15x (hypervisor steal + dirty-page
+    writeback throttling, BASELINE.md), so each BENCH record carries the
+    host condition it was measured under."""
+    import numpy as np
+
+    # memcpy bandwidth (~200 MB copy, best of 3)
+    src = np.ones(25_000_000)  # 200 MB
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dst = src.copy()
+        best = min(best, time.perf_counter() - t0)
+        del dst
+    memcpy_mbps = 200.0 / best if best > 0 else 0.0
+
+    def _stat():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+
+    tot0, steal0 = _stat()
+    time.sleep(0.5)
+    tot1, steal1 = _stat()
+    dt = tot1 - tot0
+    steal_pct = 100.0 * (steal1 - steal0) / dt if dt else 0.0
+    return {
+        "host_memcpy_mbps": round(memcpy_mbps, 1),
+        "host_steal_pct": round(steal_pct, 2),
+    }
+
+
 def _init_ray(num_cpus: int):
     import ray
     import ray.data as rd
@@ -217,7 +251,13 @@ def _training_data_ops(sf_dir: str) -> dict:
     import __ray_entry__ as e
 
     out = {}
-    for key in ("exact_dedup", "minhash_pairs", "ann_cosine_topk"):
+    for key in (
+        "exact_dedup",
+        "minhash_pairs",
+        "ann_cosine_topk",
+        "tumbling_window",
+        "sessionize",
+    ):
         import ray.data as rd
 
         t0 = time.perf_counter()
@@ -229,9 +269,16 @@ def _training_data_ops(sf_dir: str) -> dict:
 
 
 def run_default() -> dict:
+    markers = _host_markers()
     ray = _init_ray(NUM_CPUS)
     try:
+        # best-of-2 (BASELINE.md protocol): the host's noisy-neighbor drift
+        # is far larger than the engine's own run variance
         synth = _build_synth(NUM_CPUS, BENCH_DOCS)
+        synth2 = _build_synth(NUM_CPUS, BENCH_DOCS)
+        build_walls = sorted([synth["wall_sec"], synth2["wall_sec"]])
+        if synth2["wall_sec"] < synth["wall_sec"]:
+            synth = synth2
         sf_build = _build_documents_sf(SF_DIR)
         td_ops = _training_data_ops(SF_DIR)
         qlat = _query_latencies(synth)
@@ -239,6 +286,8 @@ def run_default() -> dict:
         ray.shutdown()
     queries = dict(qlat["per_query"])
     queries.update(td_ops)
+    queries.update(markers)
+    queries["build_synth_walls"] = [round(w, 3) for w in build_walls]
     queries["build_synth_sec"] = round(synth["wall_sec"], 3)
     queries["build_documents_sf_sec"] = round(sf_build["wall_sec"], 3)
     queries["query_p50_sec"] = qlat["p50_sec"]
@@ -256,6 +305,7 @@ def run_default() -> dict:
 
 
 def run_build_only(num_cpus: int) -> dict:
+    markers = _host_markers()
     ray = _init_ray(num_cpus)
     try:
         synth = _build_synth(num_cpus, BENCH_DOCS)
@@ -267,6 +317,7 @@ def run_build_only(num_cpus: int) -> dict:
         "wall_sec": round(synth["wall_sec"], 3),
         "docs_per_sec": round(synth["docs_per_sec"], 1),
         "stage_timings": {k: round(v, 3) for k, v in synth["stage_timings"].items()},
+        **markers,
     }
 
 
@@ -302,6 +353,10 @@ def run_scaling() -> dict:
             "docs_per_sec_32cpu": r32,
             "wall_sec_8cpu": results[8]["wall_sec"],
             "wall_sec_32cpu": results[32]["wall_sec"],
+            "host_memcpy_mbps_8cpu": results[8].get("host_memcpy_mbps"),
+            "host_memcpy_mbps_32cpu": results[32].get("host_memcpy_mbps"),
+            "host_steal_pct_8cpu": results[8].get("host_steal_pct"),
+            "host_steal_pct_32cpu": results[32].get("host_steal_pct"),
         },
         "sf": SF_DIR,
         "num_cpus": 32,

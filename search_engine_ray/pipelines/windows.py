@@ -204,6 +204,74 @@ def session_windows_ds(events: rd.Dataset, gap_secs: int = 1800) -> rd.Dataset:
     return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def incident_range_join_ds(
+    events: rd.Dataset, min_errors: int = 2, pad_mins: int = 30
+) -> rd.Dataset:
+    """Range join of events against derived incident intervals: hours with
+    >= ``min_errors`` 'error' events, padded by ``pad_mins`` on each side,
+    overlaps merged. Returns the event_ids falling inside any interval.
+
+    This is the broadcast-range-join pattern: the interval side is SMALL
+    by construction (one row per hot *hour* — bounded by calendar hours,
+    not corpus size), so it is collected once, merged, ``ray.put`` once,
+    and every probe batch resolves all its events with two searchsorted
+    calls — no shuffle of the big side at all."""
+    import ray
+
+    def error_hours(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "error")
+        ts = batch.column("ts").filter(mask)
+        win = pc.floor_temporal(ts, unit="hour")
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        wus = win.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(wus, return_counts=True)
+        return pa.table(
+            {
+                "window_us": pa.array(uniq, pa.int64()),
+                "pn": pa.array(counts, pa.int64()),
+            }
+        )
+
+    hot = (
+        events.map_batches(error_hours, batch_format="pyarrow")
+        .groupby("window_us")
+        .aggregate(Sum("pn", alias_name="n"))
+    ).to_pandas()
+    hot = hot[hot["n"] >= min_errors]
+    pad = pad_mins * 60 * 1_000_000
+    hour = 3_600 * 1_000_000
+    starts = np.sort(hot["window_us"].to_numpy(np.int64)) - pad
+    ends = starts + hour + 2 * pad
+    # merge overlapping/adjacent intervals
+    keep_s, keep_e = [], []
+    for s, e in zip(starts, ends):
+        if keep_e and s <= keep_e[-1]:
+            keep_e[-1] = max(keep_e[-1], e)
+        else:
+            keep_s.append(s)
+            keep_e.append(e)
+    iv_ref = ray.put((np.asarray(keep_s, np.int64), np.asarray(keep_e, np.int64)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        s, e = ray.get(iv_ref)
+        ts = _ts_us(batch.column("ts"))
+        if len(s) == 0:
+            hit = np.zeros(len(ts), dtype=bool)
+        else:
+            idx = np.searchsorted(s, ts, side="right") - 1
+            hit = (idx >= 0) & (ts < e[np.clip(idx, 0, None)])
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").take(
+                    pa.array(np.flatnonzero(hit), pa.int64())
+                )
+            }
+        )
+
+    return events.map_batches(probe, batch_format="pyarrow")
+
+
 def asof_prev_event_ds(events: rd.Dataset, match_type: str = "signup") -> rd.Dataset:
     """As-of join of every event to the user's most recent ``match_type``
     event at-or-before it (DuckDB `ASOF LEFT JOIN` semantics). Both sides

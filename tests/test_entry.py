@@ -85,6 +85,7 @@ def test_all_queries_have_unique_names(contract):
         "window_users",
         "sessionize",
         "asof_join",
+        "range_join",
     ],
 )
 def test_query_matches_oracle(contract, con, name):

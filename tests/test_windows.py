@@ -101,6 +101,49 @@ def test_asof_prev_event_matches_duckdb(ray_session, con):
     _assert_frames_equal(got, want)
 
 
+def test_range_join_matches_duckdb(ray_session, con):
+    got = W.incident_range_join_ds(W.read_events(SF)).to_pandas()
+    want = con.execute(
+        """
+        WITH hot AS (
+          SELECT date_trunc('hour', ts) AS h
+          FROM events WHERE event_type = 'error'
+          GROUP BY 1 HAVING count(*) >= 2
+        ), iv AS (
+          SELECT h - INTERVAL '30 minutes' AS s,
+                 h + INTERVAL '90 minutes' AS e FROM hot
+        )
+        SELECT DISTINCT e.event_id
+        FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e
+        """
+    ).fetchdf()
+    assert len(got) > 0  # the threshold must bite at this SF
+    _assert_frames_equal(got, want)
+
+
+def test_range_join_interval_merge_and_bounds(ray_session):
+    # two hot hours 1h apart -> padded intervals overlap and merge; events
+    # at the merged bounds: start inclusive, end exclusive
+    H = 3600 * M
+    rows = []
+    eid = 0
+    for h in (10, 11):  # hot hours at 10:00 and 11:00
+        for k in range(2):
+            rows.append((eid, h * H + k * M, 99, "error", 1.0))
+            eid += 1
+    rows += [
+        (100, 10 * H - 30 * 60 * M, 1, "click", 1.0),  # merged start: in
+        (101, 10 * H - 30 * 60 * M - 1, 1, "click", 1.0),  # just before: out
+        (102, 12 * H + 30 * 60 * M - 1, 1, "click", 1.0),  # last us in
+        (103, 12 * H + 30 * 60 * M, 1, "click", 1.0),  # merged end: out
+        (104, 11 * H, 1, "click", 1.0),  # inside the gap-bridged middle
+    ]
+    out = W.incident_range_join_ds(_events_ds(rows)).to_pandas()
+    ids = set(out["event_id"].tolist())
+    assert {100, 102, 104, 0, 1, 2, 3} <= ids
+    assert 101 not in ids and 103 not in ids
+
+
 def _events_ds(rows):
     t = pa.table(
         {
