@@ -382,6 +382,12 @@ def q_asof_join(sf_dir: str):
     return asof_prev_event_ds(read_events(sf_dir.rstrip("/")))
 
 
+def q_winnow_fp(sf_dir: str):
+    from search_engine_ray.pipelines.text import winnow_fp_ds
+
+    return winnow_fp_ds(_docs(sf_dir))
+
+
 def q_range_join(sf_dir: str):
     from search_engine_ray.pipelines.windows import incident_range_join_ds, read_events
 
@@ -419,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         # rows-only (no SQL oracle)
+        "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,

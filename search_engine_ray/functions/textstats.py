@@ -196,6 +196,122 @@ def shingle_hashes_batch(
     return hs, starts
 
 
+def positional_shingle_hashes_batch(
+    toks: pa.ListArray | pa.ChunkedArray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like ``shingle_hashes_batch`` but POSITIONAL: doc i owns
+    ``hashes[starts[i]:starts[i+1]]`` in document order (no sort, no
+    dedup) — the input winnowing needs. Same fold, same crc32 token
+    hash, so values agree with the shingle/minhash family."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_docs = len(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.utf8_lower(toks.flatten()).dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    h = _token_crc32(enc.dictionary.to_pylist())[idx] if len(idx) else np.zeros(
+        0, np.uint64
+    )
+    lens = np.diff(offs)
+    n_out = np.where(lens >= k, lens - k + 1, np.minimum(lens, 1)).astype(np.int64)
+    out_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_out, out=out_starts[1:])
+    out = np.zeros(int(out_starts[-1]), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        full = lens >= k
+        n_sh = np.where(full, lens - k + 1, 0)
+        total = int(n_sh.sum())
+        if total:
+            sel = np.flatnonzero(full)
+            prev = np.concatenate(([0], np.cumsum(n_sh[sel])[:-1]))
+            pos = np.arange(total) - np.repeat(prev, n_sh[sel])
+            start = np.repeat(offs[sel], n_sh[sel]) + pos
+            acc = np.zeros(total, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc * _SHINGLE_P + h[start + j]) & _SHINGLE_MASK
+            out[np.repeat(out_starts[sel], n_sh[sel]) + pos] = acc
+        for ln in range(1, k):
+            sel = np.flatnonzero(lens == ln)
+            if not len(sel):
+                continue
+            acc = np.zeros(len(sel), dtype=np.uint64)
+            for j in range(ln):
+                acc = (acc * _SHINGLE_P + h[offs[sel] + j]) & _SHINGLE_MASK
+            out[out_starts[sel]] = acc
+    return out, out_starts
+
+
+def winnow_fingerprints(words: list[str], k: int = 3, w: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003) fingerprint SET for ONE doc —
+    reference implementation: distinct sliding-window minima (window w)
+    of the positional k-gram rolling hashes; docs with fewer than w
+    k-grams contribute the min over what they have."""
+    # positional hashes (shingle_hashes sorts+dedups, so recompute)
+    th = _token_crc32(words)
+    n = len(th)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    with np.errstate(over="ignore"):
+        if n < k:
+            acc = np.uint64(0)
+            for j in range(n):
+                acc = (acc * _SHINGLE_P + th[j]) & _SHINGLE_MASK
+            pos = np.array([acc], dtype=np.uint64)
+        else:
+            pos = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                pos = (pos * _SHINGLE_P + th[j : n - k + 1 + j]) & _SHINGLE_MASK
+    if len(pos) <= w:
+        return np.unique(pos.min(keepdims=True))
+    mins = [pos[i : i + w].min() for i in range(len(pos) - w + 1)]
+    return np.unique(np.array(mins, dtype=np.uint64))
+
+
+def winnow_fingerprints_batch(
+    toks: pa.ListArray | pa.ChunkedArray, k: int = 3, w: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch winnowing, fully vectorized: one global sliding-window-min
+    over the flat positional hashes, valid window starts selected per doc
+    (no padding, no per-doc loop), short docs via minimum.reduceat, then
+    one lexsort dedup. Returns (doc_indices, fingerprints)."""
+    flat, starts = positional_shingle_hashes_batch(toks, k)
+    n_docs = len(starts) - 1
+    m = np.diff(starts)
+    parts_d: list[np.ndarray] = []
+    parts_f: list[np.ndarray] = []
+    big = np.flatnonzero(m > w)
+    if len(big) and len(flat) >= w:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        gmins = sliding_window_view(flat, w).min(axis=1)
+        n_win = m[big] - w + 1
+        prev = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+        pos = np.arange(int(n_win.sum())) - np.repeat(prev, n_win)
+        wstart = np.repeat(starts[big], n_win) + pos
+        parts_f.append(gmins[wstart])
+        parts_d.append(np.repeat(big, n_win))
+    small = np.flatnonzero((m > 0) & (m <= w))
+    if len(small):
+        # reduceat over (start, end) index pairs — a bare starts list would
+        # make each segment run to the NEXT small doc's start, spanning
+        # other docs' hashes. The appended sentinel keeps end==len legal.
+        fl2 = np.append(flat, np.uint64(0))
+        pairs = np.empty(2 * len(small), dtype=np.int64)
+        pairs[0::2] = starts[small]
+        pairs[1::2] = starts[small] + m[small]
+        parts_f.append(np.minimum.reduceat(fl2, pairs)[0::2])
+        parts_d.append(small)
+    if not parts_f:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    d = np.concatenate(parts_d)
+    f = np.concatenate(parts_f)
+    order = np.lexsort((f, d))
+    d, f = d[order], f[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+    return d[keep], f[keep]
+
+
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_PRIME), size=num_perm, dtype=np.uint64)

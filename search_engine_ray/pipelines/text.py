@@ -118,6 +118,29 @@ def lang_id_ds(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def winnow_fp_ds(docs: rd.Dataset, k: int = 3, w: int = 4) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    scheme): distinct sliding-window minima (window w) over positional
+    k-gram rolling hashes. One row per (doc_id, fp) — the near-copy
+    detection primitive that, unlike md5, survives local edits. Fully
+    vectorized batch-wide (one global sliding-window-min); crc32 token
+    hashes are not SQL-expressible, so correctness is pinned by the
+    pure-Python reference in tests, not a DuckDB oracle."""
+    from search_engine_ray.functions.textstats import winnow_fingerprints_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d, fp = winnow_fingerprints_batch(token_lists(batch.column("text")), k, w)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d], pa.int64()),
+                "fp": pa.array(fp.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def _distinct_terms_batch(batch: pa.Table, min_len: int = 2) -> tuple[np.ndarray, np.ndarray]:
     """(terms, doc_ids) of distinct per-doc lowercased terms, len >= min_len."""
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

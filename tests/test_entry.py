@@ -106,6 +106,7 @@ def test_query_matches_oracle(contract, con, name):
 @pytest.mark.parametrize(
     "name",
     [
+        "winnow_fp",
         "embedding_neardup_lsh",
         "ann_lsh_topk",
         "ann_ivf_topk",
