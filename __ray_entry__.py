@@ -394,6 +394,25 @@ def q_range_join(sf_dir: str):
     return incident_range_join_ds(read_events(sf_dir.rstrip("/")))
 
 
+def q_repetition(sf_dir: str):
+    from search_engine_ray.pipelines.text import repetition_ds
+
+    return repetition_ds(_docs(sf_dir))
+
+
+def q_decontaminate(sf_dir: str):
+    from search_engine_ray.pipelines.text import decontaminate_ds
+
+    return decontaminate_ds(_docs(sf_dir))
+
+
+def q_hash_sample(sf_dir: str):
+    from search_engine_ray.pipelines.text import hash_sample_ds, read_documents
+
+    # column-pruned: the sampler only needs doc_id
+    return hash_sample_ds(read_documents(sf_dir.rstrip("/"), columns=["doc_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -424,6 +443,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -625,8 +647,42 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+    repetition = f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM t),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS distinct_bigrams,
+               max(cnt)::BIGINT AS top_bigram_count
+        FROM c GROUP BY doc_id)
+SELECT t.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(agg.distinct_bigrams, 0)::BIGINT AS distinct_bigrams,
+       coalesce(agg.top_bigram_count, 0)::BIGINT AS top_bigram_count
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+    decontaminate = f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(ts) - 1),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+       FROM t),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+g AS (SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+             count(ev.s)::BIGINT AS n_contaminated
+      FROM sh LEFT JOIN ev ON sh.s = ev.s GROUP BY sh.doc_id)
+SELECT t.doc_id, coalesce(g.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(g.n_contaminated, 0)::BIGINT AS n_contaminated
+FROM t LEFT JOIN g USING (doc_id)
+"""
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        "repetition": repetition,
+        "decontaminate": decontaminate,
+        "hash_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
+        ),
         "token_count_bpe": r"SELECT doc_id, len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'))::BIGINT AS n_bpe_tokens FROM documents",
         "term_df": f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (

@@ -451,3 +451,81 @@ def simhash64_batch(toks: pa.ListArray) -> np.ndarray:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics / string shingles (webtext quality + decontamination)
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(texts: pa.Array) -> dict[str, np.ndarray]:
+    """Gopher-style (Rae et al. 2021, §A1.1) token-bigram repetition
+    features, fully vectorized batch-wide: total bigrams, distinct
+    bigrams, and the count of the single most frequent bigram per doc.
+    A high top_bigram_count / n_bigrams ratio flags boilerplate and
+    degenerate repetition. No Python per-row loop: tokens are
+    dictionary-encoded once, bigrams become int64 keys (code_i * V +
+    code_{i+1}), and per-doc counts fall out of one lexsort +
+    run-length pass over the whole batch."""
+    toks = token_lists(texts)
+    n = len(texts)
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.int64(len(enc.dictionary))
+    n_bigrams = np.zeros(n, np.int64)
+    distinct = np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    if len(codes) >= 2:
+        same = parents[:-1] == parents[1:]
+        p = parents[:-1][same]
+        key = codes[:-1][same] * vocab + codes[1:][same]
+        n_bigrams = np.bincount(p, minlength=n).astype(np.int64)
+        order = np.lexsort((key, p))
+        ps, ks = p[order], key[order]
+        new = np.ones(len(ps), dtype=bool)
+        new[1:] = (ps[1:] != ps[:-1]) | (ks[1:] != ks[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(ps))).astype(np.int64)
+        run_parent = ps[starts]
+        distinct = np.bincount(run_parent, minlength=n).astype(np.int64)
+        np.maximum.at(top, run_parent, run_len)
+    return {
+        "n_bigrams": n_bigrams,
+        "distinct_bigrams": distinct,
+        "top_bigram_count": top,
+    }
+
+
+def distinct_shingle_strings(
+    texts: pa.Array, k: int = 3
+) -> tuple[np.ndarray, pa.Array]:
+    """(parent_index, shingle) for the DISTINCT k-token space-joined
+    shingle strings of each doc — the SQL-equality-preserving shingle
+    form used by decontamination (unlike the crc32 rolling hashes used
+    by MinHash, these compare equal across engines). Vectorized: one
+    binary_join_element_wise over k shifted slices, then dictionary
+    encode + lexsort dedup. Docs shorter than k tokens yield none."""
+    toks = token_lists(texts)
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(flat)
+    if m < k:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    nsh = m - k + 1
+    parts = [flat.slice(i, nsh) for i in range(k)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    valid = parents[: nsh] == parents[k - 1 :]
+    sh = sh.filter(pa.array(valid))
+    p = parents[:nsh][valid]
+    if not len(p):
+        return p, sh
+    enc = sh.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, p))
+    ps, cs = p[order], codes[order]
+    keep = np.ones(len(ps), dtype=bool)
+    keep[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+    idx = order[keep]
+    return p[idx], sh.take(pa.array(idx))

@@ -251,3 +251,107 @@ def extract_roundtrip_ds(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(wrap, batch_format="pyarrow").map_batches(
         extract_batch, batch_format="pyarrow"
     ).map_batches(project, batch_format="pyarrow")
+
+
+def repetition_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Gopher-style repetition quality features (Rae et al. 2021 §A1.1):
+    per-doc token-bigram totals, distinct counts, and the most-frequent
+    bigram's count. Integer outputs so the ratio thresholds (e.g. drop
+    when top_bigram_count / n_bigrams > 0.18) are derivable downstream
+    and hash exactly against the SQL oracle. Embarrassingly parallel —
+    one vectorized map_batches, no shuffle."""
+    from search_engine_ray.functions.textstats import repetition_metrics
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        m = repetition_metrics(text)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(m["n_bigrams"], pa.int64()),
+                "distinct_bigrams": pa.array(m["distinct_bigrams"], pa.int64()),
+                "top_bigram_count": pa.array(m["top_bigram_count"], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def decontaminate_ds(
+    docs: rd.Dataset, eval_mod: int = 97, k: int = 3
+) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3 appendix-C / FLAN recipe):
+    flag training docs sharing k-token shingles with a held-out eval
+    set. The eval set here is the deterministic slice doc_id % eval_mod
+    == 0 (stand-in for a real benchmark file). Scale shape: the eval
+    side is SMALL by construction (benchmarks are thousands of docs, not
+    billions) — its distinct shingles are collected once via a
+    distributed unique() and broadcast with ray.put; the full corpus
+    then streams through one map_batches doing a vectorized pc.is_in
+    membership test per batch. No all-to-all shuffle of the big side.
+    Output: (doc_id, n_shingles, n_contaminated) — distinct shingles per
+    doc and how many of them appear in the eval set."""
+    import ray
+
+    from search_engine_ray.functions.textstats import distinct_shingle_strings
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % eval_mod) == 0
+        if not mask.any():
+            return pa.table({"sh": pa.array([], pa.string())})
+        sub = batch.filter(pa.array(mask))
+        text = sub.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, sh = distinct_shingle_strings(text, k)
+        return pa.table({"sh": sh})
+
+    ev = sorted(docs.map_batches(eval_shingles, batch_format="pyarrow").unique("sh"))
+    ev_ref = ray.put(pa.array(ev, pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ev_set = ray.get(ev_ref)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        p, sh = distinct_shingle_strings(text, k)
+        n = len(batch)
+        n_sh = np.bincount(p, minlength=n).astype(np.int64)
+        hit = pc.is_in(sh, value_set=ev_set).to_numpy(zero_copy_only=False)
+        n_bad = np.bincount(p, weights=hit.astype(np.float64), minlength=n).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_contaminated": pa.array(n_bad, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def hash_sample_ds(
+    docs: rd.Dataset, prefixes: tuple[str, ...] = ("0", "1", "2")
+) -> rd.Dataset:
+    """Deterministic hash-based corpus sampling: keep a doc iff the md5
+    of its doc_id string starts with one of `prefixes` (default 3/16 =
+    18.75%). The standard reproducible-subset primitive — unlike
+    random_shuffle().limit(), the SAME docs are kept on every run, on
+    any cluster size, and membership is joinable across tables. md5 is
+    chosen deliberately: DuckDB's md5() makes the sample
+    oracle-checkable across engines. Reads only the doc_id column."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pa.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest()[0] in prefixes for i in ids]
+        )
+        return batch.filter(keep).select(["doc_id"])
+
+    return docs.map_batches(f, batch_format="pyarrow")

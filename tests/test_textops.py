@@ -113,3 +113,84 @@ def test_extract_roundtrip(docs):
     want = _sql("SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents ORDER BY doc_id")
     assert got["text"].tolist() == want["text"].tolist()
     assert got["title"].tolist() == want["title"].tolist()
+
+
+def test_repetition_matches_sql(docs):
+    from search_engine_ray.pipelines.text import repetition_ds
+
+    got = repetition_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _sql(
+        """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+              FROM t),
+        c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg),
+        agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS distinct_bigrams,
+                       max(cnt)::BIGINT AS top_bigram_count
+                FROM c GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(agg.n_bigrams,0)::BIGINT AS n_bigrams,
+               coalesce(agg.distinct_bigrams,0)::BIGINT AS distinct_bigrams,
+               coalesce(agg.top_bigram_count,0)::BIGINT AS top_bigram_count
+        FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+        """
+    )
+    for c in ("n_bigrams", "distinct_bigrams", "top_bigram_count"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_repetition_degenerate_doc():
+    """A doc that is one token repeated: top bigram covers everything."""
+    import pyarrow as pa
+
+    from search_engine_ray.functions.textstats import repetition_metrics
+
+    m = repetition_metrics(pa.array(["spam spam spam spam spam", "a", ""]))
+    assert m["n_bigrams"].tolist() == [4, 0, 0]
+    assert m["distinct_bigrams"].tolist() == [1, 0, 0]
+    assert m["top_bigram_count"].tolist() == [4, 0, 0]
+
+
+def test_decontaminate_matches_sql(docs):
+    from search_engine_ray.pipelines.text import decontaminate_ds
+
+    got = decontaminate_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _sql(
+        """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(ts)-1),
+                                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+               FROM t),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        g AS (SELECT sh.doc_id, count(*)::BIGINT AS n_shingles, count(ev.s)::BIGINT AS n_contaminated
+              FROM sh LEFT JOIN ev ON sh.s = ev.s GROUP BY sh.doc_id)
+        SELECT t.doc_id, coalesce(g.n_shingles,0)::BIGINT AS n_shingles,
+               coalesce(g.n_contaminated,0)::BIGINT AS n_contaminated
+        FROM t LEFT JOIN g USING (doc_id) ORDER BY doc_id
+        """
+    )
+    assert got["n_shingles"].tolist() == want["n_shingles"].tolist()
+    assert got["n_contaminated"].tolist() == want["n_contaminated"].tolist()
+    # eval docs are fully self-contaminated
+    ev = got[got.doc_id % 97 == 0]
+    assert (ev.n_contaminated == ev.n_shingles).all()
+
+
+def test_hash_sample_deterministic(docs):
+    import hashlib
+
+    from search_engine_ray.pipelines.text import hash_sample_ds
+
+    a = sorted(hash_sample_ds(docs).to_pandas()["doc_id"].tolist())
+    b = sorted(hash_sample_ds(docs).to_pandas()["doc_id"].tolist())
+    assert a == b and len(a) > 0
+    for d in a[:20]:
+        assert hashlib.md5(str(d).encode()).hexdigest()[0] in ("0", "1", "2")
+    # unsampled ids really hash elsewhere
+    sampled = set(a)
+    for d in range(50):
+        if d not in sampled:
+            assert hashlib.md5(str(d).encode()).hexdigest()[0] not in ("0", "1", "2")
