@@ -413,6 +413,14 @@ def q_hash_sample(sf_dir: str):
     return hash_sample_ds(read_documents(sf_dir.rstrip("/"), columns=["doc_id"]))
 
 
+def q_clean_corpus(sf_dir: str):
+    from search_engine_ray.pipelines.text import clean_corpus_ds, read_documents
+
+    return clean_corpus_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text", "lang"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -446,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
+        "clean_corpus": q_clean_corpus,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -675,9 +684,39 @@ SELECT t.doc_id, coalesce(g.n_shingles, 0)::BIGINT AS n_shingles,
        coalesce(g.n_contaminated, 0)::BIGINT AS n_contaminated
 FROM t LEFT JOIN g USING (doc_id)
 """
+    clean_corpus = f"""
+WITH t AS (SELECT doc_id, text, lang, {tok} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(ts) - 1),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+       FROM t),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+       FROM t),
+bgc AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b),
+rep AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, max(cnt)::BIGINT AS top_cnt
+        FROM bgc GROUP BY doc_id),
+feat AS (SELECT t.doc_id, t.text, len(ts)::BIGINT AS n_tokens,
+                len(list_filter(ts, x -> length(x) < 2))::BIGINT AS n_short,
+                coalesce(rep.n_bigrams, 0) AS n_bigrams,
+                coalesce(rep.top_cnt, 0) AS top_cnt
+         FROM t LEFT JOIN rep USING (doc_id)
+         WHERE t.lang = 'en'
+           AND substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) < '8'
+           AND t.doc_id NOT IN (SELECT doc_id FROM contam)),
+pass AS (SELECT doc_id, text, n_tokens FROM feat
+         WHERE n_tokens BETWEEN 20 AND 1000
+           AND n_short * 5 <= n_tokens
+           AND top_cnt * 5 <= n_bigrams)
+SELECT min(doc_id)::BIGINT AS doc_id, min(n_tokens)::BIGINT AS n_tokens
+FROM pass GROUP BY md5(text)
+"""
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "repetition": repetition,
+        "clean_corpus": clean_corpus,
         "decontaminate": decontaminate,
         "hash_sample": (
             "SELECT doc_id FROM documents "

@@ -355,3 +355,115 @@ def hash_sample_ds(
         return batch.filter(keep).select(["doc_id"])
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def clean_corpus_ds(docs: rd.Dataset, eval_mod: int = 97, k: int = 3) -> rd.Dataset:
+    """Flagship webtext cleaning pipeline — the full CC-style recipe as ONE
+    composition (the thing a training-data user actually runs):
+
+      lang filter -> quality gates -> repetition gate -> decontamination
+      -> deterministic 50% hash subsample -> exact dedup (keep min doc_id)
+
+    Gates (all integer arithmetic, so the SQL oracle hashes exactly):
+      lang == 'en'; 20 <= n_tokens <= 1000; n_short*5 <= n_tokens (<=20%
+      1-char tokens); top_bigram_count*5 <= n_bigrams (<=20% covered by the
+      modal bigram, the Gopher rule); n_contaminated == 0 against the
+      doc_id % eval_mod == 0 eval slice; md5(doc_id)[0] in 0..7.
+
+    Scale shape: every per-doc feature (tokens, shorts, bigram repetition,
+    shingle contamination, md5 fp) is computed in a SINGLE fused map_batches
+    pass — one read of the text column, rows dropped as early as possible,
+    no intermediate datasets. The eval shingle set is the broadcast small
+    side (ray.put once). The only shuffle is the final exact-dedup
+    groupby(fp), which ships just (fp, doc_id, n_tokens) triples for
+    surviving rows — never text. Output: (doc_id, n_tokens) of kept docs.
+    """
+    import hashlib
+
+    import ray
+
+    from search_engine_ray.functions.textstats import (
+        distinct_shingle_strings,
+        md5_fingerprints,
+        quality_metrics,
+        repetition_metrics,
+    )
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % eval_mod) == 0
+        if not mask.any():
+            return pa.table({"sh": pa.array([], pa.string())})
+        text = batch.filter(pa.array(mask)).column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, sh = distinct_shingle_strings(text, k)
+        return pa.table({"sh": sh})
+
+    ev = sorted(docs.map_batches(eval_shingles, batch_format="pyarrow").unique("sh"))
+    ev_ref = ray.put(pa.array(ev, pa.string()))
+
+    def features(batch: pa.Table) -> pa.Table:
+        # cheap gates first: lang + hash subsample drop rows before any
+        # tokenization work happens
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (hashlib.md5(str(int(i)).encode()).hexdigest()[0] < "8" for i in ids),
+            dtype=bool,
+            count=len(ids),
+        )
+        if "lang" in batch.column_names:
+            keep &= pc.equal(batch.column("lang"), "en").to_numpy(
+                zero_copy_only=False
+            )
+        batch = batch.filter(pa.array(keep))
+        if not len(batch):
+            return pa.table(
+                {
+                    "fp": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        q = quality_metrics(text)
+        r = repetition_metrics(text)
+        p, sh = distinct_shingle_strings(text, k)
+        ev_set = ray.get(ev_ref)
+        hit = pc.is_in(sh, value_set=ev_set).to_numpy(zero_copy_only=False)
+        n_bad = np.bincount(
+            p, weights=hit.astype(np.float64), minlength=len(batch)
+        ).astype(np.int64)
+        ok = (
+            (q["n_tokens"] >= 20)
+            & (q["n_tokens"] <= 1000)
+            & (q["n_short"] * 5 <= q["n_tokens"])
+            & (r["top_bigram_count"] * 5 <= r["n_bigrams"])
+            & (n_bad == 0)
+        )
+        kept = batch.filter(pa.array(ok))
+        ktext = kept.column("text")
+        if isinstance(ktext, pa.ChunkedArray):
+            ktext = ktext.combine_chunks()
+        return pa.table(
+            {
+                "fp": pa.array(md5_fingerprints(ktext.to_pylist()), pa.string()),
+                "doc_id": kept.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(q["n_tokens"][ok], pa.int64()),
+            }
+        )
+
+    feats = docs.map_batches(features, batch_format="pyarrow")
+    agg = feats.groupby("fp").min(["doc_id", "n_tokens"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("min(doc_id)"),
+                "n_tokens": batch.column("min(n_tokens)"),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

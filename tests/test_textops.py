@@ -194,3 +194,29 @@ def test_hash_sample_deterministic(docs):
     for d in range(50):
         if d not in sampled:
             assert hashlib.md5(str(d).encode()).hexdigest()[0] not in ("0", "1", "2")
+
+
+def test_clean_corpus_invariants(ray_session):
+    """clean_corpus = lang/quality/repetition/decontamination/sample/dedup
+    composition; invariants checked against its own building blocks."""
+    import hashlib
+
+    from search_engine_ray.pipelines.text import (
+        clean_corpus_ds,
+        decontaminate_ds,
+        read_documents,
+    )
+
+    docs = read_documents(SF, columns=["doc_id", "text", "lang"])
+    got = clean_corpus_ds(docs).to_pandas()
+    assert len(got) > 0
+    assert got["doc_id"].is_unique
+    assert (got["n_tokens"] >= 20).all() and (got["n_tokens"] <= 1000).all()
+    kept = set(got["doc_id"].tolist())
+    # every kept doc passed the sample gate
+    for d in kept:
+        assert hashlib.md5(str(d).encode()).hexdigest()[0] < "8"
+    # and is uncontaminated
+    dec = decontaminate_ds(read_documents(SF)).to_pandas()
+    bad = set(dec[dec.n_contaminated > 0]["doc_id"].tolist())
+    assert not (kept & bad)
