@@ -257,6 +257,7 @@ def _training_data_ops(sf_dir: str) -> dict:
         "ann_cosine_topk",
         "tumbling_window",
         "sessionize",
+        "clean_corpus",
     ):
         import ray.data as rd
 
