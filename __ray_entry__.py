@@ -413,6 +413,12 @@ def q_hash_sample(sf_dir: str):
     return hash_sample_ds(read_documents(sf_dir.rstrip("/"), columns=["doc_id"]))
 
 
+def q_dup_ngram_stats(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import dup_ngram_stats_ds
+
+    return dup_ngram_stats_ds(_docs(sf_dir))
+
+
 def q_clean_corpus(sf_dir: str):
     from search_engine_ray.pipelines.text import clean_corpus_ds, read_documents
 
@@ -455,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "clean_corpus": q_clean_corpus,
+        "dup_ngram_stats": q_dup_ngram_stats,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -717,6 +724,17 @@ FROM pass GROUP BY md5(text)
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "repetition": repetition,
         "clean_corpus": clean_corpus,
+        "dup_ngram_stats": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(ts) - 1),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+       FROM t),
+df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_shingles
+FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id
+""",
         "decontaminate": decontaminate,
         "hash_sample": (
             "SELECT doc_id FROM documents "

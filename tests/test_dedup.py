@@ -246,3 +246,37 @@ def test_shingle_hashes_batch_matches_per_doc():
     for i in range(len(texts)):
         per = minhash_signature(flat[starts[i] : starts[i + 1]], a, b)
         assert sigs[i].tolist() == per.tolist(), i
+
+
+def test_dup_ngram_stats_matches_duckdb(ray_session):
+    import duckdb
+
+    from search_engine_ray.pipelines.dedup import dup_ngram_stats_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        dup_ngram_stats_ds(read_documents(sf))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(
+        """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(1, len(ts)-1),
+                                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+               FROM t),
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_shingles
+        FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id ORDER BY sh.doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_shingles"].tolist() == want["n_shingles"].tolist()
+    assert got["n_dup_shingles"].tolist() == want["n_dup_shingles"].tolist()
