@@ -312,8 +312,10 @@ def q_embedding_neardup_lsh(sf_dir: str):
     from search_engine_ray.pipelines.dedup import embedding_neardup_lsh_pairs_ds
     from search_engine_ray.pipelines.similarity import read_embeddings
 
+    # at this low threshold (cos 0.5 -> P[bit agree] = 2/3) narrow bands are
+    # needed for recall: 4 bits x 32 tables -> miss prob (1 - (2/3)^4)^32 < 1e-3
     out = embedding_neardup_lsh_pairs_ds(
-        read_embeddings(sf_dir.rstrip("/")), threshold=0.5
+        read_embeddings(sf_dir.rstrip("/")), threshold=0.5, n_bits=4, n_tables=32
     ).to_pandas()
     if "vec_a" not in out.columns:  # zero pairs: Ray aggregate loses schema
         import pandas as pd
@@ -427,6 +429,59 @@ def q_clean_corpus(sf_dir: str):
     )
 
 
+def q_unigram_lm(sf_dir: str):
+    from search_engine_ray.pipelines.text import unigram_lm_ds
+
+    return unigram_lm_ds(_docs(sf_dir))
+
+
+def q_quantile_bucket(sf_dir: str):
+    from search_engine_ray.pipelines.text import quantile_bucket_ds
+
+    return quantile_bucket_ds(_docs(sf_dir))
+
+
+def q_pii_redact(sf_dir: str):
+    from search_engine_ray.pipelines.text import pii_redact_ds
+
+    # the synthetic corpus has no natural PII — derive a deterministic
+    # contact line per doc (same derivation in the SQL oracle), then redact
+    def with_pii(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = [
+            f" contact u{i}@ex{i % 7}.com from 10.{i % 256}.0.{i % 9}"
+            for i in ids
+        ]
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    batch.column("text"), pa.array(suffix, pa.string()), ""
+                ),
+            }
+        )
+
+    return pii_redact_ds(
+        _docs(sf_dir).map_batches(with_pii, batch_format="pyarrow")
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    from search_engine_ray.pipelines.text import read_documents, stratified_sample_ds
+
+    return stratified_sample_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text", "lang"])
+    )
+
+
+def q_segment_revenue(sf_dir: str):
+    from search_engine_ray.pipelines.relational import segment_revenue_ds
+
+    return segment_revenue_ds(sf_dir.rstrip("/"), strategy="broadcast")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -462,6 +517,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "clean_corpus": q_clean_corpus,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "unigram_lm": q_unigram_lm,
+        "quantile_bucket": q_quantile_bucket,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "segment_revenue": q_segment_revenue,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -477,6 +537,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the exact RE2 literals the Ray pipeline compiles (single source)
+    from search_engine_ray.pipelines.text import (
+        PII_EMAIL_RE as _PII_EMAIL,
+        PII_IPV4_RE as _PII_IPV4,
+    )
+
     tok = _TOK_SQL
     bm25 = f"""
 WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
@@ -836,4 +902,42 @@ WITH hot AS (
 )
 SELECT DISTINCT e.event_id
 FROM events e JOIN iv ON e.ts >= iv.s AND e.ts < iv.e""",
+        "unigram_lm": f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+cnt AS (SELECT term, count(*) AS n FROM flat GROUP BY term),
+tot AS (SELECT sum(n)::DOUBLE AS s FROM cnt),
+vocab AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 65536),
+bits AS (
+  SELECT f.doc_id, -log2(coalesce(v.n, 1)::DOUBLE / tot.s) AS b
+  FROM flat f LEFT JOIN vocab v USING (term) CROSS JOIN tot)
+SELECT doc_id, round(avg(b), 6) AS lm_bits FROM bits GROUP BY doc_id""",
+        "quantile_bucket": f"""
+SELECT doc_id,
+       ntile(3) OVER (ORDER BY n_tokens, doc_id)::BIGINT AS bucket
+FROM (SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents)""",
+        "pii_redact": rf"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+         '.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 9) AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS ne,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM base)
+SELECT doc_id,
+       regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS clean_text,
+       (ne + len(regexp_extract_all(t1, '{_PII_IPV4}')))::BIGINT AS n_redacted
+FROM s1""",
+        "stratified_sample": """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 10""",
+        # integer-cents summation on both sides (float-order independent)
+        "segment_revenue": """
+SELECT c_mktsegment,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
     }

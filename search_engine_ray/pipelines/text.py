@@ -467,3 +467,226 @@ def clean_corpus_ds(docs: rd.Dataset, eval_mod: int = 97, k: int = 3) -> rd.Data
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def unigram_lm_ds(docs: rd.Dataset, vocab_size: int = 65536) -> rd.Dataset:
+    """Unigram language-model doc scoring (the CCNet/KenLM quality signal
+    reduced to order 0): pass 1 computes global token counts with the
+    combiner pattern (one row per (batch, term) through the shuffle); the
+    top-``vocab_size`` vocabulary (count desc, term asc — deterministic)
+    and the corpus total are broadcast ONCE via ray.put; pass 2 scores
+    every doc as mean(-log2 p(token)) in one vectorized map_batches, OOV
+    tokens at the 1/total floor. Output (doc_id, lm_bits) — higher =
+    more surprising under the corpus LM (the head/tail quality axis).
+
+    Scale shape: the vocabulary cap bounds the broadcast regardless of
+    corpus size; the counts groupby ships combiner partials only; docs
+    with zero tokens are dropped (matching the SQL oracle, whose unnest
+    emits no rows for them)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = token_lists(batch.column("text")).flatten()
+        terms = flat.to_numpy(zero_copy_only=False)
+        if len(terms) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table(
+            {"term": pa.array(uniq, pa.string()), "pn": pa.array(counts, pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pn", alias_name="n"))
+        .materialize()  # vocab-sized (small); read twice below
+    )
+    total = float(counts.sum("n"))
+    vocab = counts.sort(["n", "term"], descending=[True, False]).limit(vocab_size)
+    import ray as _ray
+
+    vt = pa.concat_tables(
+        [t for t in _ray.get(vocab.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
+    vocab_ref = ray.put((vt.column("term").combine_chunks(), vt.column("n").to_numpy(zero_copy_only=False).astype(np.float64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_arr, n_arr = ray.get(vocab_ref)
+        toks = token_lists(batch.column("text"))
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=terms_arr)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.nan_to_num(pos, nan=0.0).astype(np.int64)
+        cnt = np.where(valid, n_arr[pos], 1.0)
+        bits = -np.log2(cnt / total)
+        n_rows = len(batch)
+        per_doc_sum = np.bincount(parents, weights=bits, minlength=n_rows)
+        per_doc_n = np.bincount(parents, minlength=n_rows)
+        keep = per_doc_n > 0
+        lm = np.round(per_doc_sum[keep] / per_doc_n[keep], 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "lm_bits": pa.array(lm, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def quantile_bucket_ds(docs: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
+    """CCNet-style head/middle/tail bucketing: every doc gets its n-tile
+    by (n_tokens, doc_id) with exact SQL ``ntile`` semantics (the first
+    ``n mod b`` buckets are one row larger) — WITHOUT a global sort of
+    the data. A small value-histogram groupby locates the boundary
+    VALUES; only the <= b-1 boundary value-groups are re-read to resolve
+    the exact boundary (n_tokens, doc_id) pairs; every doc then gets its
+    bucket from b-1 broadcast lexicographic compares. Nothing larger
+    than the histogram reaches the driver. Two streaming passes over the
+    source (histogram + assignment) — no materialization of the corpus."""
+    import ray
+
+    tc = token_count_ds(docs)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq, pa.int64()), "pn": pa.array(counts, pa.int64())}
+        )
+
+    hist = (
+        tc.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    values = hist["v"].to_numpy(np.int64)
+    vcounts = hist["n"].to_numpy(np.int64)
+    n = int(vcounts.sum())
+    cum = np.cumsum(vcounts)  # cum[i] = #rows with value <= values[i]
+    base, rem = divmod(n, n_buckets)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_buckets)]
+    bounds: list[tuple[int, int]] = []  # (value, doc_id) of each bucket's last row
+    rank = 0
+    for size in sizes[:-1]:
+        rank += size  # 1-indexed rank of the bucket's last row
+        vi = int(np.searchsorted(cum, rank))  # first value with cum >= rank
+        v = int(values[vi])
+        before = int(cum[vi - 1]) if vi else 0
+        k = rank - before - 1  # 0-indexed position within the value group
+        group_ids = np.sort(
+            np.concatenate(
+                [
+                    t.column("doc_id").to_numpy(zero_copy_only=False)
+                    for t in ray.get(
+                        tc.filter(expr=f"n_tokens == {v}").to_arrow_refs()
+                    )
+                    if t.num_rows
+                ]
+            )
+        )
+        bounds.append((v, int(group_ids[k])))
+    b_ref = ray.put(bounds)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bs = ray.get(b_ref)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bucket = np.ones(len(nt), dtype=np.int64)
+        for bv, bd in bs:
+            bucket += (nt > bv) | ((nt == bv) & (ids > bd))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return tc.map_batches(assign, batch_format="pyarrow")
+
+
+# RE2 on both sides (pyarrow and DuckDB), so redaction is engine-identical
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact_ds(docs: rd.Dataset) -> rd.Dataset:
+    """PII redaction over the text column — the standard pre-training
+    scrub (emails, then IPv4 literals, counted as they are replaced).
+    Embarrassingly parallel: two vectorized RE2 kernels per batch, no
+    shuffle, no state. Output (doc_id, clean_text, n_redacted). IPs are
+    counted after email redaction so an address inside an email never
+    double-counts."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_email = pc.count_substring_regex(text, PII_EMAIL_RE)
+        t1 = pc.replace_substring_regex(text, PII_EMAIL_RE, "<EMAIL>")
+        n_ip = pc.count_substring_regex(t1, PII_IPV4_RE)
+        t2 = pc.replace_substring_regex(t1, PII_IPV4_RE, "<IP>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": t2,
+                "n_redacted": pc.add(n_email, n_ip).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample_ds(
+    docs: rd.Dataset, per_group: int = 10, group_col: str = "lang"
+) -> rd.Dataset:
+    """Deterministic stratified sampling: the ``per_group`` docs with the
+    smallest (md5(text), doc_id) within each group — reproducible on any
+    cluster size, and oracle-checkable (DuckDB md5 == hashlib md5).
+
+    The distributed top-k-per-key shape: each batch emits at most
+    per_group rows PER GROUP (partial top-k combiner), so the final
+    per-group selection shuffles n_batches * n_groups * per_group tiny
+    rows, never the corpus."""
+    from search_engine_ray.functions.textstats import md5_fingerprints
+
+    def topk(tbl: pa.Table) -> pa.Table:
+        grp = tbl.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        smp = np.asarray(tbl.column("smp").to_pylist())
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, smp, codes))
+        c = codes[order]
+        run_start = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+        pos_in_run = np.arange(len(c)) - np.repeat(run_start, np.diff(np.r_[run_start, len(c)]))
+        sel = order[pos_in_run < per_group]
+        return tbl.take(pa.array(np.sort(sel), pa.int64()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "doc_id": batch.column("doc_id"),
+                "smp": pa.array(md5_fingerprints(text.to_pylist()), pa.string()),
+            }
+        )
+        return topk(t)
+
+    def final(group: pa.Table) -> pa.Table:
+        return topk(group).select([group_col, "doc_id"])
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1,0 +1,100 @@
+"""Equi-join operators (pipelines/relational.py) vs DuckDB at sf0.001.
+
+The reference has only point-lookup joins (SURVEY §2.4); these cover the
+engine's general equi-join surface: broadcast hash join (small build side,
+ray.put once) and Ray Data's native hash-shuffle join, tested equivalent.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sql(q):
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(q).df()
+
+
+def test_broadcast_join_inner(ray_session):
+    from search_engine_ray.pipelines.relational import broadcast_hash_join
+
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = rd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    got = (
+        broadcast_hash_join(orders, customer, on="o_custkey", build_on="c_custkey")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        SELECT o_orderkey, o_custkey, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+        """
+    )
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+
+
+def test_broadcast_join_left_keeps_unmatched(ray_session):
+    from search_engine_ray.pipelines.relational import broadcast_hash_join
+
+    probe = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "x": pa.array(list("abc"))})
+    )
+    build = pa.table(
+        {"k": pa.array([1, 3], pa.int64()), "v": pa.array(["p", "q"])}
+    )
+    got = (
+        broadcast_hash_join(probe, build, on="k", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["v"].tolist()[0] == "p"
+    assert pd.isna(got["v"].tolist()[1])
+    assert got["v"].tolist()[2] == "q"
+
+
+def test_broadcast_join_rejects_duplicate_build_keys(ray_session):
+    from search_engine_ray.pipelines.relational import broadcast_hash_join
+
+    probe = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    build = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_hash_join(probe, build, on="k")
+
+
+def test_segment_revenue_strategies_agree_and_match_sql(ray_session):
+    from search_engine_ray.pipelines.relational import segment_revenue_ds
+
+    want = _sql(
+        """
+        SELECT c_mktsegment,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment
+        """
+    )
+    for strategy in ("broadcast", "shuffle"):
+        got = (
+            segment_revenue_ds(SF, strategy=strategy)
+            .to_pandas()
+            .sort_values("c_mktsegment")
+            .reset_index(drop=True)
+        )
+        assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist(), strategy
+        assert got["revenue"].tolist() == want["revenue"].tolist(), strategy

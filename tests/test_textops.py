@@ -220,3 +220,154 @@ def test_clean_corpus_invariants(ray_session):
     dec = decontaminate_ds(read_documents(SF)).to_pandas()
     bad = set(dec[dec.n_contaminated > 0]["doc_id"].tolist())
     assert not (kept & bad)
+
+
+def test_unigram_lm_matches_sql(docs):
+    from search_engine_ray.pipelines.text import unigram_lm_ds
+
+    got = (
+        unigram_lm_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH tok AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ts
+             FROM documents),
+        flat AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+        cnt AS (SELECT term, count(*) AS n FROM flat GROUP BY term),
+        tot AS (SELECT sum(n)::DOUBLE AS s FROM cnt),
+        bits AS (
+          SELECT f.doc_id, -log2(v.n::DOUBLE / tot.s) AS b
+          FROM flat f JOIN cnt v USING (term) CROSS JOIN tot)
+        SELECT doc_id, round(avg(b), 6) AS lm_bits
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.allclose(got["lm_bits"], want["lm_bits"], atol=1e-6)
+
+
+def test_unigram_lm_vocab_cap_oov_floor(ray_session):
+    from search_engine_ray.pipelines.text import unigram_lm_ds
+
+    # corpus: 'aa' x3, 'bb' x2, 'cc' x1 -> total 6. vocab_size=2 keeps
+    # {aa, bb}; 'cc' scores at the 1/6 OOV floor.
+    import pyarrow as pa
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["aa aa aa", "bb bb", "cc"], pa.string()),
+            }
+        )
+    )
+    got = (
+        unigram_lm_ds(docs, vocab_size=2)
+        .to_pandas()
+        .sort_values("doc_id")["lm_bits"]
+        .tolist()
+    )
+    assert got[0] == round(-np.log2(3 / 6), 6)
+    assert got[1] == round(-np.log2(2 / 6), 6)
+    assert got[2] == round(-np.log2(1 / 6), 6)  # OOV floor = 1/total
+
+
+def test_quantile_bucket_matches_ntile(docs):
+    from search_engine_ray.pipelines.text import quantile_bucket_ds
+
+    got = (
+        quantile_bucket_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        SELECT doc_id,
+               ntile(3) OVER (ORDER BY n_tokens, doc_id)::BIGINT AS bucket
+        FROM (SELECT doc_id,
+                len(list_filter(string_split(text,' '), x -> x <> ''))::BIGINT
+                  AS n_tokens
+              FROM documents)
+        ORDER BY doc_id
+        """
+    )
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+
+
+def test_quantile_bucket_all_ties(ray_session):
+    """Every doc has the same n_tokens — the boundary falls INSIDE one value
+    group, so the doc_id tie-break carries the whole ntile assignment."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import quantile_bucket_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(7)), pa.int64()),
+                "text": pa.array(["x y"] * 7, pa.string()),
+            }
+        )
+    )
+    got = (
+        quantile_bucket_ds(docs, n_buckets=3)
+        .to_pandas()
+        .sort_values("doc_id")["bucket"]
+        .tolist()
+    )
+    # ntile(3) over 7 rows: sizes 3,2,2
+    assert got == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_pii_redact_vectors(ray_session):
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import pii_redact_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail me at Bob.Smith+x@sub.example.org today",
+                        "server 192.168.0.1 then 10.0.0.255 end",
+                        "no pii here at all",
+                        "pair a@b.co 1.2.3.4",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = pii_redact_ds(docs).to_pandas().sort_values("doc_id")
+    assert got["clean_text"].tolist() == [
+        "mail me at <EMAIL> today",
+        "server <IP> then <IP> end",
+        "no pii here at all",
+        "pair <EMAIL> <IP>",
+    ]
+    assert got["n_redacted"].tolist() == [1, 2, 0, 2]
+
+
+def test_stratified_sample_matches_sql_and_parallelism(docs):
+    from search_engine_ray.pipelines.text import read_documents, stratified_sample_ds
+
+    want = _sql(
+        """
+        SELECT lang, doc_id FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 4
+        ORDER BY lang, doc_id
+        """
+    )
+    full = read_documents(SF, columns=["doc_id", "text", "lang"])
+    for blocks in (1, 7):
+        got = (
+            stratified_sample_ds(
+                full.repartition(blocks), per_group=4, group_col="lang"
+            )
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got["lang"].tolist() == want["lang"].tolist(), blocks
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), blocks
