@@ -109,6 +109,29 @@ def _narrow_view(pages: rd.Dataset, cols: list[str]) -> rd.Dataset:
     return pages.select_columns(cols)
 
 
+def _split_input(
+    pages: rd.Dataset, n_blocks: int, est_rows: int | None
+) -> rd.Dataset:
+    """Right-size INPUT task granularity without a barrier.
+
+    ``repartition(num_blocks)`` is an all-to-all: it materializes the whole
+    html-laden input through the object store before the first extract task
+    runs — fine at bench scale, a scale-killer on a 100 TB crawl. The
+    streaming repartition (``target_num_rows_per_block``, planned as a Map
+    operator) only SPLITS oversized blocks as they stream past, which is
+    all the build needs: task parallelism ∝ blocks, no corpus rewrite.
+    Inputs that arrive as many tiny blocks stay tiny (more, smaller tasks —
+    harmless); exact coalescing is never needed here. Falls back to the
+    barrier repartition when no row estimate is available."""
+    if not est_rows:
+        return pages.repartition(n_blocks)
+    target = max(1, est_rows // n_blocks)
+    try:
+        return pages.repartition(target_num_rows_per_block=target)
+    except TypeError:  # Ray without the streaming mode
+        return pages.repartition(n_blocks)
+
+
 def _dedup_duplicate_urls(
     pages: rd.Dataset,
 ) -> tuple[rd.Dataset, int]:
@@ -713,7 +736,7 @@ def _build_index_fused(
     counters = StageCounters.remote()
     stats_acc = _DocStatsAcc.remote()
 
-    ds = pages.repartition(emit_blocks)
+    ds = _split_input(pages, emit_blocks, est_docs)
     ds = ds.map_batches(
         _counting(
             lambda b: extract_batch(b, title_strip_prefix=config.title_strip_prefix),
@@ -901,11 +924,18 @@ def build_index(
 
     if not (resume and manifest_valid(docs_manifest, fingerprint)):
         fsio.rmtree(docs_dir)
+        try:
+            # pre-dedup count: cheap for parquet-backed or materialized
+            # inputs (the normal cases), and an over-estimate after url
+            # dedup only pads block granularity
+            est_rows = pages.count() or 0
+        except Exception:
+            est_rows = 0
         if dedup_urls:
             pages, n_dup_urls_skipped = _dedup_duplicate_urls(pages)
             timings["url_dedup"] = time.perf_counter() - t0
         counters = StageCounters.remote()
-        ds = pages.repartition(target_blocks)
+        ds = _split_input(pages, target_blocks, est_rows)
         ds = ds.map_batches(
             _counting(
                 lambda b: extract_batch(
