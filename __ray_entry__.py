@@ -482,6 +482,12 @@ def q_segment_revenue(sf_dir: str):
     return segment_revenue_ds(sf_dir.rstrip("/"), strategy="broadcast")
 
 
+def q_pricing_summary(sf_dir: str):
+    from search_engine_ray.pipelines.relational import pricing_summary_ds
+
+    return pricing_summary_ds(sf_dir.rstrip("/"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_count": q_token_count,
@@ -522,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "segment_revenue": q_segment_revenue,
+        "pricing_summary": q_pricing_summary,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -940,4 +947,22 @@ SELECT c_mktsegment,
        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
+        # all metrics as exact integer numerators (cents / basis-point
+        # products) so the hash is float-summation-order independent
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             / 1000000.0, 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+             / 100000000.0, 2) AS sum_charge,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY 1, 2""",
     }

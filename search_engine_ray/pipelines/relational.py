@@ -161,3 +161,127 @@ def segment_revenue_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary_ds(
+    sf_dir: str, cutoff: str = "2000-01-01"
+) -> rd.Dataset:
+    """TPC-H-Q1-shaped pricing summary over lineitem: filter on ship date,
+    group by (returnflag, linestatus), sum quantity / base price /
+    discounted price / charge + row count.
+
+    The canonical columnar-aggregate shape: column-pruned read, predicate
+    applied per batch, ALL metrics accumulated as exact integers (cents and
+    basis-point products) inside one vectorized map_batches combiner — the
+    groupby ships 6 tiny rows per batch and the result is independent of
+    float summation order (hash-exact vs the SQL oracle). int64 numerators
+    bound the exact range to ~9e18: at these magnitudes (~1e11 per row for
+    sum_charge) that is ~9e7 rows per group and combiner partials keep per-
+    batch totals far below it; beyond that, split the numerator into
+    high/low words or aggregate per shard and combine as Python ints."""
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate")
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        ts = ship.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ts <= cutoff_us))
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.string()),
+                    "pq": pa.array([], pa.int64()),
+                    "pb": pa.array([], pa.int64()),
+                    "pd": pa.array([], pa.int64()),
+                    "pc_": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        key = pc.binary_join_element_wise(
+            batch.column("l_returnflag"), batch.column("l_linestatus"), "|"
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        ng = len(enc.dictionary)
+        qty = np.round(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        cents = np.round(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        )
+        d100 = np.round(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0)
+        t100 = np.round(batch.column("l_tax").to_numpy(zero_copy_only=False) * 100.0)
+        disc_num = cents * (100.0 - d100)  # exact ints in float64 (< 2^53)
+        charge_num = disc_num * (100.0 + t100)
+        return pa.table(
+            {
+                "k": enc.dictionary,
+                "pq": pa.array(
+                    np.bincount(codes, weights=qty, minlength=ng).astype(np.int64),
+                    pa.int64(),
+                ),
+                "pb": pa.array(
+                    np.bincount(codes, weights=cents, minlength=ng).astype(np.int64),
+                    pa.int64(),
+                ),
+                "pd": pa.array(
+                    np.bincount(codes, weights=disc_num, minlength=ng).astype(np.int64),
+                    pa.int64(),
+                ),
+                "pc_": pa.array(
+                    np.bincount(codes, weights=charge_num, minlength=ng).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "pn": pa.array(np.bincount(codes, minlength=ng), pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("pq", alias_name="sum_qty"),
+            Sum("pb", alias_name="b_cents"),
+            Sum("pd", alias_name="d_num"),
+            Sum("pc_", alias_name="c_num"),
+            Sum("pn", alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("k"), "|")
+        return pa.table(
+            {
+                "l_returnflag": pc.list_element(parts, 0),
+                "l_linestatus": pc.list_element(parts, 1),
+                "sum_qty": batch.column("sum_qty"),
+                "sum_base_price": pc.round(
+                    pc.divide(batch.column("b_cents").cast(pa.float64()), 100.0), 2
+                ),
+                "sum_disc_price": pc.round(
+                    pc.divide(batch.column("d_num").cast(pa.float64()), 1_000_000.0), 2
+                ),
+                "sum_charge": pc.round(
+                    pc.divide(
+                        batch.column("c_num").cast(pa.float64()), 100_000_000.0
+                    ),
+                    2,
+                ),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

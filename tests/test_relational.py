@@ -98,3 +98,36 @@ def test_segment_revenue_strategies_agree_and_match_sql(ray_session):
         )
         assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist(), strategy
         assert got["revenue"].tolist() == want["revenue"].tolist(), strategy
+
+
+def test_pricing_summary_matches_sql(ray_session):
+    from search_engine_ray.pipelines.relational import pricing_summary_ds
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    want = con.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                 AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     / 1000000.0, 2) AS sum_disc_price,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                     / 100000000.0, 2) AS sum_charge,
+               count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    got = (
+        pricing_summary_ds(SF)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
