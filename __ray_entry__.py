@@ -482,6 +482,16 @@ def q_segment_revenue(sf_dir: str):
     return segment_revenue_ds(sf_dir.rstrip("/"), strategy="broadcast")
 
 
+def q_semdedup(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import semdedup_ds
+    from search_engine_ray.pipelines.similarity import read_embeddings
+
+    # no SQL oracle (k-means is not SQL-expressible); pinned instead against
+    # a pure-numpy reference in tests/test_dedup.py
+    out = semdedup_ds(read_embeddings(sf_dir.rstrip("/")), threshold=0.8).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_pricing_summary(sf_dir: str):
     from search_engine_ray.pipelines.relational import pricing_summary_ds
 
@@ -529,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "segment_revenue": q_segment_revenue,
         "pricing_summary": q_pricing_summary,
+        "semdedup": q_semdedup,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

@@ -80,9 +80,26 @@ def _host_markers() -> dict:
     tot1, steal1 = _stat()
     dt = tot1 - tot0
     steal_pct = 100.0 * (steal1 - steal0) / dt if dt else 0.0
+
+    # buffered disk write probe (~64 MB): BASELINE.md documents writeback
+    # throttling to 26 MB/s on bad days (557 MB/s direct-IO same moment) —
+    # memcpy alone does not capture that mode
+    buf = b"\0" * (64 << 20)
+    path = "/tmp/.bench_write_probe"
+    t0 = time.perf_counter()
+    with open(path, "wb") as f:
+        f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    write_mbps = 64.0 / max(time.perf_counter() - t0, 1e-9)
+    try:
+        os.remove(path)
+    except OSError:
+        pass
     return {
         "host_memcpy_mbps": round(memcpy_mbps, 1),
         "host_steal_pct": round(steal_pct, 2),
+        "host_write_mbps": round(write_mbps, 1),
     }
 
 
@@ -324,24 +341,27 @@ def run_build_only(num_cpus: int) -> dict:
 
 def run_scaling() -> dict:
     """Fresh process per parallelism level (the two-cluster-size evidence)."""
-    # the host's run-to-run variance is up to 2x (noisy neighbor; see
-    # BASELINE.md) — take the best of 2 fresh processes per level
+    # the host's run-to-run drift reaches 2x+ over minutes (noisy neighbor;
+    # see BASELINE.md "Host-state markers") — INTERLEAVE the levels
+    # (8,32,8,32) so a drift epoch hits both sides, and take the best of 2
+    # fresh processes per level
     results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(cpus)
-        env["GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
-        best = None
-        for _ in range(2):
+    all_runs = {8: [], 32: []}
+    for _rep in range(2):
+        for cpus in (8, 32):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["GRAFT_BENCH_DOCS"] = str(SCALING_DOCS)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--build-only", str(cpus)],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            all_runs[cpus].append(r)
+            best = results.get(cpus)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
     r8 = results[8]["docs_per_sec"]
     r32 = results[32]["docs_per_sec"]
     eff = (r32 / r8) / 4.0
@@ -354,10 +374,14 @@ def run_scaling() -> dict:
             "docs_per_sec_32cpu": r32,
             "wall_sec_8cpu": results[8]["wall_sec"],
             "wall_sec_32cpu": results[32]["wall_sec"],
+            "all_docs_per_sec_8cpu": [r["docs_per_sec"] for r in all_runs[8]],
+            "all_docs_per_sec_32cpu": [r["docs_per_sec"] for r in all_runs[32]],
             "host_memcpy_mbps_8cpu": results[8].get("host_memcpy_mbps"),
             "host_memcpy_mbps_32cpu": results[32].get("host_memcpy_mbps"),
             "host_steal_pct_8cpu": results[8].get("host_steal_pct"),
             "host_steal_pct_32cpu": results[32].get("host_steal_pct"),
+            "host_write_mbps_8cpu": results[8].get("host_write_mbps"),
+            "host_write_mbps_32cpu": results[32].get("host_write_mbps"),
         },
         "sf": SF_DIR,
         "num_cpus": 32,

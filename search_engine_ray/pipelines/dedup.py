@@ -856,3 +856,65 @@ def dup_ngram_stats_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
         Sum("one", alias_name="n_shingles"),
         Sum("is_dup", alias_name="n_dup_shingles"),
     )
+
+
+def semdedup_ds(
+    embeddings: rd.Dataset,
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering — near-duplicates are only searched WITHIN a
+    cluster, turning the O(n^2) all-pairs problem into n_clusters
+    independent O((n/k)^2) group problems.
+
+    1. spherical k-means centroids trained on a bounded sample
+       (similarity.train_ivf_centroids — the broadcast small side);
+    2. nearest-centroid assignment in one map_batches
+       (similarity.ivf_assign_ds);
+    3. groupby(list_id).map_groups: per-cluster pairwise cosine, then the
+       deterministic keep-min rule — a vector is DROPPED iff some
+       lower-vec_id vector in its cluster has cosine >= threshold (the
+       paper keeps a random representative; min-vec_id makes the result
+       reproducible and oracle-testable against a pure-numpy reference).
+
+    Output: (vec_id, list_id, keep). Scale: n_centroids must grow with the
+    corpus (the paper uses 50k clusters at LAION scale) so cluster sizes —
+    the unit of map_groups memory — stay bounded; embeddings cross the
+    shuffle once, keyed by list_id.
+    """
+    from search_engine_ray.pipelines.similarity import (
+        ivf_assign_ds,
+        train_ivf_centroids,
+    )
+
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    assigned = ivf_assign_ds(
+        embeddings.select_columns(["vec_id", "embedding"]), centroids
+    )
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(
+            group.column("embedding").take(pa.array(order)).to_pylist(),
+            dtype=np.float64,
+        )
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        # drop i iff any j < i (by vec_id) has cos >= threshold
+        drop = (np.tril(sims, -1) >= threshold).any(axis=1)
+        lid = group.column("list_id").to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "list_id": pa.array(lid, pa.int64()),
+                "keep": pa.array(~drop, pa.bool_()),
+            }
+        )
+
+    return assigned.groupby("list_id").map_groups(per_cluster, batch_format="pyarrow")

@@ -303,3 +303,39 @@ def test_url_dedup_ds_public(ray_session):
     kept = url_dedup_ds(rd.from_arrow(tbl)).take_all()
     got = sorted((r["url"], r["add_order"]) for r in kept)
     assert got == [("a", 2), ("b", 1), ("c", 9)]
+
+
+def test_fused_build_output_layout_deterministic(ray_session, tmp_path):
+    """Retry-idempotence rests on deterministic file names (stem = min
+    doc_id of the batch, no uuids/timestamps): two fresh builds of the
+    same corpus must produce byte-for-byte identical file LISTINGS, so a
+    retried emit task overwrites its own partial output instead of
+    duplicating postings."""
+    import os
+
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.sources.synth import synth_zipf_table
+
+    config = EngineConfig(salt_shift=0)
+    table = synth_zipf_table(600, n_tokens=25, vocab=300)
+
+    def listing(out):
+        files = []
+        for root, _, names in os.walk(out):
+            for n in names:
+                p = os.path.join(root, n)
+                files.append((os.path.relpath(p, out), os.path.getsize(p)))
+        return sorted(files)
+
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / tag)
+        build_index(
+            rd.from_arrow(table), out, config,
+            doc_id_mode="rank", resume=False, fuse=True,
+        )
+        outs.append(listing(out))
+    assert outs[0] == outs[1]
+    assert any("docs/part-b" in f for f, _ in outs[0])

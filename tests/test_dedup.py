@@ -280,3 +280,46 @@ def test_dup_ngram_stats_matches_duckdb(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_shingles"].tolist() == want["n_shingles"].tolist()
     assert got["n_dup_shingles"].tolist() == want["n_dup_shingles"].tolist()
+
+
+def test_semdedup_matches_numpy_reference(ray_session):
+    """semdedup_ds vs a pure-numpy reference of the same rule (cluster by
+    nearest centroid, drop iff a lower-vec_id cluster-mate has cosine >=
+    threshold)."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.dedup import semdedup_ds
+    from search_engine_ray.pipelines.similarity import read_embeddings, train_ivf_centroids
+
+    SF = "/root/testdata/sf0.001"
+    emb = read_embeddings(SF)
+    cent = train_ivf_centroids(emb, n_centroids=8, seed=7)
+    got = (
+        semdedup_ds(emb, threshold=0.8, centroids=cent)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    lid = np.argmax(m @ cent.T, axis=1)
+    keep = {}
+    for c in np.unique(lid):
+        sel = np.flatnonzero(lid == c)
+        sel = sel[np.argsort(ids[sel])]
+        sub = m[sel]
+        sims = sub @ sub.T
+        drop = (np.tril(sims, -1) >= 0.8).any(axis=1)
+        for i, d in zip(ids[sel], drop):
+            keep[int(i)] = not bool(d)
+
+    assert got["vec_id"].tolist() == sorted(keep)
+    assert got["keep"].tolist() == [keep[i] for i in sorted(keep)]
+    # rule sanity: at least everything kept in singleton clusters
+    assert got["keep"].any()
