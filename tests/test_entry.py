@@ -30,7 +30,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "lineitem", "orders"]:
+    for t in ["documents", "embeddings", "events", "lineitem", "orders", "customer"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 
@@ -86,6 +86,17 @@ def test_all_queries_have_unique_names(contract):
         "sessionize",
         "asof_join",
         "range_join",
+        "repetition",
+        "decontaminate",
+        "hash_sample",
+        "clean_corpus",
+        "dup_ngram_stats",
+        "unigram_lm",
+        "quantile_bucket",
+        "pii_redact",
+        "stratified_sample",
+        "segment_revenue",
+        "pricing_summary",
     ],
 )
 def test_query_matches_oracle(contract, con, name):
@@ -111,6 +122,7 @@ def test_query_matches_oracle(contract, con, name):
         "ann_lsh_topk",
         "ann_ivf_topk",
         "media_features",
+        "semdedup",
     ],
 )
 def test_rows_only_queries_run(contract, name):
