@@ -305,14 +305,19 @@ def test_url_dedup_ds_public(ray_session):
     assert got == [("a", 2), ("b", 1), ("c", 9)]
 
 
-def test_fused_build_output_layout_deterministic(ray_session, tmp_path):
-    """Retry-idempotence rests on deterministic file names (stem = min
-    doc_id of the batch, no uuids/timestamps): two fresh builds of the
-    same corpus must produce byte-for-byte identical file LISTINGS, so a
-    retried emit task overwrites its own partial output instead of
-    duplicating postings."""
+def test_fused_build_output_names_content_derived(ray_session, tmp_path):
+    """Retry-idempotence rests on content-derived file names (stem = min
+    doc_id of the batch — no uuids/timestamps), so a retried emit task,
+    which re-receives the SAME input bundle, overwrites its own partial
+    output instead of duplicating postings. Global batching (how blocks
+    bundle into tasks) is NOT deterministic across runs, so what must
+    hold is: every file name is purely content-derived and self-
+    describing (stem == min doc_id inside the file), and the union of
+    docs is identical across independent builds."""
     import os
+    import re
 
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
     from search_engine_ray.config import EngineConfig
@@ -321,21 +326,22 @@ def test_fused_build_output_layout_deterministic(ray_session, tmp_path):
     config = EngineConfig(salt_shift=0)
     table = synth_zipf_table(600, n_tokens=25, vocab=300)
 
-    def listing(out):
-        files = []
-        for root, _, names in os.walk(out):
-            for n in names:
-                p = os.path.join(root, n)
-                files.append((os.path.relpath(p, out), os.path.getsize(p)))
-        return sorted(files)
-
-    outs = []
+    coverages = []
     for tag in ("a", "b"):
         out = str(tmp_path / tag)
         build_index(
             rd.from_arrow(table), out, config,
             doc_id_mode="rank", resume=False, fuse=True,
         )
-        outs.append(listing(out))
-    assert outs[0] == outs[1]
-    assert any("docs/part-b" in f for f, _ in outs[0])
+        docs_dir = os.path.join(out, "docs")
+        ids = []
+        for name in sorted(os.listdir(docs_dir)):
+            m = re.fullmatch(r"part-b(\d{14})\.parquet", name)
+            assert m, f"non-content-derived docs file name: {name}"
+            t = _pq.read_table(os.path.join(docs_dir, name), columns=["doc_id"])
+            file_ids = t.column("doc_id").to_pylist()
+            assert min(file_ids) == int(m.group(1)), name
+            ids.extend(file_ids)
+        coverages.append(sorted(ids))
+    assert coverages[0] == coverages[1]
+    assert len(coverages[0]) == 600

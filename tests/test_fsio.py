@@ -83,3 +83,21 @@ def test_build_search_compact_on_file_uri(ray_session, tmp_path):
     assert reader.manifest["n_docs"] == 80
     docs = reader.fetch_docs(list(reader.all_doc_ids())[:10])
     assert len(docs) == 10
+
+
+def test_fused_build_on_file_uri(ray_session, tmp_path):
+    """fuse=True with the index rooted at a file:// URI: the emit task's
+    inline docs writes must honor the routed filesystem too."""
+    config = EngineConfig()
+    table = synth_zipf_table(60, n_tokens=20, vocab=150)
+    out = f"file://{tmp_path}/uri_fused"
+    res = build_index(
+        rd.from_arrow(table), out, config,
+        doc_id_mode="rank", resume=False, fuse=True,
+    )
+    assert res.n_docs == 60
+    s = SegmentSearcher(out, config)
+    hits = s.search_bm25("w0 w1", k=10, mode="or")
+    assert hits and all(h.score > 0 for h in hits)
+    reader = SegmentReader(out)
+    assert reader.manifest["n_docs"] == 60
