@@ -482,6 +482,12 @@ def q_segment_revenue(sf_dir: str):
     return segment_revenue_ds(sf_dir.rstrip("/"), strategy="broadcast")
 
 
+def q_json_field_stats(sf_dir: str):
+    from search_engine_ray.pipelines.windows import json_field_stats_ds, read_events
+
+    return json_field_stats_ds(read_events(sf_dir.rstrip("/"), columns=["event_type", "props"]))
+
+
 def q_semdedup(sf_dir: str):
     from search_engine_ray.pipelines.dedup import semdedup_ds
     from search_engine_ray.pipelines.similarity import read_embeddings
@@ -540,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "pricing_summary": q_pricing_summary,
         "semdedup": q_semdedup,
+        "json_field_stats": q_json_field_stats,
         # rows-only (no SQL oracle)
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -976,4 +983,12 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
 GROUP BY 1, 2""",
+        # the Ray side extracts with RE2; json_extract (a real JSON parser)
+        # cross-checks the regex
+        "json_field_stats": """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1""",
     }

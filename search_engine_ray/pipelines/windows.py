@@ -324,3 +324,84 @@ def asof_prev_event_ds(events: rd.Dataset, match_type: str = "signup") -> rd.Dat
         )
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def json_field_stats_ds(events: rd.Dataset, field: str = "k") -> rd.Dataset:
+    """Per-event_type rollup of an integer field extracted from the JSON
+    ``props`` column: (event_type, n, sum_k, min_k, max_k).
+
+    Extraction is one vectorized RE2 kernel per batch (pyarrow has no JSON
+    parser; for the flat integer fields this corpus carries, the regex IS
+    the parser) — the DuckDB oracle uses json_extract, a real JSON parser,
+    so the correctness gate cross-checks the regex against it. Combiner
+    pattern: each batch ships one row per event_type; rows lacking the
+    field are counted but excluded from sum/min/max (matching SQL NULL
+    aggregate semantics)."""
+    import re as _re
+
+    pat = rf'"{_re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        ng = len(enc.dictionary)
+        ext = pc.extract_regex(batch.column("props"), pat)
+        val_str = pc.struct_field(ext, "v")
+        valid = pc.is_valid(val_str).to_numpy(zero_copy_only=False)
+        vals = np.zeros(len(batch), dtype=np.int64)
+        if valid.any():
+            vals[valid] = np.array(
+                pc.cast(val_str.drop_null(), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                np.int64,
+            )
+        n = np.bincount(codes, minlength=ng).astype(np.int64)
+        sums = np.bincount(
+            codes, weights=np.where(valid, vals, 0).astype(np.float64), minlength=ng
+        ).astype(np.int64)
+        mins = np.full(ng, np.iinfo(np.int64).max, dtype=np.int64)
+        maxs = np.full(ng, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mins, codes[valid], vals[valid])
+        np.maximum.at(maxs, codes[valid], vals[valid])
+        return pa.table(
+            {
+                "event_type": enc.dictionary,
+                "pn": pa.array(n, pa.int64()),
+                "ps": pa.array(sums, pa.int64()),
+                "pmin": pa.array(mins, pa.int64()),
+                "pmax": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    agg = (
+        events.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("ps", alias_name="sum_k"),
+            Min("pmin", alias_name="min_k"),
+            Max("pmax", alias_name="max_k"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # groups with no extracted values keep sentinel min/max -> null
+        empty = pc.equal(batch.column("min_k"), np.iinfo(np.int64).max)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("n"),
+                "sum_k": batch.column("sum_k"),
+                "min_k": pc.if_else(empty, pa.scalar(None, pa.int64()), batch.column("min_k")),
+                "max_k": pc.if_else(empty, pa.scalar(None, pa.int64()), batch.column("max_k")),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

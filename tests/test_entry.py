@@ -97,6 +97,7 @@ def test_all_queries_have_unique_names(contract):
         "stratified_sample",
         "segment_revenue",
         "pricing_summary",
+        "json_field_stats",
     ],
 )
 def test_query_matches_oracle(contract, con, name):

@@ -212,3 +212,40 @@ def test_tumbling_sum_is_exact_cents(ray_session):
     out = W.tumbling_window_ds(_events_ds(rows)).to_pandas()
     assert out["sum_value"].tolist() == [0.03]
     assert out["n_events"].tolist() == [3]
+
+
+def test_json_field_stats_edge_cases(ray_session):
+    """Missing field, negative values, extra fields, NULL aggregate
+    semantics for types with no extractable value."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.windows import json_field_stats_ds
+
+    events = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+                "props": pa.array(
+                    [
+                        '{"k": 5}',
+                        '{"x": 1, "k": -3, "y": 2}',
+                        '{"x": 9}',  # no k: counted, excluded from stats
+                        '{"nope": 1}',
+                        '{"also": 2}',
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = (
+        json_field_stats_ds(events)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == [3, 2]
+    assert got["sum_k"].tolist() == [2, 0]
+    assert got["min_k"].tolist()[0] == -3 and got["max_k"].tolist()[0] == 5
+    assert got["min_k"].isna().tolist() == [False, True]
