@@ -544,10 +544,14 @@ def quantile_bucket_ds(docs: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
     ``n mod b`` buckets are one row larger) — WITHOUT a global sort of
     the data. A small value-histogram groupby locates the boundary
     VALUES; only the <= b-1 boundary value-groups are re-read to resolve
-    the exact boundary (n_tokens, doc_id) pairs; every doc then gets its
+    the exact boundary (n_tokens, doc_id) pairs — and when a boundary
+    group is itself huge (length skew: millions of docs with identical
+    n_tokens), a doc_id-range histogram refines the selection so the
+    driver only ever collects one ~1/1024 sub-bucket per level
+    (SE_RAY_QUANTILE_REFINE_ABOVE, default 10M). Every doc then gets its
     bucket from b-1 broadcast lexicographic compares. Nothing larger
-    than the histogram reaches the driver. Two streaming passes over the
-    source (histogram + assignment) — no materialization of the corpus."""
+    than a histogram reaches the driver. Streaming passes over the
+    source only — no materialization of the corpus."""
     import ray
 
     tc = token_count_ds(docs)
@@ -572,6 +576,61 @@ def quantile_bucket_ds(docs: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
     cum = np.cumsum(vcounts)  # cum[i] = #rows with value <= values[i]
     base, rem = divmod(n, n_buckets)
     sizes = [base + (1 if i < rem else 0) for i in range(n_buckets)]
+    def _kth_doc_id(v: int, k: int, group_count: int, refine_above: int) -> int:
+        """doc_id at 0-indexed rank ``k`` among ascending doc_ids with
+        n_tokens == v. When the value group is small it is collected
+        directly; under length skew (a huge group — e.g. every doc the
+        same length) a doc_id-range histogram narrows the selection to
+        ONE sub-bucket first, so the driver never collects more than
+        ~group_count / 1024 ids per refinement level."""
+        pred = f"n_tokens == {v}"
+        lo_id, hi_id, kk = None, None, k
+        while group_count > refine_above:
+            shift = max(1, (max(group_count, 2) - 1).bit_length() - 10)  # ~1024 buckets
+
+            def id_hist(batch: pa.Table, _pred_lo=lo_id, _pred_hi=hi_id) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+                m = nt == v
+                if _pred_lo is not None:
+                    m &= (ids >= _pred_lo) & (ids <= _pred_hi)
+                bk = ids[m] >> shift
+                uniq, counts = np.unique(bk, return_counts=True)
+                return pa.table(
+                    {"bk": pa.array(uniq, pa.int64()), "pn": pa.array(counts, pa.int64())}
+                )
+
+            h = (
+                tc.map_batches(id_hist, batch_format="pyarrow")
+                .groupby("bk")
+                .aggregate(Sum("pn", alias_name="n"))
+                .to_pandas()
+                .sort_values("bk")
+            )
+            bks = h["bk"].to_numpy(np.int64)
+            cnts = h["n"].to_numpy(np.int64)
+            c = np.cumsum(cnts)
+            bi = int(np.searchsorted(c, kk + 1))
+            kk -= int(c[bi - 1]) if bi else 0
+            lo_id, hi_id = int(bks[bi]) << shift, ((int(bks[bi]) + 1) << shift) - 1
+            group_count = int(cnts[bi])
+        if lo_id is not None:
+            pred += f" and doc_id >= {lo_id} and doc_id <= {hi_id}"
+        group_ids = np.sort(
+            np.concatenate(
+                [
+                    t.column("doc_id").to_numpy(zero_copy_only=False)
+                    for t in ray.get(tc.filter(expr=pred).to_arrow_refs())
+                    if t.num_rows
+                ]
+                or [np.array([], np.int64)]
+            )
+        )
+        return int(group_ids[kk])
+
+    refine_above = int(
+        __import__("os").environ.get("SE_RAY_QUANTILE_REFINE_ABOVE", 10_000_000)
+    )
     bounds: list[tuple[int, int]] = []  # (value, doc_id) of each bucket's last row
     rank = 0
     for size in sizes[:-1]:
@@ -580,18 +639,7 @@ def quantile_bucket_ds(docs: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
         v = int(values[vi])
         before = int(cum[vi - 1]) if vi else 0
         k = rank - before - 1  # 0-indexed position within the value group
-        group_ids = np.sort(
-            np.concatenate(
-                [
-                    t.column("doc_id").to_numpy(zero_copy_only=False)
-                    for t in ray.get(
-                        tc.filter(expr=f"n_tokens == {v}").to_arrow_refs()
-                    )
-                    if t.num_rows
-                ]
-            )
-        )
-        bounds.append((v, int(group_ids[k])))
+        bounds.append((v, _kth_doc_id(v, k, int(vcounts[vi]), refine_above)))
     b_ref = ray.put(bounds)
 
     def assign(batch: pa.Table) -> pa.Table:

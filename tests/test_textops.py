@@ -371,3 +371,40 @@ def test_stratified_sample_matches_sql_and_parallelism(docs):
         )
         assert got["lang"].tolist() == want["lang"].tolist(), blocks
         assert got["doc_id"].tolist() == want["doc_id"].tolist(), blocks
+
+
+def test_quantile_bucket_skew_refinement(ray_session, monkeypatch):
+    """Force the doc_id-histogram refinement path (boundary value group
+    larger than the refine threshold) and check it returns the same exact
+    ntile assignment as the direct path."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import quantile_bucket_ds
+
+    # 97 docs, ALL the same n_tokens -> every boundary falls inside one
+    # huge value group; doc_ids shuffled across blocks
+    ids = [(i * 37) % 97 for i in range(97)]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x y z"] * 97, pa.string()),
+            }
+        )
+    ).repartition(5)
+    want = (
+        quantile_bucket_ds(docs, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")["bucket"]
+        .tolist()
+    )
+    monkeypatch.setenv("SE_RAY_QUANTILE_REFINE_ABOVE", "8")
+    got = (
+        quantile_bucket_ds(docs, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")["bucket"]
+        .tolist()
+    )
+    assert got == want
+    # ntile(4) over 97 rows: sizes 25,24,24,24 in doc_id order (all ties)
+    assert got == [1] * 25 + [2] * 24 + [3] * 24 + [4] * 24
