@@ -208,6 +208,36 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup clusters: n-gram Jaccard pairs closed into connected
+    components (cluster_id = component min; is_kept marks the survivor —
+    the 'keep one doc per duplicate cluster' step of corpus dedup)."""
+    from search_engine_ray.pipelines.dedup import (
+        connected_components_ds,
+        ngram_jaccard_pairs_ds,
+    )
+
+    pairs = ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"u": b.column("doc_a"), "v": b.column("doc_b")}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components_ds(edges)
+
+    def finish(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        lab = b.column("cluster").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(node, pa.int64()),
+                "cluster_id": pa.array(lab, pa.int64()),
+                "is_kept": pa.array((node == lab).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cc.map_batches(finish, batch_format="pyarrow")
+
+
 def q_ann_cosine_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -520,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_and": q_search_and,
         "bm25_topk": q_bm25_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
@@ -614,6 +645,40 @@ FROM inter
 JOIN cnt ca ON doc_a = ca.doc_id
 JOIN cnt cb ON doc_b = cb.doc_id
 WHERE ni / (ca.n + cb.n - ni) >= 0.8
+"""
+    # same jaccard-pair CTEs closed into connected components by a
+    # recursive reachability CTE (cluster id = min reachable node)
+    dup_clusters = f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  END) AS shingle
+    FROM tok)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN cnt ca ON doc_a = ca.doc_id
+  JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE ni / (ca.n + cb.n - ni) >= 0.8),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u)
+SELECT node AS doc_id,
+       least(node, min(r)) AS cluster_id,
+       CAST(least(node, min(r)) = node AS BIGINT) AS is_kept
+FROM reach GROUP BY node
 """
     ann = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -868,6 +933,7 @@ SELECT doc_id FROM (
   ORDER BY doc_id LIMIT 100)""",
         "bm25_topk": bm25,
         "ngram_jaccard": ngram,
+        "dup_clusters": dup_clusters,
         "ann_cosine_topk": ann,
         "embedding_neardup": neardup,
         "wand_or_topk": wand_or,

@@ -918,3 +918,214 @@ def semdedup_ds(
         )
 
     return assigned.groupby("list_id").map_groups(per_cluster, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (cluster id = component min)
+# ---------------------------------------------------------------------------
+
+
+def _subst_col(
+    ds: rd.Dataset,
+    col: str,
+    keep: str,
+    mapping: rd.Dataset,
+    est_rows: int | None,
+    track: bool = False,
+) -> rd.Dataset:
+    """Replace ``ds[col]`` by ``mapping.mv`` where ``mapping.mk == ds[col]``
+    (identity where no mapping key matches) — a reduce-side hash join done
+    with the module's coarse-bucket groupby shape instead of Acero (which
+    crashes on empty blocks; see ``_pin_blocks``). ONE shuffle: both sides
+    are bucketed on the join key, each bucket resolves lookups with one
+    sorted-array ``np.searchsorted`` pass, no per-row Python. ``mapping.mk``
+    must be unique (it is a groupby output everywhere this is used).
+    ``track`` appends a ``_changed`` 0/1 column (value actually rewritten)
+    so callers can detect a pointer-jumping fixpoint with one ``sum()``."""
+    n_buckets = _n_pair_buckets()
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": batch.column(col).cast(pa.int64()),
+                "_x": batch.column(keep).cast(pa.int64()),
+                "_side": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": batch.column("mk").cast(pa.int64()),
+                "_x": batch.column("mv").cast(pa.int64()),
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        k = group.column("_k").to_numpy(zero_copy_only=False)
+        x = group.column("_x").to_numpy(zero_copy_only=False)
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        is_map = side == 1
+        mk, mv = k[is_map], x[is_map]
+        order = np.argsort(mk)
+        mk, mv = mk[order], mv[order]
+        rk, rx = k[~is_map], x[~is_map]
+        if len(mk):
+            idx_c = np.minimum(np.searchsorted(mk, rk), len(mk) - 1)
+            hit = mk[idx_c] == rk
+            new = np.where(hit, mv[idx_c], rk)
+        else:
+            new = rk
+        cols = {
+            col: pa.array(new, pa.int64()),
+            keep: pa.array(rx, pa.int64()),
+        }
+        if track:
+            cols["_changed"] = pa.array((new != rk).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        mapping.map_batches(tag_map, batch_format="pyarrow")
+    )
+    return (
+        _coalesced(tagged, est_rows)
+        .map_batches(_bucketer("_k", n_buckets), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def connected_components_ds(
+    edges: rd.Dataset,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+) -> rd.Dataset:
+    """(node, cluster) for every node in ``edges``; cluster = the component's
+    minimum node id — the canonical "pairs -> keep one doc per duplicate
+    cluster" closure step missing from pairwise dedup (drop every node with
+    node != cluster).
+
+    Algorithm: min-hooking + pointer-jumping-to-fixpoint + edge contraction
+    per round (the MapReduce CC family of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public literature).
+    Each round:
+
+      h(u)   = min(u, min of u's neighbors)            (1 groupby shuffle)
+      h      = h ∘ h, repeated until unchanged          (O(log chain) bucket
+               — full pointer jumping: flattens the      joins, fixpoint
+               hooking forest into stars                 detected by sum())
+      E'     = {(h(u), h(v)) : (u,v) in E, h(u)!=h(v)}  (2 bucket-joins)
+      labels = h(labels)                                (1 bucket-join)
+
+    Labels only decrease; because h is flattened to a star before
+    contracting, each round contracts every hooking tree entirely (an
+    adversarial monotone path collapses in ONE round of log-many jumps),
+    and supernode count at least halves per round — O(log n) rounds,
+    O(log^2 n) shuffles worst case; near-dup graphs are near-cliques and
+    finish in 1-2 rounds. Nothing but per-round row counts ever reaches the
+    driver; every step is a bucketed shuffle of a geometrically shrinking
+    dataset, so the shape survives corpus scale."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table(
+            {"u": pa.array(u[keep], pa.int64()), "v": pa.array(v[keep], pa.int64())}
+        )
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("v"), "v": batch.column("u")})
+
+    def nodes_rows(batch: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                batch.column("u").to_numpy(zero_copy_only=False),
+                batch.column("v").to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        arr = pa.array(both, pa.int64())
+        return pa.table({"node": arr, "label": arr})
+
+    empty_out = rd.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+    )
+    E = edges.map_batches(norm, batch_format="pyarrow").materialize()
+    n_edges = E.count()
+    if stats is not None:
+        stats["rounds"] = 0
+    if not n_edges:
+        return empty_out
+    # distinct nodes, label = self (groupby dedups; Min of identical values)
+    A = (
+        E.map_batches(nodes_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    n_nodes = A.count()
+
+    for rnd in range(max_rounds):
+        if stats is not None:
+            stats["rounds"] = rnd + 1
+        sym = E.union(E.map_batches(swap, batch_format="pyarrow"))
+        h = (
+            sym.groupby("u")
+            .aggregate(Min("v", alias_name="mv"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "mk": b.column("u").cast(pa.int64()),
+                        "mv": pa.array(
+                            np.minimum(
+                                b.column("u").to_numpy(zero_copy_only=False),
+                                b.column("mv").to_numpy(zero_copy_only=False),
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # pointer jumping to fixpoint: h <- h∘h until nothing moves (flattens
+        # the hooking forest into stars; log(chain height) iterations)
+        for _ in range(max_rounds):
+            h2 = _subst_col(
+                h, "mv", "mk", h, est_rows=n_nodes, track=True
+            ).materialize()
+            moved = h2.sum("_changed")
+            h = h2.drop_columns(["_changed"]).map_batches(
+                lambda b: pa.table(
+                    {"mk": b.column("mk").cast(pa.int64()), "mv": b.column("mv")}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            if not moved:
+                break
+        else:
+            raise RuntimeError("pointer jumping did not reach a fixpoint")
+        A = _subst_col(A, "label", "node", h, est_rows=n_nodes).materialize()
+        E = (
+            _subst_col(
+                _subst_col(E, "u", "v", h, est_rows=n_edges), "v", "u", h, n_edges
+            )
+            .map_batches(norm, batch_format="pyarrow")
+            .materialize()
+        )
+        n_edges = E.count()
+        if not n_edges:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    return A.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "cluster": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
