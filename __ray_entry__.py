@@ -208,6 +208,12 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8)
 
 
+def q_tfidf_topk(sf_dir: str):
+    from search_engine_ray.pipelines.text import read_documents, tfidf_topk_ds
+
+    return tfidf_topk_ds(read_documents(sf_dir.rstrip("/")), k=3)
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup clusters: n-gram Jaccard pairs closed into connected
     components (cluster_id = component min; is_kept marks the survivor —
@@ -551,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "tfidf_topk": q_tfidf_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
@@ -645,6 +652,25 @@ FROM inter
 JOIN cnt ca ON doc_a = ca.doc_id
 JOIN cnt cb ON doc_b = cb.doc_id
 WHERE ni / (ca.n + cb.n - ni) >= 0.8
+"""
+    tfidf = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE length(term) >= 2
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tf.term, tf.tf * ln(n.n / df.df) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, round(s, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
 """
     # same jaccard-pair CTEs closed into connected components by a
     # recursive reachability CTE (cluster id = min reachable node)
@@ -934,6 +960,7 @@ SELECT doc_id FROM (
         "bm25_topk": bm25,
         "ngram_jaccard": ngram,
         "dup_clusters": dup_clusters,
+        "tfidf_topk": tfidf,
         "ann_cosine_topk": ann,
         "embedding_neardup": neardup,
         "wand_or_topk": wand_or,

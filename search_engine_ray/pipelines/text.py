@@ -738,3 +738,139 @@ def stratified_sample_ds(
         .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-doc top-k TF-IDF terms (df joined by term, reduce-side)
+# ---------------------------------------------------------------------------
+
+
+def _doc_term_tf_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, terms, tfs) — per-doc term frequencies for one batch,
+    vectorized (lexsort + run-length), lowercased terms of length >= 2."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    toks = lower_tokens(token_lists(batch.column("text")))
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ok = pc.greater_equal(pc.utf8_length(flat), 2).to_numpy(zero_copy_only=False)
+    terms = flat.to_numpy(zero_copy_only=False)[ok]
+    par = parents[ok]
+    order = np.lexsort((terms, par))
+    t, p = terms[order], par[order]
+    n = len(t)
+    if not n:
+        e = np.array([], dtype=np.int64)
+        return e, t, e
+    new = np.concatenate(([True], (t[1:] != t[:-1]) | (p[1:] != p[:-1])))
+    starts = np.flatnonzero(new)
+    tfs = np.diff(np.append(starts, n))
+    return doc_ids[p[starts]], t[starts], tfs
+
+
+def tfidf_topk_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """Per-doc top-k terms by TF-IDF (tf * ln(N/df)), ties broken by term.
+
+    Scale shape: (doc_id, term, tf) rows are doc-local (one vectorized
+    batch pass, no shuffle); df is the combiner-aggregated term_df_ds;
+    joining df onto the tf rows is a reduce-side hash join — both sides
+    bucketed on crc32(term) with string-equality resolution inside the
+    bucket (the vocabulary at crawl scale is far too large to broadcast);
+    the per-doc top-k is one more bucketed shuffle on doc_id with a
+    vectorized run-length selection. Three shuffles total, no driver state,
+    no whole-vocab materialization anywhere."""
+    import zlib
+
+    from search_engine_ray.pipelines.dedup import _bucketer, _n_pair_buckets
+
+    n_docs = docs.count()
+    n_buckets = _n_pair_buckets()
+
+    def _term_buckets(terms: np.ndarray) -> np.ndarray:
+        # crc32 once per DISTINCT term of the batch (dictionary trick)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        h = np.fromiter(
+            (zlib.crc32(s.encode()) for s in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        with np.errstate(over="ignore"):
+            b = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return b.astype(np.int64)[inv] % n_buckets
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        d, t, f = _doc_term_tf_batch(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "term": pa.array(t, pa.string()),
+                "tf": pa.array(f, pa.int64()),
+                "df": pa.array(np.zeros(len(d), np.int64), pa.int64()),
+                "_side": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+                "_bkt": pa.array(_term_buckets(t), pa.int64()),
+            }
+        )
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        t = batch.column("term").to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "term": batch.column("term"),
+                "tf": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "df": batch.column("df").cast(pa.int64()),
+                "_side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "_bkt": pa.array(_term_buckets(t), pa.int64()),
+            }
+        )
+
+    def join_df(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        is_map = side == 1
+        mt = terms[is_map]
+        mdf = group.column("df").to_numpy(zero_copy_only=False)[is_map]
+        o = np.argsort(mt)
+        mt, mdf = mt[o], mdf[o]
+        rt = terms[~is_map]
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)[~is_map]
+        f = group.column("tf").to_numpy(zero_copy_only=False)[~is_map]
+        idx = np.searchsorted(mt, rt)  # every row term exists in the df side
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "term": pa.array(rt, pa.string()),
+                "tfidf": pa.array(f * np.log(n_docs / mdf[idx]), pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        t = group.column("term").to_numpy(zero_copy_only=False)
+        s = group.column("tfidf").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -s, d))
+        d, t, s = d[order], t[order], s[order]
+        n = len(d)
+        new = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.flatnonzero(new)
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        keep = pos < k
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "term": pa.array(t[keep], pa.string()),
+                "tfidf": pa.array(np.round(s[keep], 6), pa.float64()),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
+    df_ds = term_df_ds(docs).map_batches(df_rows, batch_format="pyarrow")
+    joined = (
+        tf_ds.union(df_ds)
+        .groupby("_bkt")
+        .map_groups(join_df, batch_format="pyarrow")
+    )
+    return (
+        joined.map_batches(_bucketer("doc_id", n_buckets), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(topk, batch_format="pyarrow")
+    )

@@ -408,3 +408,64 @@ def test_quantile_bucket_skew_refinement(ray_session, monkeypatch):
     assert got == want
     # ntile(4) over 97 rows: sizes 25,24,24,24 in doc_id order (all ties)
     assert got == [1] * 25 + [2] * 24 + [3] * 24 + [4] * 24
+
+
+def test_tfidf_topk(docs):
+    from search_engine_ray.pipelines.text import tfidf_topk_ds
+
+    got = (
+        tfidf_topk_ds(docs, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH tok AS (SELECT doc_id,
+                            list_filter(string_split(text,' '), x -> x <> '') AS ts
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+                 SELECT doc_id, unnest(ts) AS term FROM tok)
+               WHERE length(term) >= 2 GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (SELECT doc_id, tf.term, tf.tf * ln(n.n / df.df) AS s
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (SELECT doc_id, term, s,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY s DESC, term) AS rank
+                   FROM scored)
+        SELECT doc_id, term, s AS tfidf, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    np.testing.assert_allclose(got["tfidf"], want["tfidf"], atol=1e-6)
+
+
+def test_tfidf_topk_tiny_corpus(ray_session):
+    # df==N terms score 0 and lose to rarer terms; ties break by term asc
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import tfidf_topk_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["aa bb bb cc", "aa dd"], pa.string()),
+            }
+        )
+    )
+    got = (
+        tfidf_topk_ds(docs, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # doc 1: bb tf=2 rare -> top; cc rare -> second (aa scores 0)
+    # doc 2: dd rare -> top; aa 0 -> second
+    assert got[got.doc_id == 1]["term"].tolist() == ["bb", "cc"]
+    assert got[got.doc_id == 2]["term"].tolist() == ["dd", "aa"]
