@@ -214,6 +214,14 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk_ds(read_documents(sf_dir.rstrip("/")), k=3)
 
 
+def q_cooccur_pmi(sf_dir: str):
+    from search_engine_ray.pipelines.text import cooccur_pmi_ds, read_documents
+
+    return cooccur_pmi_ds(
+        read_documents(sf_dir.rstrip("/")), vocab_size=1000, min_count=2, k=20
+    )
+
+
 def q_dup_clusters(sf_dir: str):
     """Near-dup clusters: n-gram Jaccard pairs closed into connected
     components (cluster_id = component min; is_kept marks the survivor —
@@ -558,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "tfidf_topk": q_tfidf_topk,
+        "cooccur_pmi": q_cooccur_pmi,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
@@ -671,6 +680,29 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, round(s, 6) AS tfidf, rank
 FROM ranked WHERE rank <= 3
+"""
+    cooccur = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE length(term) >= 2),
+df AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+vocab AS (SELECT term, c FROM df ORDER BY c DESC, term LIMIT 1000),
+dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term_a, term_b, n_ab,
+       round(ln(n.n * n_ab / (ca.c * cb.c)), 6) AS pmi
+FROM pairs
+JOIN vocab ca ON term_a = ca.term
+JOIN vocab cb ON term_b = cb.term
+CROSS JOIN n
+WHERE n_ab >= 2
+ORDER BY pmi DESC, term_a, term_b LIMIT 20
 """
     # same jaccard-pair CTEs closed into connected components by a
     # recursive reachability CTE (cluster id = min reachable node)
@@ -961,6 +993,7 @@ SELECT doc_id FROM (
         "ngram_jaccard": ngram,
         "dup_clusters": dup_clusters,
         "tfidf_topk": tfidf,
+        "cooccur_pmi": cooccur,
         "ann_cosine_topk": ann,
         "embedding_neardup": neardup,
         "wand_or_topk": wand_or,

@@ -874,3 +874,108 @@ def tfidf_topk_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
         .groupby("_bkt")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# within-doc term co-occurrence PMI over a capped vocabulary
+# ---------------------------------------------------------------------------
+
+
+def cooccur_pmi_ds(
+    docs: rd.Dataset,
+    vocab_size: int = 1000,
+    min_count: int = 2,
+    k: int = 20,
+) -> rd.Dataset:
+    """Top-k within-doc term pairs by PMI = ln(N * n_ab / (df_a * df_b)).
+
+    Scale shape (the word2vec-era co-occurrence formulation): the pair
+    space is bounded by an explicit top-``vocab_size``-by-df vocabulary —
+    the one small side that IS broadcast (``ray.put`` once; V terms are a
+    few MB even at V=1e6, vs the unbounded full vocabulary). Per batch,
+    distinct (doc, term) rows are filtered to the vocab by searchsorted,
+    pairs are emitted doc-locally as packed int codes (a*V+b), and
+    partial-counted with one np.unique — a term pair crossing every doc of
+    a batch ships ONE row into the single groupby(key) shuffle. PMI scoring
+    and the final top-k sort run over at most V^2 aggregated rows."""
+    import ray
+
+    n_docs = docs.count()
+    # vocabulary: top-V by df (deterministic ties by term), tiny by contract
+    vocab_pdf = (
+        term_df_ds(docs)
+        .sort(["df", "term"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    terms_sorted = np.sort(vocab_pdf["term"].to_numpy(dtype=object).astype(str))
+    df_sorted = (
+        vocab_pdf.set_index("term")["df"].loc[terms_sorted].to_numpy(np.int64)
+    )
+    v = len(terms_sorted)
+    vocab_ref = ray.put((terms_sorted, df_sorted))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vterms, _ = ray.get(vocab_ref)
+        t, d = _distinct_terms_batch(batch)
+        # vocab filter + code assignment (codes follow lexicographic order,
+        # so within-doc sorted terms yield code_a < code_b pairs for free)
+        idx = np.searchsorted(vterms, t)
+        idx_c = np.minimum(idx, max(len(vterms) - 1, 0))
+        ok = (len(vterms) > 0) & (vterms[idx_c] == t) if len(vterms) else np.zeros(len(t), bool)
+        codes, d = idx_c[ok], d[ok]
+        n = len(codes)
+        if not n:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())}
+            )
+        # doc runs are contiguous (_distinct_terms_batch sorts by (doc, term))
+        new = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, cnts)
+        rep = np.repeat(cnts, cnts) - 1 - pos
+        npairs = int(rep.sum())
+        if not npairs:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())}
+            )
+        a_pos = np.repeat(np.arange(n), rep)
+        run_prev = np.concatenate(([0], np.cumsum(rep)[:-1]))
+        off = np.arange(npairs) - np.repeat(run_prev, rep)
+        b_pos = a_pos + 1 + off
+        key = codes[a_pos].astype(np.int64) * v + codes[b_pos]
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "pn": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        vterms, vdf = ray.get(vocab_ref)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        n_ab = batch.column("n_ab").to_numpy(zero_copy_only=False)
+        keep = n_ab >= min_count
+        key, n_ab = key[keep], n_ab[keep]
+        a, b = key // v, key % v
+        pmi = np.log(n_docs * n_ab / (vdf[a] * vdf[b]))
+        return pa.table(
+            {
+                "term_a": pa.array(vterms[a], pa.string()),
+                "term_b": pa.array(vterms[b], pa.string()),
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("pn", alias_name="n_ab"))
+        .map_batches(score, batch_format="pyarrow")
+    )
+    return agg.sort(
+        ["pmi", "term_a", "term_b"], descending=[True, False, False]
+    ).limit(k)

@@ -469,3 +469,59 @@ def test_tfidf_topk_tiny_corpus(ray_session):
     # doc 2: dd rare -> top; aa 0 -> second
     assert got[got.doc_id == 1]["term"].tolist() == ["bb", "cc"]
     assert got[got.doc_id == 2]["term"].tolist() == ["dd", "aa"]
+
+
+def test_cooccur_pmi(docs):
+    from search_engine_ray.pipelines.text import cooccur_pmi_ds
+
+    got = (
+        cooccur_pmi_ds(docs, vocab_size=1000, min_count=2, k=15)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH tok AS (SELECT doc_id,
+                            list_filter(string_split(text,' '), x -> x <> '') AS ts
+                     FROM documents),
+        dt AS (SELECT DISTINCT doc_id, term FROM (
+                 SELECT doc_id, unnest(ts) AS term FROM tok)
+               WHERE length(term) >= 2),
+        df AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+        pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+                  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+                  GROUP BY a.term, b.term),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT term_a, term_b, n_ab,
+               round(ln(n.n * n_ab / (ca.c * cb.c)), 6) AS pmi
+        FROM pairs JOIN df ca ON term_a = ca.term JOIN df cb ON term_b = cb.term
+        CROSS JOIN n WHERE n_ab >= 2
+        ORDER BY pmi DESC, term_a, term_b LIMIT 15
+        """
+    )
+    assert got["term_a"].tolist() == want["term_a"].tolist()
+    assert got["term_b"].tolist() == want["term_b"].tolist()
+    assert got["n_ab"].tolist() == want["n_ab"].tolist()
+    np.testing.assert_allclose(got["pmi"], want["pmi"], atol=1e-6)
+
+
+def test_cooccur_pmi_vocab_cap(ray_session):
+    # vocab_size=1 keeps only the most frequent term -> no pairs at all
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import cooccur_pmi_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["aa bb", "aa bb", "aa cc"], pa.string()),
+            }
+        )
+    )
+    got = cooccur_pmi_ds(docs, vocab_size=1, min_count=1, k=5).to_pandas()
+    assert len(got) == 0
+    # full vocab: (aa,bb) co-occurs twice; PMI = ln(3*2/(3*2)) = 0
+    got = cooccur_pmi_ds(docs, vocab_size=10, min_count=2, k=5).to_pandas()
+    assert got[["term_a", "term_b"]].values.tolist() == [["aa", "bb"]]
+    assert got["pmi"].iloc[0] == 0.0
