@@ -214,6 +214,12 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk_ds(read_documents(sf_dir.rstrip("/")), k=3)
 
 
+def q_dedup_spans(sf_dir: str):
+    from search_engine_ray.pipelines.dedup import dedup_spans_ds
+
+    return dedup_spans_ds(_docs(sf_dir), k=3, min_count=2)
+
+
 def q_cooccur_pmi(sf_dir: str):
     from search_engine_ray.pipelines.text import cooccur_pmi_ds, read_documents
 
@@ -567,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "tfidf_topk": q_tfidf_topk,
         "cooccur_pmi": q_cooccur_pmi,
+        "dedup_spans": q_dedup_spans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
@@ -680,6 +687,35 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, round(s, 6) AS tfidf, rank
 FROM ranked WHERE rank <= 3
+"""
+    dedup_spans = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM tok WHERE len(ts) >= 3)),
+cnt AS (SELECT sh, count(*) AS c FROM grams GROUP BY sh),
+cover AS (
+  SELECT DISTINCT doc_id, g.i + j.j AS p
+  FROM grams g JOIN cnt USING (sh)
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+  WHERE cnt.c >= 2),
+toks_pos AS (
+  SELECT doc_id, i AS p, ts[i] AS tokn
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok)),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tokn
+  FROM toks_pos tp
+  ANTI JOIN cover cv ON tp.doc_id = cv.doc_id AND tp.p = cv.p),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(tokn ORDER BY p), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       len(t.ts) - coalesce(r.n_kept, 0) AS n_removed
+FROM tok t LEFT JOIN rebuilt r USING (doc_id)
 """
     cooccur = f"""
 WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
@@ -994,6 +1030,7 @@ SELECT doc_id FROM (
         "dup_clusters": dup_clusters,
         "tfidf_topk": tfidf,
         "cooccur_pmi": cooccur,
+        "dedup_spans": dedup_spans,
         "ann_cosine_topk": ann,
         "embedding_neardup": neardup,
         "wand_or_topk": wand_or,

@@ -529,3 +529,31 @@ def distinct_shingle_strings(
     keep[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
     idx = order[keep]
     return p[idx], sh.take(pa.array(idx))
+
+
+def positional_shingle_strings(
+    texts: pa.Array, k: int = 3
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(parent_index, position, shingle) for ALL k-token space-joined
+    shingle strings of each doc, in document order (positions 0-based) —
+    the positional, SQL-equality-preserving form duplicate-span removal
+    needs. Same vectorized shape as ``distinct_shingle_strings`` (k
+    shifted slices + one binary_join_element_wise), no dedup. Docs
+    shorter than k tokens yield none."""
+    toks = token_lists(texts)
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    m = len(flat)
+    if m < k:
+        e = np.empty(0, np.int64)
+        return e, e, pa.array([], pa.string())
+    nsh = m - k + 1
+    parts = [flat.slice(i, nsh) for i in range(k)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    valid = parents[:nsh] == parents[k - 1 :]
+    p = parents[:nsh][valid]
+    pos = (np.arange(nsh)[valid] - offs[p]).astype(np.int64)
+    return p, pos, sh.filter(pa.array(valid))

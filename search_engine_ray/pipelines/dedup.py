@@ -32,6 +32,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -1128,4 +1129,162 @@ def connected_components_ds(
             {"node": b.column("node"), "cluster": b.column("label")}
         ),
         batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram SPAN REMOVAL (Lee et al. 2022 exact-substring dedup,
+# at k-token-window granularity)
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans_ds(docs: rd.Dataset, k: int = 3, min_count: int = 2) -> rd.Dataset:
+    """Rewrite every doc with tokens covered by any CORPUS-DUPLICATED
+    k-gram removed (the actionable form of the Lee et al. 2022
+    exact-substring dedup: dup_ngram_stats_ds measures the signal, this op
+    cuts the spans). A k-gram is duplicated when it occurs >= min_count
+    times corpus-wide (including within one doc). Docs shorter than k
+    tokens have no k-grams and pass through unchanged.
+
+    Scale shape — two bucketed shuffles, zero driver state, no joins:
+    (1) positional (doc_id, pos, shingle-string) rows stream out of one
+    vectorized map_batches, bucketed on crc32(shingle) so every occurrence
+    of a gram lands in one bucket; within the bucket one dictionary-encode
+    + bincount finds the duplicated grams and emits ONLY their (doc_id,
+    pos) rows (equality on strings — the crc32 is internal partitioning,
+    collisions cannot corrupt). (2) the coverage rows and the docs rows
+    are co-bucketed on doc_id (reduce-side join); each bucket re-tokenizes
+    its docs once, turns coverage into a flat boolean mask ([pos, pos+k)
+    per row), and rebuilds the surviving tokens into one string per doc
+    with a vectorized list reconstruction + binary_join — no per-doc
+    Python in either phase. Payload note: doc text rides the second
+    shuffle once; at crawl scale that is the same bytes the docs stage
+    already moves, and coverage rows are only emitted for duplicated
+    grams."""
+    import zlib
+
+    from search_engine_ray.functions.textstats import positional_shingle_strings
+
+    n_buckets = _n_pair_buckets()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        p, pos, sh = positional_shingle_strings(text, k)
+        enc = sh.dictionary_encode()
+        dic = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in dic),
+            dtype=np.uint64,
+            count=len(dic),
+        )
+        bkt = (
+            (h[codes] % np.uint64(n_buckets)).astype(np.int64)
+            if len(codes)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[p], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "sh": sh,
+                "_bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        sh = group.column("sh")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        enc = sh.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        dup = cnt[codes] >= min_count
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").filter(pa.array(dup)),
+                "pos": group.column("pos").filter(pa.array(dup)),
+            }
+        )
+
+    coverage = (
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(dup_positions, batch_format="pyarrow")
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "text": batch.column("text"),
+            }
+        )
+
+    def tag_cov(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "pos": batch.column("pos").cast(pa.int64()),
+                "text": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.textstats import token_lists
+
+        pos_all = group.column("pos").to_numpy(zero_copy_only=False)
+        is_doc = pos_all == -1
+        d_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = group.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        doc_order = np.flatnonzero(is_doc)
+        ids = d_ids[doc_order]
+        o = np.argsort(ids)
+        doc_order, ids = doc_order[o], ids[o]
+        texts = texts.take(pa.array(doc_order))
+        toks = token_lists(texts)
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        covered = np.zeros(len(flat), dtype=bool)
+        c_ids = d_ids[~is_doc]
+        c_pos = pos_all[~is_doc]
+        if len(c_ids):
+            di = np.searchsorted(ids, c_ids)
+            base = offs[di] + c_pos
+            idx = (base[:, None] + np.arange(k)[None, :]).ravel()
+            covered[idx] = True
+        kept = ~covered
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        kept_counts = np.bincount(parents[kept], minlength=len(ids)).astype(np.int64)
+        new_offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=new_offs[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()).cast(pa.int32()),
+            flat.filter(pa.array(kept)),
+        )
+        clean = pc.binary_join(kept_list, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": clean,
+                "n_removed": pa.array(lens - kept_counts, pa.int64()),
+            }
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        coverage.map_batches(tag_cov, batch_format="pyarrow")
+    )
+    return (
+        tagged.map_batches(_bucketer("doc_id", n_buckets), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(rebuild, batch_format="pyarrow")
     )

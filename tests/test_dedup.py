@@ -323,3 +323,80 @@ def test_semdedup_matches_numpy_reference(ray_session):
     assert got["keep"].tolist() == [keep[i] for i in sorted(keep)]
     # rule sanity: at least everything kept in singleton clusters
     assert got["keep"].any()
+
+
+def test_dedup_spans_semantics(ray_session):
+    """Duplicated trigram spans are cut; short docs pass through; a doc can
+    be fully consumed; within-doc repetition counts toward min_count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.dedup import dedup_spans_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e", "x a b c y", "short one", "a b c a b c"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        dedup_spans_ds(docs, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == ["d e", "x y", "short one", ""]
+    assert out["n_removed"].tolist() == [3, 3, 0, 6]
+
+
+def test_dedup_spans_matches_duckdb(ray_session):
+    import duckdb
+
+    from search_engine_ray.pipelines.dedup import dedup_spans_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    got = (
+        dedup_spans_ds(read_documents(SF), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.sql(
+        """
+        WITH tok AS (SELECT doc_id,
+                            list_filter(string_split(text,' '), x -> x <> '') AS ts
+                     FROM documents),
+        grams AS (SELECT doc_id, i, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+                  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+                        FROM tok WHERE len(ts) >= 3)),
+        cnt AS (SELECT sh, count(*) AS c FROM grams GROUP BY sh),
+        cover AS (SELECT DISTINCT doc_id, g.i + j.j AS p
+                  FROM grams g JOIN cnt USING (sh)
+                  CROSS JOIN (SELECT unnest([0,1,2]) AS j) j
+                  WHERE cnt.c >= 2),
+        toks_pos AS (SELECT doc_id, i AS p, ts[i] AS tokn
+                     FROM (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS i
+                           FROM tok)),
+        kept AS (SELECT tp.doc_id, tp.p, tp.tokn FROM toks_pos tp
+                 ANTI JOIN cover cv ON tp.doc_id = cv.doc_id AND tp.p = cv.p),
+        rebuilt AS (SELECT doc_id,
+                           array_to_string(list(tokn ORDER BY p), ' ') AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+               len(t.ts) - coalesce(r.n_kept, 0) AS n_removed
+        FROM tok t LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["n_removed"].tolist() == want["n_removed"].tolist()
