@@ -220,6 +220,21 @@ def q_dedup_spans(sf_dir: str):
     return dedup_spans_ds(_docs(sf_dir), k=3, min_count=2)
 
 
+def q_hll_users(sf_dir: str):
+    """Approximate distinct users per event_type (HyperLogLog, p=12).
+    No SQL oracle — the estimate is deliberately approximate; accuracy
+    (<5% vs exact) and batching-invariance are pinned in
+    tests/test_sketches.py."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.sketches import hll_distinct_ds
+
+    ev = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct_ds(ev, "event_type", "user_id")
+
+
 def q_cooccur_pmi(sf_dir: str):
     from search_engine_ray.pipelines.text import cooccur_pmi_ds, read_documents
 
@@ -602,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "json_field_stats": q_json_field_stats,
         # rows-only (no SQL oracle)
+        "hll_users": q_hll_users,
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,

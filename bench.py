@@ -275,6 +275,10 @@ def _training_data_ops(sf_dir: str) -> dict:
         "tumbling_window",
         "sessionize",
         "clean_corpus",
+        "dedup_spans",
+        "dup_clusters",
+        "tfidf_topk",
+        "hll_users",
     ):
         import ray.data as rd
 

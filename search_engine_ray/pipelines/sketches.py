@@ -1,0 +1,120 @@
+"""Mergeable sketch operators — approximate answers whose partials combine
+associatively, the canonical 100-TB path for metrics where the exact answer
+needs an all-to-all shuffle of every distinct value.
+
+HyperLogLog (Flajolet et al. 2007, public literature): per-batch register
+arrays are the combiner — a batch of any size reduces to one m-byte row per
+group key, the groupby merges registers with an elementwise max, and the
+estimate is computed once per key. Exact distinct counting of U values
+shuffles O(U) rows; the sketch shuffles O(groups x batches) fixed-size rows
+with a deterministic (hash-seeded, not sampled) result, so reruns and
+retries are reproducible bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+_HLL_P_DEFAULT = 12  # 4096 registers -> ~1.6% standard error, 4 KB per row
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer — a public-domain 64-bit mixer."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (w == 0 -> 64), exact:
+    the 32-bit halves are exactly representable in float64 so floor(log2)
+    cannot straddle an integer boundary."""
+    hi = (w >> np.uint64(32)).astype(np.uint32)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out = np.full(len(w), 64, dtype=np.int64)
+    has_lo = lo > 0
+    out[has_lo] = 63 - np.floor(np.log2(lo[has_lo])).astype(np.int64)
+    has_hi = hi > 0
+    out[has_hi] = 31 - np.floor(np.log2(hi[has_hi])).astype(np.int64)
+    return out
+
+
+def _hll_estimate(regs: np.ndarray, p: int) -> int:
+    """Standard HLL estimator with the small-range linear-counting switch."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    if raw <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return int(round(m * np.log(m / zeros)))
+    return int(round(raw))
+
+
+def hll_distinct_ds(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    p: int = _HLL_P_DEFAULT,
+) -> rd.Dataset:
+    """(key, distinct_est) — approximate COUNT(DISTINCT val) per key.
+
+    Per batch, one register array per key present (vectorized
+    dictionary-encode + np.maximum.at); the single groupby(key) then moves
+    one m-byte row per (key, batch) instead of one row per distinct value,
+    and merges registers with an elementwise max — fully associative, so
+    the result is independent of batching/retries (pinned by test)."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_keys = len(enc.dictionary)
+        if not len(vals) or not n_keys:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "regs": pa.array([], pa.large_binary()),
+                }
+            )
+        h = _splitmix64(vals.astype(np.uint64))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rho = np.minimum(_clz64(w) + 1, 64 - p + 1).astype(np.uint8)
+        regs = np.zeros(n_keys * m, dtype=np.uint8)
+        np.maximum.at(regs, codes * m + idx, rho)
+        return pa.table(
+            {
+                key_col: enc.dictionary,
+                "regs": pa.array(
+                    [regs[i * m : (i + 1) * m].tobytes() for i in range(n_keys)],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        rows = group.column("regs").to_pylist()
+        regs = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), m)
+        merged = regs.max(axis=0)
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "distinct_est": pa.array([_hll_estimate(merged, p)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
