@@ -425,6 +425,14 @@ def q_media_features(sf_dir: str):
     return media_features_ds(rd.from_arrow(fake_media_table(100)))
 
 
+def q_hopping_window(sf_dir: str):
+    from search_engine_ray.pipelines.windows import hopping_window_ds, read_events
+
+    return hopping_window_ds(
+        read_events(sf_dir.rstrip("/")), width_secs=3600, hop_secs=900
+    )
+
+
 def q_tumbling_window(sf_dir: str):
     from search_engine_ray.pipelines.windows import read_events, tumbling_window_ds
 
@@ -599,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": q_simhash_neardup,
         "batch_bm25": q_batch_bm25,
         "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
         "window_users": q_window_users,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1066,6 +1075,14 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
        sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
 FROM events GROUP BY 1, 2""",
+        "hopping_window": """
+SELECT make_timestamp(((epoch_us(ts) // 900000000) - j.j) * 900000000)
+         AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+GROUP BY 1, 2""",
         "window_users": """
 SELECT date_trunc('hour', ts) AS window_start,
        count(DISTINCT user_id)::BIGINT AS n_users

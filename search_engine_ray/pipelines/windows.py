@@ -405,3 +405,76 @@ def json_field_stats_ds(events: rd.Dataset, field: str = "k") -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_ds(
+    events: rd.Dataset, width_secs: int = 3600, hop_secs: int = 900
+) -> rd.Dataset:
+    """Hopping (overlapping) window aggregate per (window_start, event_type):
+    every event belongs to width/hop consecutive windows. ``width_secs``
+    must be a multiple of ``hop_secs`` (then every one of the n_rep = 
+    width/hop replicas is valid — no per-replica filter needed).
+
+    Combiner shape like tumbling_window_ds, with the replica fan-out done
+    BEFORE the per-batch partial aggregation: the shuffle still carries one
+    row per (window, type) per batch — the xN event replication collapses
+    inside the batch and never crosses the wire."""
+    if width_secs % hop_secs:
+        raise ValueError("width_secs must be a multiple of hop_secs")
+    width_us = width_secs * 1_000_000
+    hop_us = hop_secs * 1_000_000
+    n_rep = width_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch.column("ts"))
+        etype = batch.column("event_type")
+        if isinstance(etype, pa.ChunkedArray):
+            etype = etype.combine_chunks()
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tcodes = etype.dictionary_encode()
+        ti = tcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = max(len(tcodes.dictionary), 1)
+        base = (t // hop_us) * hop_us
+        # replicas: window = base - j*hop, j = 0..n_rep-1 (all valid since
+        # width = n_rep*hop) — fan out THEN combine within the batch
+        wins = (base[:, None] - np.arange(n_rep)[None, :] * hop_us).ravel()
+        ti_r = np.repeat(ti, n_rep)
+        cents_r = np.repeat(cents, n_rep)
+        key = wins * nt + ti_r
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        csum = np.bincount(inv, weights=cents_r, minlength=len(uniq)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "window_us": pa.array(uniq // nt, pa.int64()),
+                "event_type": tcodes.dictionary.take(pa.array(uniq % nt, pa.int64())),
+                "pn": pa.array(n, pa.int64()),
+                "pcents": pa.array(csum, pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_us", "event_type"])
+        .aggregate(Sum("pn", alias_name="n_events"), Sum("pcents", alias_name="cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("window_us")
+                .cast(pa.int64())
+                .cast(pa.timestamp("us")),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pc.divide(
+                    batch.column("cents").cast(pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

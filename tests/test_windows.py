@@ -249,3 +249,41 @@ def test_json_field_stats_edge_cases(ray_session):
     assert got["sum_k"].tolist() == [2, 0]
     assert got["min_k"].tolist()[0] == -3 and got["max_k"].tolist()[0] == 5
     assert got["min_k"].isna().tolist() == [False, True]
+
+
+def test_hopping_window_covers_tumbling(ray_session):
+    """width == hop degenerates to the tumbling window; width = 4*hop gives
+    each event exactly 4 windows (row replication checked via sums)."""
+    from search_engine_ray.pipelines.windows import (
+        hopping_window_ds,
+        read_events,
+        tumbling_window_ds,
+    )
+
+    ev = read_events(SF)
+    hop_eq = (
+        hopping_window_ds(ev, width_secs=3600, hop_secs=3600)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    tumb = (
+        tumbling_window_ds(ev, width="hour")
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert hop_eq["n_events"].tolist() == tumb["n_events"].tolist()
+    assert hop_eq["sum_value"].tolist() == tumb["sum_value"].tolist()
+
+    hop4 = hopping_window_ds(ev, width_secs=3600, hop_secs=900).to_pandas()
+    assert hop4["n_events"].sum() == 4 * tumb["n_events"].sum()
+
+
+def test_hopping_window_rejects_ragged(ray_session):
+    import pytest as _pytest
+
+    from search_engine_ray.pipelines.windows import hopping_window_ds, read_events
+
+    with _pytest.raises(ValueError):
+        hopping_window_ds(read_events(SF), width_secs=3600, hop_secs=1000)
