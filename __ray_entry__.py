@@ -571,6 +571,40 @@ def q_semdedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_idle_customers(sf_dir: str):
+    """Customers with no URGENT-priority order — broadcast ANTI join
+    (distinct-key set via ray.put once, pc.is_in per probe batch)."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import broadcast_semi_anti_join
+
+    sf = sf_dir.rstrip("/")
+    cust = rd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    urgent = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return broadcast_semi_anti_join(
+        cust, urgent, on="c_custkey", build_on="o_custkey", anti=True
+    )
+
+
+def q_segment_orders(sf_dir: str):
+    """Orders whose customer is in the BUILDING segment — broadcast SEMI
+    join against the filtered dimension."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import broadcast_semi_anti_join
+
+    sf = sf_dir.rstrip("/")
+    cust = rd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+    orders = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return broadcast_semi_anti_join(orders, cust, on="o_custkey", build_on="c_custkey")
+
+
 def q_pricing_summary(sf_dir: str):
     from search_engine_ray.pipelines.relational import pricing_summary_ds
 
@@ -623,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "segment_revenue": q_segment_revenue,
         "pricing_summary": q_pricing_summary,
+        "idle_customers": q_idle_customers,
+        "segment_orders": q_segment_orders,
         "semdedup": q_semdedup,
         "json_field_stats": q_json_field_stats,
         # rows-only (no SQL oracle)
@@ -1179,6 +1215,14 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
 GROUP BY 1, 2""",
+        "idle_customers": """
+SELECT c_custkey, c_mktsegment FROM customer
+ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c_custkey = o_custkey""",
+        "segment_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+SEMI JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+  ON o_custkey = c_custkey""",
         # the Ray side extracts with RE2; json_extract (a real JSON parser)
         # cross-checks the regex
         "json_field_stats": """

@@ -285,3 +285,50 @@ def pricing_summary_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def broadcast_semi_anti_join(
+    probe: rd.Dataset,
+    build: rd.Dataset | pa.Table,
+    on: str,
+    build_on: str | None = None,
+    anti: bool = False,
+) -> rd.Dataset:
+    """Semi/anti equi-join: keep probe rows whose key IS (semi) / IS NOT
+    (anti) present in the build side. The build side ships ONLY its
+    distinct key column (``ray.put`` once — the membership set is far
+    smaller than the joined row payload a full join would move), and each
+    probe batch resolves with one vectorized ``pc.is_in``. When the key
+    set itself outgrows a worker heap, the honest fallback is Ray's
+    native ``join(join_type='left_semi'/'left_anti')`` — same semantics,
+    both sides shuffled; see ``shuffle_semi_anti_join``."""
+    build_on = build_on or on
+    tbl = build if isinstance(build, pa.Table) else _collect_arrow(build)
+    keys = pc.unique(tbl.column(build_on).combine_chunks())
+    keys_ref = ray.put(keys)
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        hit = pc.is_in(batch.column(on), value_set=ks)
+        return batch.filter(pc.invert(hit) if anti else hit)
+
+    return probe.map_batches(probe_batch, batch_format="pyarrow")
+
+
+def shuffle_semi_anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Ray Data native hash-shuffle semi/anti join (both sides partitioned)
+    — the both-sides-large path."""
+    return left.join(
+        right.select_columns([right_on or on]),
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=((right_on or on),),
+    )

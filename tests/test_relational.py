@@ -131,3 +131,49 @@ def test_pricing_summary_matches_sql(ray_session):
     )
     for col in want.columns:
         assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_semi_anti_join_strategies_agree(ray_session):
+    """Broadcast pc.is_in path == Ray native left_semi/left_anti shuffle
+    join, for both semi and anti, on the customer/orders keys."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import (
+        broadcast_semi_anti_join,
+        shuffle_semi_anti_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = rd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    for anti in (False, True):
+        a = (
+            broadcast_semi_anti_join(
+                cust, urgent, on="c_custkey", build_on="o_custkey", anti=anti
+            )
+            .to_pandas()
+            .sort_values("c_custkey")["c_custkey"]
+            .tolist()
+        )
+        b = (
+            shuffle_semi_anti_join(
+                cust, urgent, on="c_custkey", right_on="o_custkey", anti=anti
+            )
+            .to_pandas()
+            .sort_values("c_custkey")["c_custkey"]
+            .tolist()
+        )
+        assert a == b, f"anti={anti}"
+    # sanity: semi + anti partition the probe side
+    n = cust.count()
+    semi = broadcast_semi_anti_join(
+        cust, urgent, on="c_custkey", build_on="o_custkey", anti=False
+    ).count()
+    anti_n = broadcast_semi_anti_join(
+        cust, urgent, on="c_custkey", build_on="o_custkey", anti=True
+    ).count()
+    assert semi + anti_n == n
