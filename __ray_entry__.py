@@ -220,6 +220,15 @@ def q_dedup_spans(sf_dir: str):
     return dedup_spans_ds(_docs(sf_dir), k=3, min_count=2)
 
 
+def q_bloom_decontaminate(sf_dir: str):
+    """Scale-path decontamination: eval shingles compressed to a Bloom
+    filter (zero false negatives; over-flagging only). No SQL oracle —
+    the FP set is hash-determined; tests pin superset-of-exact + FP bound."""
+    from search_engine_ray.pipelines.text import bloom_decontaminate_ds
+
+    return bloom_decontaminate_ds(_docs(sf_dir))
+
+
 def q_hll_users(sf_dir: str):
     """Approximate distinct users per event_type (HyperLogLog, p=12).
     No SQL oracle — the estimate is deliberately approximate; accuracy
@@ -663,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": q_json_field_stats,
         # rows-only (no SQL oracle)
         "hll_users": q_hll_users,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "winnow_fp": q_winnow_fp,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,

@@ -979,3 +979,132 @@ def cooccur_pmi_ds(
     return agg.sort(
         ["pmi", "term_a", "term_b"], descending=[True, False, False]
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (approximate membership, the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_params(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Double-hashing probe bases (h1, h2|1) from 64-bit shingle hashes."""
+    with np.errstate(over="ignore"):
+        z = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h1 = z ^ (z >> np.uint64(33))
+        z2 = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xC4CEB9FE1A85EC53)
+        h2 = (z2 ^ (z2 >> np.uint64(29))) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_set(bits: np.ndarray, h: np.ndarray, m_bits: int, k: int) -> None:
+    h1, h2 = _bloom_params(h)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_test(bits: np.ndarray, h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    hit = np.ones(len(h), dtype=bool)
+    h1, h2 = _bloom_params(h)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) > 0
+    return hit
+
+
+def bloom_decontaminate_ds(
+    docs: rd.Dataset,
+    eval_mod: int = 97,
+    k: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> rd.Dataset:
+    """Approximate-membership decontamination — the scale path of
+    ``decontaminate_ds`` for when the eval shingle set outgrows a broadcast
+    hash set (billions of shingles): the eval side is compressed into an
+    ``m_bits``-bit Bloom filter (128 KB at the default) with ZERO false
+    negatives by construction, so every truly contaminated doc is flagged;
+    false positives only ever over-flag (safe direction for filtering
+    training data) at rate ~(1-e^(-kn/m))^k.
+
+    Build: per-batch partial Bloom words OR-merge in a binary tree of Ray
+    tasks (the filter, not the shingles, crosses the wire; no driver pass
+    over eval shingles). Probe: one vectorized double-hash probe per batch.
+    Output: (doc_id, n_shingles, n_flagged). No SQL oracle (the FP set is
+    hash-determined); tests pin zero-false-negative vs the exact operator
+    and a bounded FP rate."""
+    import ray
+
+    from search_engine_ray.functions.textstats import (
+        shingle_hashes_batch,
+        token_lists,
+    )
+
+    n_words = m_bits // 64
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % eval_mod) == 0
+        bits = np.zeros(n_words, dtype=np.uint64)
+        if mask.any():
+            sub = batch.filter(pa.array(mask))
+            text = sub.column("text")
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            hs, _ = shingle_hashes_batch(token_lists(text), k)
+            _bloom_set(bits, hs, m_bits, n_hashes)
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.large_binary())})
+
+    @ray.remote
+    def _or2(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, np.uint64) | np.frombuffer(b, np.uint64)
+        ).tobytes()
+
+    @ray.remote
+    def _block_blooms(t: pa.Table) -> bytes:
+        rows = t.column("bloom").to_pylist()
+        if not rows:
+            return np.zeros(n_words, np.uint64).tobytes()
+        acc = np.frombuffer(rows[0], np.uint64)
+        for r in rows[1:]:
+            acc = acc | np.frombuffer(r, np.uint64)
+        return acc.tobytes()
+
+    refs = [
+        _block_blooms.remote(r)
+        for r in docs.map_batches(partial_bloom, batch_format="pyarrow").to_arrow_refs()
+    ]
+    while len(refs) > 1:  # binary tree OR-reduce in the object store
+        refs = [
+            _or2.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    bloom_ref = refs[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        bits = np.frombuffer(ray.get(bloom_ref), np.uint64)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hs, starts = shingle_hashes_batch(token_lists(text), k)
+        n = len(batch)
+        per_doc = np.diff(starts)
+        hit = _bloom_test(bits, hs, m_bits, n_hashes)
+        p = np.repeat(np.arange(n), per_doc)
+        n_bad = np.bincount(p, weights=hit.astype(np.float64), minlength=n).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles": pa.array(per_doc.astype(np.int64), pa.int64()),
+                "n_flagged": pa.array(n_bad, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -525,3 +525,32 @@ def test_cooccur_pmi_vocab_cap(ray_session):
     got = cooccur_pmi_ds(docs, vocab_size=10, min_count=2, k=5).to_pandas()
     assert got[["term_a", "term_b"]].values.tolist() == [["aa", "bb"]]
     assert got["pmi"].iloc[0] == 0.0
+
+
+def test_bloom_decontaminate_zero_false_negatives(docs):
+    """Every doc the exact operator flags is Bloom-flagged (no false
+    negatives by construction); false positives stay rare at 128 KB."""
+    from search_engine_ray.pipelines.text import (
+        bloom_decontaminate_ds,
+        decontaminate_ds,
+    )
+
+    exact = (
+        decontaminate_ds(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bloom = (
+        bloom_decontaminate_ds(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert exact["doc_id"].tolist() == bloom["doc_id"].tolist()
+    assert exact["n_shingles"].tolist() == bloom["n_shingles"].tolist()
+    # no false negatives: bloom flag count >= exact contamination count
+    assert (bloom["n_flagged"] >= exact["n_contaminated"]).all()
+    # bounded false positives: extra flags are a small fraction of shingles
+    extra = (bloom["n_flagged"] - exact["n_contaminated"]).sum()
+    assert extra <= max(0.01 * exact["n_shingles"].sum(), 5), extra
