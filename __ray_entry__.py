@@ -220,6 +220,12 @@ def q_dedup_spans(sf_dir: str):
     return dedup_spans_ds(_docs(sf_dir), k=3, min_count=2)
 
 
+def q_pack_sequences(sf_dir: str):
+    from search_engine_ray.pipelines.text import pack_sequences_ds, read_documents
+
+    return pack_sequences_ds(read_documents(sf_dir.rstrip("/")), budget_tokens=2048)
+
+
 def q_bloom_decontaminate(sf_dir: str):
     """Scale-path decontamination: eval shingles compressed to a Bloom
     filter (zero false negatives; over-flagging only). No SQL oracle —
@@ -667,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "pricing_summary": q_pricing_summary,
         "idle_customers": q_idle_customers,
+        "pack_sequences": q_pack_sequences,
         "segment_orders": q_segment_orders,
         "semdedup": q_semdedup,
         "json_field_stats": q_json_field_stats,
@@ -1225,6 +1232,18 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
 GROUP BY 1, 2""",
+        "pack_sequences": f"""
+WITH tok AS (SELECT doc_id, len({tok}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM tok)
+SELECT doc_id, n_tokens,
+       CAST(floor(cum / 2048) AS BIGINT) AS bin_id,
+       CAST(cum % 2048 AS BIGINT) AS bin_offset
+FROM c
+""",
         "idle_customers": """
 SELECT c_custkey, c_mktsegment FROM customer
 ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o

@@ -1108,3 +1108,68 @@ def bloom_decontaminate_ds(
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing by token budget (distributed ordered prefix scan)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences_ds(docs: rd.Dataset, budget_tokens: int = 2048) -> rd.Dataset:
+    """Assign each doc a (bin_id, bin_offset) in the contiguous token
+    stream ordered by doc_id, bins of ``budget_tokens`` — the
+    training-data sequence-packing layout (a doc starts in the bin its
+    running token offset falls in). Deterministic: same result on any
+    cluster shape.
+
+    This is a distributed ORDERED PREFIX SCAN — the one shape a plain
+    groupby cannot express: token counts are computed per batch
+    (vectorized), the (doc_id, n_tokens) pairs — keys only, never the
+    text payload — are range-sorted by doc_id, each sorted block reduces
+    to ONE (rows, token_sum) scalar pair, the driver runs the exclusive
+    scan over those per-block scalars (bytes, not data), and one remote
+    task per block assigns bins with a numpy cumsum seeded by its block
+    offset. No full-table pass through the driver; payload never shuffles."""
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.textstats import token_counts
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(
+                    token_counts(batch.column("text")).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ordered = (
+        docs.map_batches(counts, batch_format="pyarrow").sort("doc_id").materialize()
+    )
+    refs = ordered.to_arrow_refs()  # range-sorted block order is preserved
+
+    @ray.remote
+    def _block_total(t: pa.Table) -> int:
+        col = t.column("n_tokens")
+        s = pc.sum(col).as_py()
+        return int(s or 0)
+
+    @ray.remote
+    def _assign(t: pa.Table, offset: int) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum = offset + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "bin_id": pa.array(cum // budget_tokens, pa.int64()),
+                "bin_offset": pa.array(cum % budget_tokens, pa.int64()),
+            }
+        )
+
+    totals = ray.get([_block_total.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+    return rd.from_arrow_refs(
+        [_assign.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    )

@@ -554,3 +554,22 @@ def test_bloom_decontaminate_zero_false_negatives(docs):
     # bounded false positives: extra flags are a small fraction of shingles
     extra = (bloom["n_flagged"] - exact["n_contaminated"]).sum()
     assert extra <= max(0.01 * exact["n_shingles"].sum(), 5), extra
+
+
+def test_pack_sequences_prefix_scan(docs):
+    """Distributed prefix scan == single-process cumsum, on many blocks."""
+    from search_engine_ray.pipelines.text import pack_sequences_ds, read_documents
+
+    many_blocks = read_documents(SF).repartition(13)
+    got = (
+        pack_sequences_ds(many_blocks, budget_tokens=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = got["n_tokens"].to_numpy()
+    cum = np.concatenate(([0], np.cumsum(n)[:-1]))
+    assert got["bin_id"].tolist() == (cum // 512).tolist()
+    assert got["bin_offset"].tolist() == (cum % 512).tolist()
+    # bins are dense 0..max
+    assert set(got["bin_id"]) == set(range(got["bin_id"].max() + 1))
