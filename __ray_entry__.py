@@ -220,6 +220,19 @@ def q_dedup_spans(sf_dir: str):
     return dedup_spans_ds(_docs(sf_dir), k=3, min_count=2)
 
 
+def q_revenue_rollup(sf_dir: str):
+    from search_engine_ray.pipelines.relational import revenue_rollup_ds
+
+    return revenue_rollup_ds(sf_dir.rstrip("/"))
+
+
+def q_type_median(sf_dir: str):
+    from search_engine_ray.pipelines.relational import group_median_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    return group_median_ds(read_events(sf_dir.rstrip("/"), columns=["event_type", "value"]))
+
+
 def q_pack_sequences(sf_dir: str):
     from search_engine_ray.pipelines.text import pack_sequences_ds, read_documents
 
@@ -674,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "idle_customers": q_idle_customers,
         "pack_sequences": q_pack_sequences,
+        "revenue_rollup": q_revenue_rollup,
+        "type_median": q_type_median,
         "segment_orders": q_segment_orders,
         "semdedup": q_semdedup,
         "json_field_stats": q_json_field_stats,
@@ -1232,6 +1247,18 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
 GROUP BY 1, 2""",
+        "revenue_rollup": """
+SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)""",
+        "type_median": """
+SELECT event_type, round(median(value), 6) AS median_value,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
         "pack_sequences": f"""
 WITH tok AS (SELECT doc_id, len({tok}) AS n_tokens FROM documents),
 c AS (

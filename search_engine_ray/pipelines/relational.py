@@ -332,3 +332,142 @@ def shuffle_semi_anti_join(
         on=(on,),
         right_on=((right_on or on),),
     )
+
+
+def revenue_rollup_ds(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP (c_mktsegment, o_orderpriority) over orders⋈customer:
+    revenue + order counts at (seg, prio), (seg, ALL) and (ALL, ALL).
+
+    Scale shape: the fact table is touched ONCE — a broadcast dim join and
+    a per-batch integer-cent combiner feed the base-level groupby; the two
+    coarser rollup levels are derived from the BASE AGGREGATE (a
+    segments x priorities handful of rows), never from a second fact
+    pass. Cents stay integer until the final divide, so value hashes are
+    summation-order independent."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_hash_join(orders, cust, on="o_custkey", build_on="c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg = batch.column("c_mktsegment")
+        if isinstance(seg, pa.ChunkedArray):
+            seg = seg.combine_chunks()
+        pri = batch.column("o_orderpriority")
+        if isinstance(pri, pa.ChunkedArray):
+            pri = pri.combine_chunks()
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        se = seg.dictionary_encode()
+        pe = pri.dictionary_encode()
+        si = se.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pi = pe.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        np_ = max(len(pe.dictionary), 1)
+        key = si * np_ + pi
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        c = np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": se.dictionary.take(pa.array(uniq // np_, pa.int64())),
+                "o_orderpriority": pe.dictionary.take(pa.array(uniq % np_, pa.int64())),
+                "pcents": pa.array(c, pa.int64()),
+                "pn": pa.array(n, pa.int64()),
+            }
+        )
+
+    base = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("pcents", alias_name="cents"), Sum("pn", alias_name="n_orders"))
+    )
+
+    def all_prio(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "o_orderpriority": pa.array(["ALL"] * batch.num_rows, pa.string()),
+                "pcents": batch.column("cents"),
+                "pn": batch.column("n_orders"),
+            }
+        )
+
+    def all_both(batch: pa.Table) -> pa.Table:
+        t = all_prio(batch)
+        return t.set_column(
+            0, "c_mktsegment", pa.array(["ALL"] * t.num_rows, pa.string())
+        )
+
+    lvl1 = (
+        base.map_batches(all_prio, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("pcents", alias_name="cents"), Sum("pn", alias_name="n_orders"))
+    )
+    lvl0 = (
+        base.map_batches(all_both, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("pcents", alias_name="cents"), Sum("pn", alias_name="n_orders"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "revenue": pc.round(
+                    pc.divide(batch.column("cents").cast(pa.float64()), 100.0),
+                    ndigits=2,
+                ),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+            }
+        )
+
+    return (
+        base.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_mktsegment": b.column("c_mktsegment"),
+                    "o_orderpriority": b.column("o_orderpriority"),
+                    "cents": b.column("cents"),
+                    "n_orders": b.column("n_orders"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .union(lvl1.map_batches(lambda b: b.select(["c_mktsegment", "o_orderpriority", "cents", "n_orders"]), batch_format="pyarrow"))
+        .union(lvl0.map_batches(lambda b: b.select(["c_mktsegment", "o_orderpriority", "cents", "n_orders"]), batch_format="pyarrow"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def group_median_ds(
+    events: rd.Dataset, key_col: str = "event_type", val_col: str = "value"
+) -> rd.Dataset:
+    """Exact per-group median (even-count groups average the two middle
+    values — the SQL median). Hash-partition by key, one vectorized
+    np.partition inside each group. Partitioning assumption: one group's
+    values fit a task (true for enum-like keys); the giant-group fallback
+    is the histogram-refinement used by quantile_bucket_ds."""
+
+    def med(group: pa.Table) -> pa.Table:
+        v = group.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "median_value": pa.array(
+                    [round(float(np.median(v)), 6)], pa.float64()
+                ),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns([key_col, val_col])
+        .groupby(key_col)
+        .map_groups(med, batch_format="pyarrow")
+    )

@@ -177,3 +177,36 @@ def test_semi_anti_join_strategies_agree(ray_session):
         cust, urgent, on="c_custkey", build_on="o_custkey", anti=True
     ).count()
     assert semi + anti_n == n
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """Each rollup level sums to the grand total; levels derive from the
+    base aggregate so cents are exact."""
+    from search_engine_ray.pipelines.relational import revenue_rollup_ds
+
+    df = revenue_rollup_ds("/root/testdata/sf0.001").to_pandas()
+    total = df[(df.c_mktsegment == "ALL") & (df.o_orderpriority == "ALL")]
+    assert len(total) == 1
+    base = df[(df.c_mktsegment != "ALL") & (df.o_orderpriority != "ALL")]
+    lvl1 = df[(df.c_mktsegment != "ALL") & (df.o_orderpriority == "ALL")]
+    assert base["n_orders"].sum() == total["n_orders"].iloc[0]
+    assert lvl1["n_orders"].sum() == total["n_orders"].iloc[0]
+    assert abs(base["revenue"].sum() - total["revenue"].iloc[0]) < 0.01 * len(base)
+
+
+def test_group_median_matches_numpy(ray_session):
+    import numpy as _np
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.relational import group_median_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    got = (
+        group_median_ds(read_events("/root/testdata/sf0.001"))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    for et, grp in t.groupby("event_type"):
+        assert got.loc[et, "median_value"] == round(float(_np.median(grp["value"])), 6)
+        assert got.loc[et, "n"] == len(grp)
