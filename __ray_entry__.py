@@ -220,6 +220,66 @@ def q_dedup_spans(sf_dir: str):
     return dedup_spans_ds(_docs(sf_dir), k=3, min_count=2)
 
 
+def q_order_nations(sf_dir: str):
+    """orders ⋈ customer through the skew-aware hybrid join (hot custkeys
+    join locally against a broadcast slice; cold keys shuffle), then a
+    per-nation rollup with an integer-cent combiner."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.pipelines.relational import skew_hash_join
+
+    sf = sf_dir.rstrip("/")
+    orders = rd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = skew_hash_join(
+        orders, cust, on="o_custkey", build_on="c_custkey",
+        payload_cols=["c_nationkey"], hot_threshold=15,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uniq, pa.int64()),
+                "pn": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64), pa.int64()),
+                "pc": pa.array(
+                    np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("pn", alias_name="n_orders"), Sum("pc", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "n_orders": b.column("n_orders").cast(pa.int64()),
+                "revenue": pa.array(
+                    np.round(
+                        b.column("cents").to_numpy(zero_copy_only=False) / 100.0, 2
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     from search_engine_ray.pipelines.relational import revenue_rollup_ds
 
@@ -688,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers": q_idle_customers,
         "pack_sequences": q_pack_sequences,
         "revenue_rollup": q_revenue_rollup,
+        "order_nations": q_order_nations,
         "type_median": q_type_median,
         "segment_orders": q_segment_orders,
         "semdedup": q_semdedup,
@@ -1247,6 +1308,12 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
 GROUP BY 1, 2""",
+        "order_nations": """
+SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey""",
         "revenue_rollup": """
 SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
        coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -471,3 +471,140 @@ def group_median_ds(
         .groupby(key_col)
         .map_groups(med, batch_format="pyarrow")
     )
+
+
+def skew_hash_join(
+    probe: rd.Dataset,
+    build: rd.Dataset,
+    on: str,
+    build_on: str | None = None,
+    payload_cols: list[str] | None = None,
+    hot_threshold: int = 100_000,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Skew-aware inner equi-join — the hot-key hybrid every hash-shuffle
+    join needs at crawl scale: a handful of head keys (the 'null-ish'
+    defaults, the hot domains) otherwise land every one of their rows in
+    ONE join partition and wall-clock becomes that straggler.
+
+    Plan: (1) exact probe-key histogram via the combiner pattern (keys
+    only — one small row per key per batch); keys with count >=
+    ``hot_threshold`` form the hot set (driver holds just that key list,
+    bounded by n_rows/threshold). (2) build rows of hot keys are collected
+    once and broadcast (ray.put); hot probe rows join them LOCALLY inside
+    map_batches (Arrow hash join per batch — no shuffle, so the hot key's
+    rows never concentrate anywhere). (3) cold rows of both sides go
+    through Ray's native hash-shuffle join. Output = probe columns +
+    build payload columns; both paths emit the identical schema and the
+    union is the exact inner join (tested against the plain shuffle join
+    on zipf-skewed keys)."""
+    build_on = build_on or on
+
+    hist = (
+        probe.map_batches(
+            lambda b: _key_counts(b, on), batch_format="pyarrow"
+        )
+        .groupby(on)
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    hot_tbl = hist.filter(expr=f"n >= {hot_threshold}").to_pandas()
+    # empty Dataset.to_pandas() loses columns — treat as "no hot keys"
+    hot_vals = hot_tbl[on].to_numpy() if on in hot_tbl.columns else []
+    hot_keys = pa.array(hot_vals, pa.int64())
+
+    build_cols = [build_on, *(payload_cols or [])]
+    build = build.select_columns(build_cols)
+    probe_names = [n for n in probe.schema().names]
+    out_names = probe_names + [c for c in build_cols if c != build_on]
+
+    if len(hot_keys) == 0:
+        joined = probe.join(
+            build,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=(build_on,),
+        )
+        return joined.map_batches(
+            lambda b: b.select(out_names), batch_format="pyarrow"
+        )
+
+    hot_ref = ray.put(hot_keys)
+    hot_build = _collect_arrow(
+        build.map_batches(
+            lambda b: b.filter(pc.is_in(b.column(build_on), value_set=hot_keys)),
+            batch_format="pyarrow",
+        )
+    )
+    hot_build_ref = ray.put(hot_build)
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        ks = ray.get(hot_ref)
+        sub = batch.filter(pc.is_in(batch.column(on), value_set=ks))
+        return sub.join(
+            ray.get(hot_build_ref), keys=[on], right_keys=[build_on]
+        ).select(out_names)
+
+    def cold_filter(key_col):
+        def f(batch: pa.Table) -> pa.Table:
+            ks = ray.get(hot_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(key_col), value_set=ks))
+            )
+
+        return f
+
+    hot_out = probe.map_batches(hot_join, batch_format="pyarrow")
+
+    # Ray 2.49's Acero join crashes on ANY empty input block (see
+    # dedup._pin_blocks); the cold filters can empty blocks, so pin both
+    # sides and keep one self-joining sentinel row to guarantee non-empty
+    # typed input, dropped from the output.
+    from search_engine_ray.pipelines.dedup import _SENTINEL, _pin_blocks
+
+    def sentinel_row(schema: pa.Schema, key_col: str) -> rd.Dataset:
+        row = {name: None for name in schema.names}
+        row[key_col] = _SENTINEL
+        return rd.from_arrow(pa.Table.from_pylist([row], schema=schema))
+
+    p_schema = pa.schema(
+        [(n, probe.schema().base_schema.field(n).type) for n in probe_names]
+    )
+    b_schema = pa.schema(
+        [(n, build.schema().base_schema.field(n).type) for n in build_cols]
+    )
+    cold_p, _ = _pin_blocks(
+        probe.map_batches(cold_filter(on), batch_format="pyarrow").union(
+            sentinel_row(p_schema, on)
+        ),
+        p_schema,
+    )
+    cold_b, _ = _pin_blocks(
+        build.map_batches(cold_filter(build_on), batch_format="pyarrow").union(
+            sentinel_row(b_schema, build_on)
+        ),
+        b_schema,
+    )
+    cold = (
+        cold_p.join(
+            cold_b,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=(build_on,),
+        )
+        .filter(expr=f"{on} != {_SENTINEL}")
+        .map_batches(lambda b: b.select(out_names), batch_format="pyarrow")
+    )
+    return hot_out.union(cold)
+
+
+def _key_counts(batch: pa.Table, on: str) -> pa.Table:
+    k = batch.column(on).to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(k, return_counts=True)
+    return pa.table(
+        {
+            on: pa.array(uniq, pa.int64()),
+            "pn": pa.array(counts, pa.int64()),
+        }
+    )

@@ -210,3 +210,53 @@ def test_group_median_matches_numpy(ray_session):
     for et, grp in t.groupby("event_type"):
         assert got.loc[et, "median_value"] == round(float(_np.median(grp["value"])), 6)
         assert got.loc[et, "n"] == len(grp)
+
+
+def test_skew_join_matches_native_on_zipf_keys(ray_session):
+    """Hybrid hot/cold split == plain shuffle join, on heavily skewed keys
+    (hot path and cold path both exercised), and with no hot keys at all."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import (
+        shuffle_hash_join,
+        skew_hash_join,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = np.minimum(rng.zipf(1.5, size=5000) - 1, 30).astype(np.int64)
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "pv": pa.array(np.arange(5000), pa.int64()),
+            }
+        )
+    ).repartition(6)
+    build = rd.from_arrow(
+        pa.table(
+            {
+                "bk": pa.array(np.arange(31), pa.int64()),
+                "label": pa.array([f"n{i}" for i in range(31)], pa.string()),
+            }
+        )
+    )
+    want = (
+        shuffle_hash_join(probe, build, on="k", right_on="bk")
+        .to_pandas()
+        .sort_values(["k", "pv"])[["k", "pv", "label"]]
+        .reset_index(drop=True)
+    )
+    for threshold in (200, 10**9):  # with hot keys, and all-cold
+        got = (
+            skew_hash_join(
+                probe, build, on="k", build_on="bk",
+                payload_cols=["label"], hot_threshold=threshold,
+            )
+            .to_pandas()
+            .sort_values(["k", "pv"])[["k", "pv", "label"]]
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
