@@ -191,6 +191,46 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    """Run any named pipeline from __ray_entry__.queries() over a table
+    directory and write the result as partitioned Parquet — the resumable
+    batch-output path (many part files, never one giant file)."""
+    import ray
+
+    _init_ray(args.num_cpus)
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    if args.name not in qs:
+        print(f"unknown pipeline {args.name!r}; available: {sorted(qs)}")
+        return 2
+    import pandas as pd
+    import pyarrow as pa_
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    res = qs[args.name](args.sf_dir)
+    if isinstance(res, pd.DataFrame):
+        res = rd.from_pandas(res)
+    elif isinstance(res, pa_.Table):
+        res = rd.from_arrow(res)
+    res.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "pipeline": args.name,
+                "rows": int(n),
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "out": args.out,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_bm25(args: argparse.Namespace) -> int:
     from search_engine_ray.config import EngineConfig
     from search_engine_ray.pipelines.serving import SegmentSearcher
@@ -245,6 +285,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--num-cpus", type=int, default=0)
     c.set_defaults(fn=cmd_compact)
+
+    r = sub.add_parser(
+        "pipeline", help="run a named pipeline and write partitioned parquet"
+    )
+    r.add_argument("name")
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    r.add_argument("--out", required=True)
+    r.add_argument("--num-cpus", type=int, default=0)
+    r.set_defaults(fn=cmd_pipeline)
 
     w = sub.add_parser("bm25", help="BM25 top-k (WAND or conjunctive)")
     w.add_argument("--index", required=True)

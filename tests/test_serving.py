@@ -82,3 +82,23 @@ def test_batch_search_matches_single(ray_session, tmp_path):
         for r in s.search_bm25(q, k=10, mode="and"):
             want.append((i, r.doc_id, round(r.score, 6)))
     assert list(map(tuple, got[["query_id", "doc_id", "score"]].values)) == want
+
+
+def test_cli_pipeline_writes_parquet(ray_session, tmp_path):
+    """`pipeline NAME --out DIR` runs a queries() entry and writes
+    partitioned parquet (the resumable batch-output path)."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.cli import main
+
+    out = str(tmp_path / "q")
+    rc = main(
+        ["pipeline", "token_count", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out]
+    )
+    assert rc == 0
+    t = pq.read_table(out)
+    assert t.num_rows == 500
+    assert set(t.column_names) == {"doc_id", "n_tokens"}
+    rc = main(["pipeline", "not_a_pipeline", "--out", out])
+    assert rc == 2
