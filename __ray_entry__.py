@@ -513,6 +513,14 @@ def q_media_features(sf_dir: str):
     return media_features_ds(rd.from_arrow(fake_media_table(100)))
 
 
+def q_funnel(sf_dir: str):
+    from search_engine_ray.pipelines.windows import funnel_stages_ds, read_events
+
+    return funnel_stages_ds(
+        read_events(sf_dir.rstrip("/"), columns=["user_id", "ts", "event_type"])
+    )
+
+
 def q_hopping_window(sf_dir: str):
     from search_engine_ray.pipelines.windows import hopping_window_ds, read_events
 
@@ -730,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_bm25": q_batch_bm25,
         "tumbling_window": q_tumbling_window,
         "hopping_window": q_hopping_window,
+        "funnel": q_funnel,
         "window_users": q_window_users,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1204,6 +1213,25 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
        sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
 FROM events GROUP BY 1, 2""",
+        "funnel": """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id""",
         "hopping_window": """
 SELECT make_timestamp(((epoch_us(ts) // 900000000) - j.j) * 900000000)
          AS window_start,

@@ -478,3 +478,76 @@ def hopping_window_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel_stages_ds(
+    events: rd.Dataset,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> rd.Dataset:
+    """Funnel analysis: per user, how many of ``steps`` were completed in
+    strict time order (stage k means steps[0..k-1] happened at strictly
+    increasing timestamps). Output (user_id, funnel_stage) for EVERY user.
+
+    Scale shape: one shuffle — users are hash-bucketed coarsely (not one
+    group per user) and each bucket resolves ALL its users with vectorized
+    per-step passes: rows of the step type sorted by (user, ts), the
+    "first event after the user's previous-step time" found with one
+    boolean mask + run-length first-occurrence, no per-user Python."""
+    from search_engine_ray.pipelines.dedup import _bucketer, _n_pair_buckets
+
+    n_buckets = _n_pair_buckets()
+    step_list = list(steps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = np.full(batch.num_rows, -1, np.int64)
+        etn = et.to_numpy(zero_copy_only=False)
+        for i, s in enumerate(step_list):
+            codes[etn == s] = i
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "tus": pa.array(_ts_us(batch.column("ts")), pa.int64()),
+                "step": pa.array(codes, pa.int64()),
+            }
+        )
+
+    def stages(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        t = group.column("tus").to_numpy(zero_copy_only=False)
+        s = group.column("step").to_numpy(zero_copy_only=False)
+        users = np.unique(u)
+        prev_t = np.full(len(users), -1, np.int64)
+        alive = np.ones(len(users), dtype=bool)
+        stage = np.zeros(len(users), np.int64)
+        for k in range(len(step_list)):
+            m = s == k
+            su, st = u[m], t[m]
+            order = np.lexsort((st, su))
+            su, st = su[order], st[order]
+            ui = np.searchsorted(users, su)
+            ok = alive[ui] & (st > prev_t[ui])
+            su, st, ui = su[ok], st[ok], ui[ok]
+            _, first = np.unique(su, return_index=True)  # sorted → first hit
+            hit_ui, hit_t = ui[first], st[first]
+            alive = np.zeros(len(users), dtype=bool)
+            alive[hit_ui] = True
+            prev_t[hit_ui] = hit_t
+            stage[hit_ui] = k + 1
+            if not alive.any():
+                break
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "funnel_stage": pa.array(stage, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .map_batches(_bucketer("user_id", n_buckets), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(stages, batch_format="pyarrow")
+    )

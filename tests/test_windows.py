@@ -287,3 +287,42 @@ def test_hopping_window_rejects_ragged(ray_session):
 
     with _pytest.raises(ValueError):
         hopping_window_ds(read_events(SF), width_secs=3600, hop_secs=1000)
+
+
+def test_funnel_stages_semantics(ray_session):
+    """Strict ordering: same-timestamp steps don't progress; greedy
+    earliest matching completes whenever any ordered subsequence exists."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.windows import funnel_stages_ds
+
+    def ev(uid, us, et):
+        return {"user_id": uid, "ts": us, "event_type": et}
+
+    rows = [
+        # u1 completes: view@1 click@2 purchase@3
+        ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "purchase"),
+        # u2 stalls at click (purchase BEFORE click)
+        ev(2, 1, "view"), ev(2, 5, "click"), ev(2, 4, "purchase"),
+        # u3: same-timestamp click does not count (strict >)
+        ev(3, 7, "view"), ev(3, 7, "click"),
+        # u4: only unrelated events -> stage 0
+        ev(4, 1, "error"),
+        # u5: completes via the LATER view (greedy earliest still finds it)
+        ev(5, 10, "view"), ev(5, 11, "click"), ev(5, 12, "purchase"),
+        ev(5, 1, "view"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        funnel_stages_ds(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .set_index("user_id")["funnel_stage"]
+    )
+    assert got.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
