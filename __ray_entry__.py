@@ -299,6 +299,18 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences_ds(read_documents(sf_dir.rstrip("/")), budget_tokens=2048)
 
 
+def q_media_resize(sf_dir: str):
+    """Actor-pool image resize plumbing (pixel work stubbed — no image
+    libs in this container). Deterministic synthetic media; rows-only."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.multimodal import fake_media_table, media_resize_ds
+
+    return media_resize_ds(rd.from_arrow(fake_media_table(100))).drop_columns(
+        ["payload"]
+    )
+
+
 def q_bloom_decontaminate(sf_dir: str):
     """Scale-path decontamination: eval shingles compressed to a Bloom
     filter (zero false negatives; over-flagging only). No SQL oracle —
@@ -770,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
     }
 
 

@@ -139,3 +139,66 @@ def frame_sample_ds(
         )
 
     return media.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+class MediaResize:
+    """Actor-pool stage: image resize to fit a bounding box, preserving
+    aspect ratio. The PIXEL work is stubbed (no image libs here): the
+    payload passes through a deterministic byte marker so tests can pin
+    lineage; the real plumbing — actor pool, payload-in/payload-out
+    schema, metadata math, small batches — is what a real resampler
+    plugs into (inject ``resize_fn(payload, w, h, tw, th) -> bytes``)."""
+
+    def __init__(self, max_w: int, max_h: int, resize_fn=None) -> None:
+        self.max_w, self.max_h = max_w, max_h
+        self.resize = resize_fn or (
+            lambda payload, w, h, tw, th: hashlib.md5(payload).digest() + payload
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(
+            np.minimum(self.max_w / np.maximum(w, 1), self.max_h / np.maximum(h, 1)),
+            1.0,
+        )
+        nw = np.maximum(np.rint(w * scale), 1).astype(np.int32)
+        nh = np.maximum(np.rint(h * scale), 1).astype(np.int32)
+        payloads = batch.column("payload").to_pylist()
+        out = [
+            self.resize(p, int(ow), int(oh), int(tw), int(th))
+            for p, ow, oh, tw, th in zip(payloads, w, h, nw, nh)
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array(nw, pa.int32()),
+                "height": pa.array(nh, pa.int32()),
+            }
+        )
+
+
+def media_resize_ds(
+    media: rd.Dataset,
+    max_w: int = 32,
+    max_h: int = 32,
+    resize_fn=None,
+    batch_size: int = 64,
+    concurrency: int | None = None,
+) -> rd.Dataset:
+    """Images resized to fit (max_w, max_h) with aspect ratio kept; never
+    upscaled. Non-image rows pass through the same stage untouched in
+    metadata (scale capped at 1.0 applies only when larger)."""
+    if concurrency is None:
+        from search_engine_ray.util import default_pool_size
+
+        concurrency = min(2, default_pool_size())
+    return media.map_batches(
+        MediaResize,
+        fn_constructor_args=(max_w, max_h, resize_fn),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

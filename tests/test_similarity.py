@@ -119,3 +119,36 @@ def test_ivf_assignment_partitions(emb):
     out = ivf_assign_ds(emb, cent).to_pandas()
     assert out["list_id"].between(0, cent.shape[0] - 1).all()
     assert out["list_id"].nunique() > 1  # vectors actually spread over lists
+
+
+def test_media_resize_metadata_and_injection(ray_session):
+    """Aspect-preserving bound-box math; never upscales; a real resampler
+    injects via resize_fn."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.multimodal import (
+        fake_media_table,
+        media_resize_ds,
+    )
+
+    media = rd.from_arrow(fake_media_table(30))
+    out = (
+        media_resize_ds(media, max_w=32, max_h=32)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    src = fake_media_table(30).to_pandas().sort_values("media_id")
+    assert (out["width"] <= 32).all() and (out["height"] <= 32).all()
+    # aspect preserved within rounding
+    ratio_in = src["width"] / src["height"]
+    ratio_out = out["width"] / out["height"]
+    assert (abs(ratio_in.to_numpy() - ratio_out.to_numpy()) < 0.15).all()
+    # injected fn sees target dims
+    seen = media_resize_ds(
+        media, max_w=16, max_h=16,
+        resize_fn=lambda p, w, h, tw, th: f"{tw}x{th}".encode(),
+    ).to_pandas()
+    dims = {tuple(map(int, s.decode().split("x"))) for s in seen["payload"]}
+    assert all(tw <= 16 and th <= 16 for tw, th in dims)
