@@ -589,6 +589,12 @@ def q_decontaminate(sf_dir: str):
     return decontaminate_ds(_docs(sf_dir))
 
 
+def q_weighted_sample(sf_dir: str):
+    from search_engine_ray.pipelines.text import read_documents, weighted_sample_ds
+
+    return weighted_sample_ds(read_documents(sf_dir.rstrip("/")), scale=150)
+
+
 def q_hash_sample(sf_dir: str):
     from search_engine_ray.pipelines.text import hash_sample_ds, read_documents
 
@@ -758,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
         "clean_corpus": q_clean_corpus,
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
@@ -1166,6 +1173,14 @@ FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
         ),
+        "weighted_sample": f"""
+WITH t AS (
+  SELECT doc_id, len({tok}) AS n_tokens,
+         least(CAST(floor(least(1.0, len({tok}) / 150.0) * 4294967296.0)
+                    AS BIGINT), 4294967295) AS thr
+  FROM documents)
+SELECT doc_id, n_tokens FROM t
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < printf('%08x', thr)""",
         "token_count_bpe": r"SELECT doc_id, len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'))::BIGINT AS n_bpe_tokens FROM documents",
         "term_df": f"""
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (

@@ -1173,3 +1173,37 @@ def pack_sequences_ds(docs: rd.Dataset, budget_tokens: int = 2048) -> rd.Dataset
     return rd.from_arrow_refs(
         [_assign.remote(r, int(off)) for r, off in zip(refs, offsets)]
     )
+
+
+def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
+    """Deterministic IMPORTANCE resampling: keep each doc with probability
+    w = min(1, n_tokens/scale) — longer (higher-budget) docs kept more
+    often, the DoReMi-style reweighting primitive — decided by comparing
+    the doc's md5-uniform (first 8 hex chars of md5(doc_id)) against the
+    per-doc threshold hex(floor(w * 2^32)), so membership is reproducible
+    on any cluster shape, joinable across tables, and oracle-checkable
+    (DuckDB computes the identical md5 and printf('%08x') threshold).
+    One stateless map, no shuffle."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.textstats import token_counts
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = token_counts(batch.column("text")).astype(np.float64)
+        w = np.minimum(1.0, n / float(scale))
+        thr = np.minimum((w * 2.0**32).astype(np.int64), 2**32 - 1)
+        keep = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:8] < f"{int(t):08x}"
+            for i, t in zip(ids, thr)
+        ]
+        out = batch.filter(pa.array(keep))
+        kept_n = token_counts(out.column("text")).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(kept_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -573,3 +573,22 @@ def test_pack_sequences_prefix_scan(docs):
     assert got["bin_offset"].tolist() == (cum % 512).tolist()
     # bins are dense 0..max
     assert set(got["bin_id"]) == set(range(got["bin_id"].max() + 1))
+
+
+def test_weighted_sample_rate_tracks_weight(docs):
+    """Keep-rate approximates mean(min(1, n/scale)); scale=1 keeps all
+    non-empty docs; determinism across runs."""
+    from search_engine_ray.pipelines.text import weighted_sample_ds
+
+    a = weighted_sample_ds(docs, scale=150).to_pandas().sort_values("doc_id")
+    b = weighted_sample_ds(docs, scale=150).to_pandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    want = _sql(
+        """SELECT avg(least(1.0, len(list_filter(string_split(text,' '),
+           x -> x <> '')) / 150.0)) AS w FROM documents"""
+    )["w"].iloc[0]
+    n_docs = _sql("SELECT count(*) AS n FROM documents")["n"].iloc[0]
+    rate = len(a) / n_docs
+    assert abs(rate - want) < 0.1, (rate, want)
+    full = weighted_sample_ds(docs, scale=1).to_pandas()
+    assert len(full) == n_docs  # every doc has >= 1 token at sf0.001
