@@ -589,6 +589,14 @@ def q_decontaminate(sf_dir: str):
     return decontaminate_ds(_docs(sf_dir))
 
 
+def q_spell_suggest(sf_dir: str):
+    from search_engine_ray.pipelines.text import read_documents, spell_suggest_ds
+
+    return spell_suggest_ds(
+        read_documents(sf_dir.rstrip("/")), ["tble", "qery", "windoww", "zzzz"], k=5
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     from search_engine_ray.pipelines.text import read_documents, weighted_sample_ds
 
@@ -765,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
+        "spell_suggest": q_spell_suggest,
         "clean_corpus": q_clean_corpus,
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
@@ -1173,6 +1182,23 @@ FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
         ),
+        "spell_suggest": f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+dt AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE length(term) >= 2 GROUP BY term),
+q AS (SELECT unnest(['tble', 'qery', 'windoww', 'zzzz']) AS query_term),
+cand AS (
+  SELECT q.query_term, dt.term AS suggestion, dt.df
+  FROM q JOIN dt ON levenshtein(q.query_term, dt.term) <= 1),
+ranked AS (
+  SELECT query_term, suggestion, df,
+         row_number() OVER (PARTITION BY query_term
+                            ORDER BY df DESC, suggestion) AS rank
+  FROM cand)
+SELECT query_term, suggestion, df, rank FROM ranked WHERE rank <= 5
+""",
         "weighted_sample": f"""
 WITH t AS (
   SELECT doc_id, len({tok}) AS n_tokens,

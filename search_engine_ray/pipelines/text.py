@@ -1207,3 +1207,125 @@ def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# spell suggestion (SymSpell deletion-join over the corpus vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def _lev1(a: str, b: str) -> bool:
+    """Levenshtein distance <= 1 (insert/delete/substitute; no
+    transposition — matches SQL levenshtein)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a+1 char: one skip allowed
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def _deletions(term: str) -> list[str]:
+    return [term[:i] + term[i + 1 :] for i in range(len(term))]
+
+
+def spell_suggest_ds(
+    docs: rd.Dataset, query_terms: list[str], k: int = 5
+) -> rd.Dataset:
+    """Did-you-mean: for each (misspelled) query term, the top-k corpus
+    terms within Levenshtein distance 1, ranked by document frequency
+    (df desc, term asc) — the reference-engine feature class the north
+    rule's query side implies, done corpus-scale.
+
+    Scale shape (SymSpell, Garbe — public): matching candidates are found
+    by DELETION-NEIGHBORHOOD intersection, not by scanning the vocabulary
+    with an edit-distance DP: each vocab term emits itself plus its
+    length-1 deletions keyed by string (per DISTINCT term, the same
+    granularity as the crc32 precedent); the query terms' neighborhoods
+    (a handful of strings) broadcast, one vectorized pc.is_in filters the
+    stream, and only the few surviving candidates pay an exact edit-1
+    verify + a tiny final groupby/top-k. The df ranking rides in from
+    term_df_ds — no join."""
+    import ray
+
+    qdel: dict[str, set[str]] = {
+        q: set(_deletions(q)) | {q} for q in query_terms
+    }
+    all_keys = sorted(set().union(*qdel.values()))
+    keys_ref = ray.put(pa.array(all_keys, pa.string()))
+    queries_ref = ray.put(qdel)
+
+    max_qlen = max((len(q) for q in query_terms), default=0)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        qd = ray.get(queries_ref)
+        terms_arr = batch.column("term")
+        if isinstance(terms_arr, pa.ChunkedArray):
+            terms_arr = terms_arr.combine_chunks()
+        # VECTORIZED prefilter: t is a candidate iff t itself or one of
+        # t's length-1 deletions is in the query neighborhood key set —
+        # one slice+join array op per character position, no per-term
+        # Python until the (tiny) survivor set.
+        hit = pc.is_in(terms_arr, value_set=ks).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(terms_arr).to_numpy(zero_copy_only=False)
+        big = 1 << 20
+        for i in range(max_qlen + 1):
+            pos_ok = lens > i
+            if not pos_ok.any():
+                break
+            del_i = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(terms_arr, 0, i),
+                pc.utf8_slice_codeunits(terms_arr, i + 1, big),
+                "",
+            )
+            hit |= (
+                pc.is_in(del_i, value_set=ks).to_numpy(zero_copy_only=False)
+                & pos_ok
+            )
+        idx = np.flatnonzero(hit)
+        terms = terms_arr.to_numpy(zero_copy_only=False)[idx]
+        dfs = batch.column("df").to_numpy(zero_copy_only=False)[idx]
+        out_q, out_t, out_df = [], [], []
+        for t, d in zip(terms, dfs):  # survivors only: a handful
+            t = str(t)
+            neigh = set(_deletions(t)) | {t}
+            for q, qn in qd.items():
+                if (neigh & qn) and _lev1(q, t):
+                    out_q.append(q)
+                    out_t.append(t)
+                    out_df.append(int(d))
+        return pa.table(
+            {
+                "query_term": pa.array(out_q, pa.string()),
+                "suggestion": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.column("suggestion").to_numpy(zero_copy_only=False)
+        d = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -d))
+        keep = order[:k]
+        return pa.table(
+            {
+                "query_term": group.column("query_term").take(pa.array(keep)),
+                "suggestion": pa.array(t[keep], pa.string()),
+                "df": pa.array(d[keep], pa.int64()),
+                "rank": pa.array(np.arange(1, len(keep) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        term_df_ds(docs)
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("query_term")
+        .map_groups(topk, batch_format="pyarrow")
+    )

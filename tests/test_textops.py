@@ -592,3 +592,39 @@ def test_weighted_sample_rate_tracks_weight(docs):
     assert abs(rate - want) < 0.1, (rate, want)
     full = weighted_sample_ds(docs, scale=1).to_pandas()
     assert len(full) == n_docs  # every doc has >= 1 token at sf0.001
+
+
+def test_spell_suggest_edit_classes(ray_session):
+    """Deletion, insertion and substitution misspellings all resolve; df
+    ranks; distance-2 and unknown terms yield nothing."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import spell_suggest_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "table chair table",
+                        "table stable",
+                        "cable fable",
+                        "chair",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    ).repartition(2)
+    got = (
+        spell_suggest_ds(docs, ["tble", "tablee", "tadle", "tbl", "zzz"], k=3)
+        .to_pandas()
+        .sort_values(["query_term", "rank"])
+    )
+    by_q = {q: g["suggestion"].tolist() for q, g in got.groupby("query_term")}
+    assert by_q["tble"] == ["table"]  # deletion
+    assert by_q["tablee"] == ["table"]  # insertion ('stable' is distance 2)
+    assert by_q["tadle"][0] == "table"  # substitution
+    assert "tbl" not in by_q  # distance 2 from everything
+    assert "zzz" not in by_q
