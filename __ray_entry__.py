@@ -589,6 +589,12 @@ def q_decontaminate(sf_dir: str):
     return decontaminate_ds(_docs(sf_dir))
 
 
+def q_autocomplete(sf_dir: str):
+    from search_engine_ray.pipelines.text import autocomplete_ds, read_documents
+
+    return autocomplete_ds(read_documents(sf_dir.rstrip("/")), ["ta", "qu", "wi"], k=5)
+
+
 def q_spell_suggest(sf_dir: str):
     from search_engine_ray.pipelines.text import read_documents, spell_suggest_ds
 
@@ -774,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
         "spell_suggest": q_spell_suggest,
+        "autocomplete": q_autocomplete,
         "clean_corpus": q_clean_corpus,
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
@@ -1182,6 +1189,20 @@ FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id
             "SELECT doc_id FROM documents "
             "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')"
         ),
+        "autocomplete": f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+dt AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(ts) AS term FROM tok)
+  WHERE length(term) >= 2 GROUP BY term),
+q AS (SELECT unnest(['ta', 'qu', 'wi']) AS prefix),
+ranked AS (
+  SELECT q.prefix, dt.term, dt.df,
+         row_number() OVER (PARTITION BY q.prefix
+                            ORDER BY dt.df DESC, dt.term) AS rank
+  FROM q JOIN dt ON starts_with(dt.term, q.prefix))
+SELECT prefix, term, df, rank FROM ranked WHERE rank <= 5
+""",
         "spell_suggest": f"""
 WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
 dt AS (

@@ -1329,3 +1329,53 @@ def spell_suggest_ds(
         .groupby("query_term")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def autocomplete_ds(
+    docs: rd.Dataset, prefixes: list[str], k: int = 5
+) -> rd.Dataset:
+    """Prefix autocomplete: for each prefix, the top-k corpus terms
+    starting with it, ranked by document frequency (df desc, term asc).
+    One vectorized pc.starts_with filter per prefix over the
+    combiner-aggregated term_df stream, then a tiny per-prefix top-k —
+    the vocabulary is never collected anywhere."""
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        dfs = batch.column("df")
+        outs = []
+        for p in prefixes:
+            m = pc.starts_with(terms, pattern=p)
+            t = terms.filter(m)
+            outs.append(
+                pa.table(
+                    {
+                        "prefix": pa.array([p] * len(t), pa.string()),
+                        "term": t,
+                        "df": dfs.filter(m),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.column("term").to_numpy(zero_copy_only=False)
+        d = group.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -d))[:k]
+        return pa.table(
+            {
+                "prefix": group.column("prefix").take(pa.array(order)),
+                "term": pa.array(t[order], pa.string()),
+                "df": pa.array(d[order].astype(np.int64), pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        term_df_ds(docs)
+        .map_batches(match, batch_format="pyarrow")
+        .groupby("prefix")
+        .map_groups(topk, batch_format="pyarrow")
+    )

@@ -628,3 +628,28 @@ def test_spell_suggest_edit_classes(ray_session):
     assert by_q["tadle"][0] == "table"  # substitution
     assert "tbl" not in by_q  # distance 2 from everything
     assert "zzz" not in by_q
+
+
+def test_autocomplete(docs):
+    from search_engine_ray.pipelines.text import autocomplete_ds
+
+    got = (
+        autocomplete_ds(docs, ["ta", "zz"], k=3)
+        .to_pandas()
+        .sort_values(["prefix", "rank"])
+    )
+    want = _sql(
+        """
+        WITH dt AS (SELECT term, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id, unnest(list_filter(string_split(text,' '),
+                                                x -> x <> '')) AS term
+              FROM documents)
+            WHERE length(term) >= 2 GROUP BY term)
+        SELECT term, df FROM dt WHERE starts_with(term, 'ta')
+        ORDER BY df DESC, term LIMIT 3
+        """
+    )
+    ta = got[got.prefix == "ta"]
+    assert ta["term"].tolist() == want["term"].tolist()
+    assert ta["df"].tolist() == want["df"].tolist()
+    assert (got.prefix != "zz").all()
