@@ -247,14 +247,14 @@ def q_order_nations(sf_dir: str):
             b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         uniq, inv = np.unique(nk, return_inverse=True)
+        # int64 scatter-sum keeps partials exact past the float64 2^53 bound
+        csum = np.zeros(len(uniq), np.int64)
+        np.add.at(csum, inv, cents)
         return pa.table(
             {
                 "c_nationkey": pa.array(uniq, pa.int64()),
                 "pn": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64), pa.int64()),
-                "pc": pa.array(
-                    np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64),
-                    pa.int64(),
-                ),
+                "pc": pa.array(csum, pa.int64()),
             }
         )
 
@@ -277,7 +277,7 @@ def q_order_nations(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    )
+    ).sort("c_nationkey")  # ~25 rows: deterministic output order
 
 
 def q_revenue_rollup(sf_dir: str):

@@ -363,8 +363,13 @@ def run_scaling() -> dict:
                 [sys.executable, os.path.abspath(__file__), "--build-only", str(cpus)],
                 capture_output=True, text=True, env=env, cwd=REPO,
             )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling child (cpus={cpus}) failed rc={out.returncode}; "
+                    f"stdout tail={out.stdout[-500:]!r} stderr tail={out.stderr[-2000:]!r}"
+                )
+            r = json.loads(lines[-1])
             all_runs[cpus].append(r)
             best = results.get(cpus)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:

@@ -174,11 +174,13 @@ def pricing_summary_ds(
     applied per batch, ALL metrics accumulated as exact integers (cents and
     basis-point products) inside one vectorized map_batches combiner — the
     groupby ships 6 tiny rows per batch and the result is independent of
-    float summation order (hash-exact vs the SQL oracle). int64 numerators
-    bound the exact range to ~9e18: at these magnitudes (~1e11 per row for
-    sum_charge) that is ~9e7 rows per group and combiner partials keep per-
-    batch totals far below it; beyond that, split the numerator into
-    high/low words or aggregate per shard and combine as Python ints."""
+    float summation order (hash-exact vs the SQL oracle). Per-row numerators
+    are int64 from the start (np.add.at scatter-sum, NOT float-weighted
+    bincount, whose float64 partials lose exactness past 2^53 ≈ 9e15 — only
+    ~1e5 rows/batch at sum_charge's ~1e11 per-row magnitude). int64 partials
+    stay exact to ~9e18 ≈ 9e7 rows per (group, batch); the groupby Sum on top
+    is int64 end-to-end. Output rows are sorted by (l_returnflag,
+    l_linestatus) so the 6-row result is deterministic."""
     cols = [
         "l_quantity",
         "l_extendedprice",
@@ -216,35 +218,33 @@ def pricing_summary_ds(
         enc = key.dictionary_encode()
         codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
         ng = len(enc.dictionary)
-        qty = np.round(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        qty = np.round(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
         cents = np.round(
             batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
-        )
-        d100 = np.round(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0)
-        t100 = np.round(batch.column("l_tax").to_numpy(zero_copy_only=False) * 100.0)
-        disc_num = cents * (100.0 - d100)  # exact ints in float64 (< 2^53)
-        charge_num = disc_num * (100.0 + t100)
+        ).astype(np.int64)
+        d100 = np.round(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t100 = np.round(
+            batch.column("l_tax").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_num = cents * (100 - d100)  # int64, ~1e11 per row
+        charge_num = disc_num * (100 + t100)  # int64, ~1e13 per row
+
+        def gsum(vals: np.ndarray) -> pa.Array:
+            out = np.zeros(ng, np.int64)
+            np.add.at(out, codes, vals)
+            return pa.array(out, pa.int64())
+
         return pa.table(
             {
                 "k": enc.dictionary,
-                "pq": pa.array(
-                    np.bincount(codes, weights=qty, minlength=ng).astype(np.int64),
-                    pa.int64(),
-                ),
-                "pb": pa.array(
-                    np.bincount(codes, weights=cents, minlength=ng).astype(np.int64),
-                    pa.int64(),
-                ),
-                "pd": pa.array(
-                    np.bincount(codes, weights=disc_num, minlength=ng).astype(np.int64),
-                    pa.int64(),
-                ),
-                "pc_": pa.array(
-                    np.bincount(codes, weights=charge_num, minlength=ng).astype(
-                        np.int64
-                    ),
-                    pa.int64(),
-                ),
+                "pq": gsum(qty),
+                "pb": gsum(cents),
+                "pd": gsum(disc_num),
+                "pc_": gsum(charge_num),
                 "pn": pa.array(np.bincount(codes, minlength=ng), pa.int64()),
             }
         )
@@ -284,7 +284,11 @@ def pricing_summary_ds(
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # 6-row result: sort so output order is deterministic (Ray's groupby
+    # emits group rows in nondeterministic order across runs).
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
 
 
 def broadcast_semi_anti_join(
@@ -371,7 +375,10 @@ def revenue_rollup_ds(sf_dir: str) -> rd.Dataset:
         key = si * np_ + pi
         uniq, inv = np.unique(key, return_inverse=True)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        c = np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)
+        # int64 scatter-sum, not float-weighted bincount: float64 partials
+        # lose exactness past 2^53 on large batches.
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, inv, cents)
         return pa.table(
             {
                 "c_mktsegment": se.dictionary.take(pa.array(uniq // np_, pa.int64())),
@@ -442,6 +449,8 @@ def revenue_rollup_ds(sf_dir: str) -> rd.Dataset:
         .union(lvl1.map_batches(lambda b: b.select(["c_mktsegment", "o_orderpriority", "cents", "n_orders"]), batch_format="pyarrow"))
         .union(lvl0.map_batches(lambda b: b.select(["c_mktsegment", "o_orderpriority", "cents", "n_orders"]), batch_format="pyarrow"))
         .map_batches(finish, batch_format="pyarrow")
+        # handful of rollup rows: deterministic output order
+        .sort(["c_mktsegment", "o_orderpriority"])
     )
 
 
@@ -470,6 +479,7 @@ def group_median_ds(
         events.select_columns([key_col, val_col])
         .groupby(key_col)
         .map_groups(med, batch_format="pyarrow")
+        .sort(key_col)  # one row per group: deterministic output order
     )
 
 
@@ -542,7 +552,10 @@ def skew_hash_join(
         ks = ray.get(hot_ref)
         sub = batch.filter(pc.is_in(batch.column(on), value_set=ks))
         return sub.join(
-            ray.get(hot_build_ref), keys=[on], right_keys=[build_on]
+            ray.get(hot_build_ref),
+            keys=[on],
+            right_keys=[build_on],
+            join_type="inner",
         ).select(out_names)
 
     def cold_filter(key_col):

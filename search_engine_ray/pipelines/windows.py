@@ -336,7 +336,14 @@ def json_field_stats_ds(events: rd.Dataset, field: str = "k") -> rd.Dataset:
     so the correctness gate cross-checks the regex against it. Combiner
     pattern: each batch ships one row per event_type; rows lacking the
     field are counted but excluded from sum/min/max (matching SQL NULL
-    aggregate semantics)."""
+    aggregate semantics).
+
+    CONTRACT: flat (non-nested) JSON only. The regex matches ``"field":<int>``
+    anywhere in the string, so a key nested inside a sub-object or embedded
+    in a string VALUE would also match, where json_extract('$.field') would
+    not. For nested/adversarial inputs, swap the extractor for a real JSON
+    parse in an actor-pool stage; this corpus's props are flat key:int
+    objects, cross-checked against the DuckDB oracle."""
     import re as _re
 
     pat = rf'"{_re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
@@ -360,9 +367,8 @@ def json_field_stats_ds(events: rd.Dataset, field: str = "k") -> rd.Dataset:
                 np.int64,
             )
         n = np.bincount(codes, minlength=ng).astype(np.int64)
-        sums = np.bincount(
-            codes, weights=np.where(valid, vals, 0).astype(np.float64), minlength=ng
-        ).astype(np.int64)
+        sums = np.zeros(ng, np.int64)  # int64 scatter-sum: exact past 2^53
+        np.add.at(sums, codes[valid], vals[valid])
         mins = np.full(ng, np.iinfo(np.int64).max, dtype=np.int64)
         maxs = np.full(ng, np.iinfo(np.int64).min, dtype=np.int64)
         np.minimum.at(mins, codes[valid], vals[valid])
@@ -404,7 +410,8 @@ def json_field_stats_ds(events: rd.Dataset, field: str = "k") -> rd.Dataset:
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # one row per event_type: deterministic output order
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
 
 
 def hopping_window_ds(

@@ -260,3 +260,57 @@ def test_skew_join_matches_native_on_zipf_keys(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_skew_join_drops_unmatched_hot_keys(ray_session):
+    """A HOT probe key absent from the build side must be dropped (inner-join
+    semantics), not emitted with null payload — the hot path's pa.Table.join
+    defaults to left-outer without an explicit join_type."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import (
+        shuffle_hash_join,
+        skew_hash_join,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = np.minimum(rng.zipf(1.5, size=5000) - 1, 30).astype(np.int64)
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "pv": pa.array(np.arange(5000), pa.int64()),
+            }
+        )
+    ).repartition(6)
+    # key 0 is the hottest zipf key (count >> 200) and is MISSING here
+    build = rd.from_arrow(
+        pa.table(
+            {
+                "bk": pa.array(np.arange(1, 31), pa.int64()),
+                "label": pa.array([f"n{i}" for i in range(1, 31)], pa.string()),
+            }
+        )
+    )
+    assert int((keys == 0).sum()) >= 200  # 0 really is hot
+    got = (
+        skew_hash_join(
+            probe, build, on="k", build_on="bk",
+            payload_cols=["label"], hot_threshold=200,
+        )
+        .to_pandas()
+        .sort_values(["k", "pv"])[["k", "pv", "label"]]
+        .reset_index(drop=True)
+    )
+    assert not (got["k"] == 0).any()
+    assert got["label"].notna().all()
+    want = (
+        shuffle_hash_join(probe, build, on="k", right_on="bk")
+        .to_pandas()
+        .sort_values(["k", "pv"])[["k", "pv", "label"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
