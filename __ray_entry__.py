@@ -1402,11 +1402,11 @@ SELECT l_returnflag, l_linestatus,
          AS sum_base_price,
        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-             / 1000000.0, 2) AS sum_disc_price,
+             / 10000.0, 2) AS sum_disc_price,
        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
                  * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-             / 100000000.0, 2) AS sum_charge,
+             / 1000000.0, 2) AS sum_charge,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'

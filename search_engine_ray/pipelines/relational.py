@@ -271,12 +271,14 @@ def pricing_summary_ds(
                 "sum_base_price": pc.round(
                     pc.divide(batch.column("b_cents").cast(pa.float64()), 100.0), 2
                 ),
+                # d_num = cents * (100 - d100) has scale 100 (price) * 100
+                # (discount bp) = 1e4; c_num adds another *100 → 1e6
                 "sum_disc_price": pc.round(
-                    pc.divide(batch.column("d_num").cast(pa.float64()), 1_000_000.0), 2
+                    pc.divide(batch.column("d_num").cast(pa.float64()), 10_000.0), 2
                 ),
                 "sum_charge": pc.round(
                     pc.divide(
-                        batch.column("c_num").cast(pa.float64()), 100_000_000.0
+                        batch.column("c_num").cast(pa.float64()), 1_000_000.0
                     ),
                     2,
                 ),

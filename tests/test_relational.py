@@ -113,11 +113,11 @@ def test_pricing_summary_matches_sql(ray_session):
                  AS sum_base_price,
                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                     / 1000000.0, 2) AS sum_disc_price,
+                     / 10000.0, 2) AS sum_disc_price,
                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
                          * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-                     / 100000000.0, 2) AS sum_charge,
+                     / 1000000.0, 2) AS sum_charge,
                count(*)::BIGINT AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
         GROUP BY 1, 2 ORDER BY 1, 2
@@ -131,6 +131,18 @@ def test_pricing_summary_matches_sql(ray_session):
     )
     for col in want.columns:
         assert got[col].tolist() == want[col].tolist(), col
+    # sanity vs the PLAIN-float TPC-H Q1 formula (catches divisor-scale bugs
+    # that a matching integer-cent mirror would hide)
+    plain = con.sql(
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS d,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS c
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY 1
+        """
+    ).df()
+    assert abs(sorted(got["sum_disc_price"])[0] - plain["d"].iloc[0]) < 1.0
+    assert abs(sorted(got["sum_charge"])[0] - sorted(plain["c"])[0]) < 1.0
 
 
 def test_semi_anti_join_strategies_agree(ray_session):
