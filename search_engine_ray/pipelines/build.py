@@ -40,6 +40,7 @@ Design notes for cluster scale:
 from __future__ import annotations
 
 import os
+import posixpath
 import shutil
 import time
 from dataclasses import dataclass
@@ -142,16 +143,18 @@ def _dedup_duplicate_urls(
     demo's skip with a deterministic winner.
 
     Cost model: the corpus-sized pass ships only per-batch (url_hash,
-    count) partials (~16 bytes per distinct url per batch) through the
-    barrier-free disk shuffle; candidate duplicate HASHES come out of
-    per-bucket merges, and only the colliding rows' narrow columns reach
-    the driver to resolve exact winners (hash false positives drop out
-    there). The winner map — size ∝ duplicated urls — is broadcast
-    (ray.put) to a vectorized filter. A corpus with no duplicate urls pays
-    only the hash-count pass. A crawl where duplicates are a large
-    fraction of the corpus should use a full groupby("url") keep-first
-    instead (the winner map would no longer be the small side); that
-    variant is pipelines/dedup.exact_dedup's shape.
+    count) partials (~16 bytes per distinct url per batch); candidate
+    duplicate HASHES come out of a tree-reduce (or the disk bucket shuffle
+    past 64M distinct urls). Winner resolution is FULLY DISTRIBUTED: a
+    second narrow pass emits per-batch lexicographic-min (h1, h2, keys)
+    partials for candidate rows only, tree-reduced to one winner row per
+    duplicated url — no row data ever reaches the driver. Urls are keyed
+    by the 128-bit (h1, h2) double hash (collision odds ~n²/2^129;
+    single-hash false positives drop out because their (h1,h2) group count
+    is 1). The winner table — a few aligned int64 numpy arrays, ~8(2+k)
+    bytes per duplicated url — is broadcast (ray.put) to a vectorized
+    searchsorted-compare filter. A corpus with no duplicate urls pays only
+    the hash-count pass.
 
     Returns (filtered_pages, n_skipped_duplicate_rows)."""
     from search_engine_ray.stages.postings import _hash_utf8_array
@@ -240,24 +243,26 @@ def _dedup_duplicate_urls(
     else:
         # crawl scale: the distinct-hash table no longer fits one task —
         # fall back to the disk bucket shuffle + per-bucket dup scan.
-        shuffle_dir = os.path.join(
+        # Scratch must be node-shared (emit and scan tasks land anywhere):
+        # SE_RAY_SHUFFLE_BASE may be a path or URI, routed through fsio.
+        shuffle_dir = fsio.join(
             os.environ.get("SE_RAY_SHUFFLE_BASE") or "/tmp/se_ray_url_dedup",
             f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
         )
-        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        fsio.rmtree(shuffle_dir)
         rd.from_arrow_refs(refs).write_parquet(
             shuffle_dir, partition_cols=["bucket"]
         )
         bucket_dirs = sorted(
-            os.path.join(shuffle_dir, d)
-            for d in os.listdir(shuffle_dir)
+            fsio.join(shuffle_dir, d)
+            for d in fsio.listdir(shuffle_dir)
             if d.startswith("bucket=")
         )
 
         def find_dup_hashes(batch: pa.Table) -> pa.Table:
             out = []
             for d in batch.column("dir").to_pylist():
-                tbl = pq.read_table(parquet_files(d), columns=["h", "cnt"])
+                tbl = fsio.read_parquet_table(parquet_files(d), columns=["h", "cnt"])
                 h = tbl.column("h").to_numpy(zero_copy_only=False)
                 if not len(h):
                     continue
@@ -283,7 +288,7 @@ def _dedup_duplicate_urls(
             if bucket_dirs
             else []
         )
-        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        fsio.rmtree(shuffle_dir)
         cand = np.sort(
             np.array([r["h"] for r in dup_hash_rows], dtype=np.uint64)
         )
@@ -291,40 +296,120 @@ def _dedup_duplicate_urls(
         return pages, 0
     cand_ref = ray.put(cand)
 
-    def flag_dups(batch: pa.Table) -> pa.Table:
+    # --- distributed winner resolution: one more narrow pass over the
+    # candidate rows only, emitting per-batch lexicographic-min partials
+    # keyed by the 128-bit (h1, h2) url hash; tree-reduced in the object
+    # store. No row data touches the driver.
+    def _second_hashes(arr: pa.Array) -> np.ndarray:
+        return _hash_utf8_array(arr, poly=_URL_H2_POLY, add=131)
+
+    kn = [f"k{i}" for i in range(len(key_cols))]
+    empty_winners = pa.table(
+        {
+            "h1": pa.array([], pa.uint64()),
+            "h2": pa.array([], pa.uint64()),
+            "cnt": pa.array([], pa.int64()),
+            **{n: pa.array([], pa.int64()) for n in kn},
+        }
+    )
+
+    def partial_winners(batch: pa.Table) -> pa.Table:
         c = ray.get(cand_ref)
         h = _url_hashes(batch)
         pos = np.minimum(np.searchsorted(c, h), len(c) - 1)
-        return batch.filter(pa.array(c[pos] == h))
+        m = c[pos] == h
+        if not m.any():
+            return empty_winners
+        sub = batch.filter(pa.array(m))
+        urls = sub.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        keys = [
+            sub.column(kc).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            for kc in key_cols
+        ]
+        h1, h2, cnt, ks = _winner_reduce(
+            h[m],
+            _second_hashes(urls),
+            np.ones(int(m.sum()), np.int64),
+            keys,
+        )
+        return pa.table(
+            {
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                **{n: pa.array(k, pa.int64()) for n, k in zip(kn, ks)},
+            }
+        )
 
-    flagged = (
+    partials = (
         _narrow_view(pages, ["url", *key_cols])
-        .map_batches(flag_dups, batch_format="pyarrow")
-        .take_all()
+        .map_batches(partial_winners, batch_format="pyarrow")
+        .materialize()
     )
-    by_url: dict[str, list[tuple]] = {}
-    for r in flagged:
-        by_url.setdefault(r["url"], []).append(tuple(r[c] for c in key_cols))
-    winners: dict[str, tuple] = {
-        u: min(keys) for u, keys in by_url.items() if len(keys) > 1
-    }
-    if not winners:
+    wrefs = partials.to_arrow_refs()
+    wsizes = ray.get([_block_rows_build.remote(r) for r in wrefs])
+    live = [r for r, n in zip(wrefs, wsizes) if n]
+    while len(live) > 1:
+        nxt = []
+        for i in range(0, len(live) - 1, 2):
+            nxt.append(_merge_winner_tables.remote(live[i], live[i + 1]))
+        if len(live) % 2:
+            nxt.append(live[-1])
+        live = nxt
+    win = ray.get(live[0]) if live else empty_winners
+    cnt = win.column("cnt").to_numpy(zero_copy_only=False)
+    dup = cnt > 1  # (h1,h2) groups with one row were h1-only false positives
+    if not dup.any():
         return pages, 0
-    n_skipped = sum(len(by_url[u]) - 1 for u in winners)
-    winners_ref = ray.put(winners)
+    n_skipped = int((cnt[dup] - 1).sum())
+    w_h1 = win.column("h1").to_numpy(zero_copy_only=False)[dup]
+    w_h2 = win.column("h2").to_numpy(zero_copy_only=False)[dup]
+    w_keys = [
+        win.column(n).to_numpy(zero_copy_only=False)[dup] for n in kn
+    ]
+    winners_ref = ray.put((w_h1, w_h2, w_keys))
 
     def keep_winner(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(winners_ref)
-        urls = batch.column("url")
-        mask = pc.is_in(urls, value_set=pa.array(list(wmap.keys())))
-        if not pc.any(mask).as_py():
+        W1, W2, WK = ray.get(winners_ref)
+        h1 = _url_hashes(batch)
+        left = np.searchsorted(W1, h1, side="left")
+        right = np.searchsorted(W1, h1, side="right")
+        found = right > left
+        if not found.any():
             return batch
+        idxf = np.flatnonzero(found)
+        urls = batch.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        h2 = _second_hashes(urls.take(pa.array(idxf, pa.int64())))
+        l, r = left[idxf], right[idxf]
+        match = np.full(len(idxf), -1, np.int64)
+        uniq = (r - l) == 1  # W1 is unique except under true h1 collisions
+        ui = np.flatnonzero(uniq)
+        ci = l[ui]
+        ok = W2[ci] == h2[ui]
+        match[ui[ok]] = ci[ok]
+        for j in np.flatnonzero(~uniq):  # rare: h1 collision inside W
+            span = np.flatnonzero(W2[l[j] : r[j]] == h2[j])
+            if len(span):
+                match[j] = l[j] + int(span[0])
+        has = match >= 0
+        if not has.any():
+            return batch
+        rows = idxf[has]
+        wi = match[has]
+        surv = np.ones(len(rows), dtype=bool)
+        take = pa.array(rows, pa.int64())
+        for kc, wk in zip(key_cols, WK):
+            col = batch.column(kc)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = col.take(take).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            surv &= v == wk[wi]
         keep = np.ones(batch.num_rows, dtype=bool)
-        flagged_idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-        key_vals = [batch.column(c).to_pylist() for c in key_cols]
-        for i in flagged_idx:
-            key = tuple(col[i] for col in key_vals)
-            keep[i] = key == wmap[urls[i].as_py()]
+        keep[rows] = surv
         return batch.filter(pa.array(keep))
 
     return pages.map_batches(keep_winner, batch_format="pyarrow"), n_skipped
@@ -371,6 +456,53 @@ def _compat_replay_mapping(pages: rd.Dataset) -> dict[str, int]:
 @ray.remote
 def _block_rows_build(t: pa.Table) -> int:
     return t.num_rows
+
+
+# second, independent polynomial for the url-dedup (h1, h2) 128-bit key
+_URL_H2_POLY = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _winner_reduce(
+    h1: np.ndarray, h2: np.ndarray, cnt: np.ndarray, keys: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Group rows by (h1, h2); per group keep the LEXICOGRAPHIC-MIN key
+    tuple and the summed count. Pure numpy (lexsort + reduceat) — the one
+    combiner both the per-batch partials and the tree-reduce merge use, so
+    associativity is by construction. Output sorted by (h1, h2)."""
+    order = np.lexsort(tuple(reversed([h1, h2, *keys])))
+    h1, h2, cnt = h1[order], h2[order], cnt[order]
+    keys = [k[order] for k in keys]
+    new = np.empty(len(h1), dtype=bool)
+    new[0] = True
+    new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    starts = np.flatnonzero(new)
+    return (
+        h1[starts],
+        h2[starts],
+        np.add.reduceat(cnt, starts),
+        [k[starts] for k in keys],
+    )
+
+
+@ray.remote
+def _merge_winner_tables(a: pa.Table, b: pa.Table) -> pa.Table:
+    """Tree-reduce step for url-dedup winner partials."""
+    t = pa.concat_tables([a, b])
+    kn = [n for n in t.column_names if n.startswith("k")]
+    h1, h2, cnt, ks = _winner_reduce(
+        t.column("h1").to_numpy(zero_copy_only=False),
+        t.column("h2").to_numpy(zero_copy_only=False),
+        t.column("cnt").to_numpy(zero_copy_only=False),
+        [t.column(n).to_numpy(zero_copy_only=False) for n in kn],
+    )
+    return pa.table(
+        {
+            "h1": pa.array(h1, pa.uint64()),
+            "h2": pa.array(h2, pa.uint64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            **{n: pa.array(k, pa.int64()) for n, k in zip(kn, ks)},
+        }
+    )
 
 
 @ray.remote
@@ -487,14 +619,21 @@ def _resolve_heavy_cpus() -> float:
 
 
 def _shuffle_dir_for(out_dir: str) -> str:
-    """Node-local scratch for the disk shuffle — never part of the durable
-    index (a remote URI out_dir cannot host it anyway)."""
+    """Scratch directory for the disk map-side shuffle.
+
+    MUST be visible to every node: emit tasks write bucket files and merge
+    tasks (scheduled anywhere) read them back. Default is ``out_dir/shuffle``
+    — the same (shared) storage the durable index lands on, local path or
+    pyarrow.fs URI alike. ``SE_RAY_SHUFFLE_BASE`` overrides it (e.g. a
+    faster shared scratch tier, or plain /tmp when the whole job is one
+    node); it may itself be a URI. All access below goes through
+    ``state.fsio``, never node-local ``os`` calls."""
     base = os.environ.get("SE_RAY_SHUFFLE_BASE")
-    if base is None and "://" in out_dir:
-        base = "/tmp/se_ray_shuffle"
     if base is None:
-        return os.path.join(out_dir, "shuffle")
-    return os.path.join(base, os.path.basename(out_dir.rstrip("/")) + "_shuffle")
+        return fsio.join(out_dir, "shuffle")
+    return fsio.join(
+        base, posixpath.basename(out_dir.rstrip("/")) + "_shuffle"
+    )
 
 
 def _shuffle_write(
@@ -504,16 +643,16 @@ def _shuffle_write(
     This is the stage barrier — side-effect accumulators (doc stats, skip
     counters) are final once it returns."""
     shuffle_dir = _shuffle_dir_for(out_dir)
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    fsio.rmtree(shuffle_dir)
     t_pipe = time.perf_counter()
     postings.write_parquet(shuffle_dir, partition_cols=["bucket"])
     timings["shuffle_write"] = time.perf_counter() - t_pipe
     # an all-empty postings stream writes nothing at all
-    if not os.path.isdir(shuffle_dir):
+    if not fsio.isdir(shuffle_dir):
         return shuffle_dir, []
     bucket_dirs = sorted(
-        os.path.join(shuffle_dir, d)
-        for d in os.listdir(shuffle_dir)
+        fsio.join(shuffle_dir, d)
+        for d in fsio.listdir(shuffle_dir)
         if d.startswith("bucket=")
     )
     return shuffle_dir, bucket_dirs
@@ -544,11 +683,9 @@ def _merge_buckets(
     heavy_cpus: float,
     timings: dict[str, float],
 ) -> None:
-    from search_engine_ray.state import fsio
-
-    seg_dir = os.path.join(out_dir, "segments")
+    seg_dir = fsio.join(out_dir, "segments")
     t_pipe = time.perf_counter()
-    term_dict_dir = os.path.join(out_dir, "term_dict")
+    term_dict_dir = fsio.join(out_dir, "term_dict")
     fsio.rmtree(term_dict_dir)
     if bucket_dirs:
         merge_fn = make_bucket_merge_encode(stats, config)
@@ -560,18 +697,21 @@ def _merge_buckets(
             a SIDE OUTPUT of the merge tasks (sharded via the normal
             write_parquet that follows), never a driver-side scan of
             the finished segments."""
+            from search_engine_ray.state import fsio as _fsio
             from search_engine_ray.util import limit_arrow_threads
 
             limit_arrow_threads()
             out_tables = []
             for d in batch.column("dir").to_pylist():
-                tbl = pq.read_table(parquet_files(d))
+                # bucket dirs may live on shared storage (URI) — the merge
+                # task can run on ANY node, so reads route through fsio
+                tbl = _fsio.read_parquet_table(parquet_files(d))
                 if not tbl.num_rows:
                     continue
                 merged = merge_fn(tbl)
-                bucket_name = os.path.basename(d.rstrip("/"))  # bucket=N
+                bucket_name = posixpath.basename(d.rstrip("/"))  # bucket=N
                 fname = f"segment-{bucket_name.split('=')[1].zfill(6)}.parquet"
-                pq.write_table(merged, os.path.join(seg_dir, fname))
+                _fsio.write_parquet_table(merged, _fsio.join(seg_dir, fname))
                 out_tables.append(
                     pa.table(
                         {
@@ -597,11 +737,11 @@ def _merge_buckets(
         ).write_parquet(term_dict_dir)
     else:
         fsio.makedirs(seg_dir)
-        pq.write_table(
+        fsio.write_parquet_table(
             pa.Table.from_batches([], schema=SEGMENT_SCHEMA),
-            os.path.join(seg_dir, "empty.parquet"),
+            fsio.join(seg_dir, "empty.parquet"),
         )
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    fsio.rmtree(shuffle_dir)
     timings["merge_encode"] = time.perf_counter() - t_pipe
 
 
@@ -753,9 +893,10 @@ def _build_index_fused(
     ds = ds.map_batches(_assign_doc_ids_rank, batch_format="pyarrow")
 
     shuffle_dir = _shuffle_dir_for(out_dir)
-    shutil.rmtree(shuffle_dir, ignore_errors=True)
+    fsio.rmtree(shuffle_dir)
 
     def fused_tail(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.state import fsio as _fsio
         from search_engine_ray.util import limit_arrow_threads
 
         limit_arrow_threads()
@@ -768,13 +909,17 @@ def _build_index_fused(
         # partial output instead of duplicating postings under a fresh
         # uuid — the map-side shuffle write is idempotent.
         stem = f"b{pc.min(doc_tbl.column('doc_id')).as_py():014d}"
-        pq.write_table(doc_tbl, os.path.join(docs_dir, f"part-{stem}.parquet"))
+        _fsio.write_parquet_table(
+            doc_tbl, _fsio.join(docs_dir, f"part-{stem}.parquet")
+        )
         dl_sum = pc.sum(doc_tbl.column("dl")).as_py() or 0
         ray.get(stats_acc.add.remote(doc_tbl.num_rows, int(dl_sum)))
         # map-side bucket-partitioned shuffle write INSIDE the emit task:
         # postings never enter the object store and Ray's separate Write
         # operator (a second scheduling wave over every block) disappears
-        # (2M docs @ 32 CPUs: 21.3s -> 6.8s stream wall)
+        # (2M docs @ 32 CPUs: 21.3s -> 6.8s stream wall). Writes route
+        # through fsio — the shuffle dir is node-shared storage so merge
+        # tasks on OTHER nodes can read these bucket files.
         out = emit_postings_batch(batch, emit_config, hot_terms)
         bk = out.column("bucket").to_numpy(zero_copy_only=False)
         order = np.argsort(bk, kind="stable")
@@ -783,11 +928,11 @@ def _build_index_fused(
         starts = np.flatnonzero(np.concatenate(([True], bks[1:] != bks[:-1])))
         ends = np.append(starts[1:], len(bks))
         for st, en in zip(starts, ends):
-            bdir = os.path.join(shuffle_dir, f"bucket={bks[st]}")
-            os.makedirs(bdir, exist_ok=True)
-            pq.write_table(
+            bdir = _fsio.join(shuffle_dir, f"bucket={bks[st]}")
+            _fsio.makedirs(bdir)
+            _fsio.write_parquet_table(
                 srt.slice(st, en - st).drop_columns(["bucket"]),
-                os.path.join(bdir, f"{stem}.parquet"),
+                _fsio.join(bdir, f"{stem}.parquet"),
             )
         return pa.table({"n": pa.array([out.num_rows], pa.int64())})
 
@@ -802,11 +947,11 @@ def _build_index_fused(
     timings["shuffle_write"] = time.perf_counter() - t_pipe
     bucket_dirs = (
         sorted(
-            os.path.join(shuffle_dir, d)
-            for d in os.listdir(shuffle_dir)
+            fsio.join(shuffle_dir, d)
+            for d in fsio.listdir(shuffle_dir)
             if d.startswith("bucket=")
         )
-        if os.path.isdir(shuffle_dir)
+        if fsio.isdir(shuffle_dir)
         else []
     )
     n_docs, sum_dl = ray.get(stats_acc.get.remote())

@@ -178,13 +178,20 @@ def emit_postings_batch(
 _POLY = np.uint64(1099511628211)  # FNV prime; uint64 wraparound is the modulus
 
 
-def _hash_utf8_array(arr: pa.Array) -> np.ndarray:
+def _hash_utf8_array(
+    arr: pa.Array,
+    poly: np.uint64 = None,
+    add: int = 31,
+) -> np.ndarray:
     """Deterministic per-string uint64 polynomial hash, fully vectorized.
 
-    h(s) = sum((byte_i + 31) * P^(len-1-i)) mod 2^64 over the Arrow utf8
-    data buffer — no Python-per-string work. Stability is only needed
+    h(s) = sum((byte_i + add) * poly^(len-1-i)) mod 2^64 over the Arrow
+    utf8 data buffer — no Python-per-string work. Stability is only needed
     within one build (bucket routing), but the function is deterministic
-    across processes and runs."""
+    across processes and runs. Pass a different (poly, add) for an
+    INDEPENDENT second hash (url dedup uses (h1, h2) as a 128-bit key)."""
+    if poly is None:
+        poly = _POLY
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -205,9 +212,9 @@ def _hash_utf8_array(arr: pa.Array) -> np.ndarray:
     max_len = int(lens.max())
     pows = np.ones(max_len, dtype=np.uint64)
     if max_len > 1:
-        pows[1:] = _POLY
+        pows[1:] = poly
         np.multiply.accumulate(pows, out=pows)
-    contrib = (data.astype(np.uint64) + np.uint64(31)) * pows[exp]
+    contrib = (data.astype(np.uint64) + np.uint64(add)) * pows[exp]
     h = np.zeros(n, dtype=np.uint64)
     np.add.at(h, parent, contrib)
     return h

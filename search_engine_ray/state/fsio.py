@@ -9,8 +9,11 @@ filesystem themselves; only metadata operations (list, exists, mkdir,
 delete, rename, open) are routed through the resolved
 ``pyarrow.fs.FileSystem``.
 
-The SHUFFLE scratch directory is deliberately NOT routed: it is node-local
-spill space (``SE_RAY_SHUFFLE_BASE``), never part of the durable index.
+The SHUFFLE scratch directory is ALSO routed through these helpers: emit
+tasks and merge tasks land on different nodes of a real cluster, so the
+bucket files must live on storage every node can reach (default:
+``out_dir/shuffle`` on the same backend as the index;
+``SE_RAY_SHUFFLE_BASE`` — path or URI — overrides).
 
 Reference parity: the reference's ``Storage`` interface
 (@types/index.d.ts:1-16) is the pluggable-persistence seam; here the seam
@@ -124,6 +127,23 @@ def read_parquet_table(paths, **kwargs):
     if f is None:
         return pq.read_table(paths, **kwargs)
     return pq.read_table(p if isinstance(paths, list) else p[0], filesystem=f, **kwargs)
+
+
+def write_parquet_table(table, path: str, **kwargs) -> None:
+    """pq.write_table to a local path or URI (explicit stream for URIs so
+    every backend a FileSystem can reach works, not just the ones
+    pq.write_table resolves itself)."""
+    import pyarrow.parquet as pq
+
+    if "://" not in path:
+        pq.write_table(table, path, **kwargs)
+        return
+    f, p = _split(path)
+    parent = posixpath.dirname(p)
+    if parent:
+        f.create_dir(parent, recursive=True)
+    with f.open_output_stream(p) as w:
+        pq.write_table(table, w, **kwargs)
 
 
 def parquet_metadata(path: str):

@@ -101,3 +101,41 @@ def test_fused_build_on_file_uri(ray_session, tmp_path):
     assert hits and all(h.score > 0 for h in hits)
     reader = SegmentReader(out)
     assert reader.manifest["n_docs"] == 60
+
+
+def test_build_with_uri_shuffle_base(ray_session, tmp_path, monkeypatch):
+    """SE_RAY_SHUFFLE_BASE as a file:// URI: emit tasks write bucket files
+    through fsio and merge tasks read them back through fsio — the
+    multi-node contract (shared-storage shuffle scratch), driven on the
+    mocked remote backend pyarrow.fs gives us in-sandbox."""
+    config = EngineConfig()
+    table = synth_zipf_table(80, n_tokens=20, vocab=150)
+    base = f"file://{tmp_path}/shared_scratch"
+    monkeypatch.setenv("SE_RAY_SHUFFLE_BASE", base)
+    for fuse in (False, True):
+        out = str(tmp_path / f"idx_fuse{fuse}")
+        res = build_index(
+            rd.from_arrow(table), out, config,
+            doc_id_mode="rank", resume=False, fuse=fuse,
+        )
+        assert res.n_docs == 80
+        s = SegmentSearcher(out, config)
+        hits = s.search_bm25("w0 w1", k=10, mode="or")
+        assert hits and all(h.score > 0 for h in hits)
+        # scratch cleaned up after the merge
+        assert fsio.listdir(base) in ([], [f"idx_fuse{fuse}_shuffle"])
+        assert not fsio.exists(fsio.join(base, f"idx_fuse{fuse}_shuffle"))
+
+
+def test_no_node_local_fs_calls_on_shuffle_paths():
+    """The multi-node guard VERDICT r2 asked for: the build pipeline may
+    not touch shuffle/bucket paths with node-local os/shutil calls — every
+    shuffle dir op must route through state.fsio (os.listdir on a shuffle
+    dir silently sees partial data when emit and merge land on different
+    nodes)."""
+    import pathlib
+
+    src = pathlib.Path("search_engine_ray/pipelines/build.py").read_text()
+    assert "os.listdir" not in src
+    assert "os.path.isdir" not in src
+    assert "shutil.rmtree" not in src
