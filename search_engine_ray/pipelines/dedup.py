@@ -630,8 +630,10 @@ def simhash_neardup_pairs_ds(docs: rd.Dataset, max_hamming: int = 3) -> rd.Datas
 
 
 def _norm_block(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    from search_engine_ray.util import embedding_matrix
+
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat = embedding_matrix(tbl.column("embedding"))
     if mat.size:
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     return ids, mat
@@ -694,8 +696,10 @@ class _HyperplaneBuckets:
         self.pow2 = (1 << np.arange(n_bits)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from search_engine_ray.util import embedding_matrix
+
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = embedding_matrix(batch.column("embedding"))
         n_tables = self.planes.shape[0]
         n = len(ids)
         t_out = np.repeat(np.arange(n_tables, dtype=np.int64), n)
@@ -750,10 +754,9 @@ def embedding_neardup_lsh_pairs_ds(
         uniq[1:] = ids[order][1:] != ids[order][:-1]
         sel = order[uniq]
         ids = ids[sel]
-        mat = np.array(
-            group.column("embedding").take(pa.array(sel)).to_pylist(),
-            dtype=np.float64,
-        )
+        from search_engine_ray.util import embedding_matrix
+
+        mat = embedding_matrix(group.column("embedding").take(pa.array(sel)))
         if len(ids) < 2:
             return pa.table(
                 {
@@ -901,10 +904,9 @@ def semdedup_ds(
         ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.array(
-            group.column("embedding").take(pa.array(order)).to_pylist(),
-            dtype=np.float64,
-        )
+        from search_engine_ray.util import embedding_matrix
+
+        m = embedding_matrix(group.column("embedding").take(pa.array(order)))
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ m.T
         # drop i iff any j < i (by vec_id) has cos >= threshold

@@ -25,9 +25,10 @@ def read_embeddings(sf_dir: str) -> rd.Dataset:
 
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    from search_engine_ray.util import embedding_matrix
+
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-    m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, m
+    return ids, embedding_matrix(batch.column("embedding"))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

