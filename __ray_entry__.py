@@ -630,6 +630,18 @@ def q_clean_corpus(sf_dir: str):
     )
 
 
+def q_crawl_clean(sf_dir: str):
+    """The crawl-preset clean pipeline (Bloom decontamination instead of
+    the broadcast exact shingle set). Zero false negatives and ~0 false
+    positives at this scale, so it shares clean_corpus's exact oracle."""
+    from search_engine_ray.pipelines.crawl import crawl_clean_corpus_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    return crawl_clean_corpus_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text", "lang"])
+    )
+
+
 def q_unigram_lm(sf_dir: str):
     from search_engine_ray.pipelines.text import unigram_lm_ds
 
@@ -782,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": q_spell_suggest,
         "autocomplete": q_autocomplete,
         "clean_corpus": q_clean_corpus,
+        "crawl_clean": q_crawl_clean,
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
         "quantile_bucket": q_quantile_bucket,
@@ -1173,6 +1186,9 @@ FROM pass GROUP BY md5(text)
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         "repetition": repetition,
         "clean_corpus": clean_corpus,
+        # Bloom decontamination: zero false negatives, FP ~1e-12 at this
+        # eval-set size — deterministically equal to the exact recipe here
+        "crawl_clean": clean_corpus,
         "dup_ngram_stats": f"""
 WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id,

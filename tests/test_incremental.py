@@ -266,3 +266,75 @@ def test_compaction_mixed_salt_configs(ray_session, tmp_path):
     post = SegmentSearcher(out, salted)
     post_res = [(r.doc_id, round(r.score, 9)) for r in post.search_bm25(f"{HOT_TERM} w1", k=10, mode="or")]
     assert post_res == pre_res
+
+
+def test_interleaved_rank_generations_unique_and_compact_equivalent(
+    ray_session, tmp_path
+):
+    """The r2-VERDICT adversarial case: generation ranks that INTERLEAVE
+    (disjoint even/odd — must pass through untouched, no rebase) and a
+    third generation whose ranks COLLIDE outright (must rebase). After all
+    three: doc_ids globally unique, every doc fetchable, and compaction
+    preserves search results exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.build import compact
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+
+    config = EngineConfig()
+
+    def with_ranks(table: pa.Table, ranks: np.ndarray) -> pa.Table:
+        i = table.schema.get_field_index("rank")
+        return table.set_column(i, "rank", pa.array(ranks, pa.int64()))
+
+    base = synth_zipf_table(150, n_tokens=20, vocab=100, seed=3)
+    # distinct urls per generation (url dup-skip must not interfere)
+    def with_urls(table: pa.Table, tag: str) -> pa.Table:
+        i = table.schema.get_field_index("url")
+        urls = [f"https://ex.test/{tag}/{j}" for j in range(table.num_rows)]
+        return table.set_column(i, "url", pa.array(urls, pa.string()))
+
+    g_even = with_urls(with_ranks(base.slice(0, 50), np.arange(0, 100, 2)), "a")
+    g_odd = with_urls(with_ranks(base.slice(50, 50), np.arange(1, 100, 2)), "b")
+    g_coll = with_urls(with_ranks(base.slice(100, 50), np.arange(0, 50)), "c")
+
+    out = str(tmp_path / "interleave")
+    build_index(rd.from_arrow(g_even), out, config, doc_id_mode="rank", resume=False)
+    add_generation(out, rd.from_arrow(g_odd), config, on_duplicate="skip")
+    reader = SegmentReader(out)
+    ids = []
+    for sub in reader._subs:
+        ids.extend(
+            pq.read_table(sub._docs_files, columns=["doc_id"])
+            .column("doc_id").to_pylist()
+        )
+    # interleaved-but-disjoint: NO rebase — original even/odd ids survive
+    assert sorted(ids) == list(range(100))
+
+    add_generation(out, rd.from_arrow(g_coll), config, on_duplicate="skip")
+    reader = SegmentReader(out)
+    ids = []
+    for sub in reader._subs:
+        ids.extend(
+            pq.read_table(sub._docs_files, columns=["doc_id"])
+            .column("doc_id").to_pylist()
+        )
+    assert len(ids) == 150
+    assert len(set(ids)) == 150, "colliding generation must rebase"
+    assert reader.fetch_docs(ids) and len(reader.fetch_docs(ids)) == 150
+
+    s_pre = SegmentSearcher(out, config)
+    pre = [
+        (r.doc_id, round(r.score, 9))
+        for r in s_pre.search_bm25("w0 w1 w2", k=30, mode="or")
+    ]
+    res = compact(out, config)
+    assert res.n_docs == 150
+    s_post = SegmentSearcher(out, config)
+    post = [
+        (r.doc_id, round(r.score, 9))
+        for r in s_post.search_bm25("w0 w1 w2", k=30, mode="or")
+    ]
+    assert pre == post
