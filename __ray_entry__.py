@@ -517,6 +517,69 @@ def q_ann_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_winnow_md5(sf_dir: str):
+    """Winnowing with md5-hex k-gram hashes — the window-min semantics
+    pinned against an exact SQL oracle (the crc32 variant stays the scale
+    path; its hash has no SQL mirror)."""
+    from search_engine_ray.pipelines.text import read_documents, winnow_md5_fp_ds
+
+    return winnow_md5_fp_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text"]), k=3, w=4
+    )
+
+
+def _ann_recall_rows(sf_dir: str, variant: str, bound: float):
+    """(query_id, recall_ok) for 3 query vectors: recall@10 of the
+    approximate index vs the exact brute-force top-10. The approximate
+    methods are seeded/deterministic, so the bound outcome is a stable,
+    driver-checkable assertion (VALUES oracle)."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        brute_force_cosine_topk_ds,
+        ivf_cosine_topk_ds,
+        lsh_cosine_topk_ds,
+        read_embeddings,
+    )
+
+    sf_dir = sf_dir.rstrip("/")
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    qm = np.array(
+        [emb.column("embedding")[i].as_py() for i in range(3)], dtype=np.float64
+    )
+    qids = [0, 1, 2]
+    exact = brute_force_cosine_topk_ds(
+        read_embeddings(sf_dir), qm, qids, k=10
+    ).to_pandas()
+    # params sized for these near-random synthetic embeddings (the hardest
+    # ANN case): measured recalls at sf0.001/sf0.01 leave >=0.1 margin
+    # over the pinned bounds
+    if variant == "lsh":
+        approx = lsh_cosine_topk_ds(
+            read_embeddings(sf_dir), qm, qids, k=10, n_planes=6, probe_bits=3
+        ).to_pandas()
+    else:
+        approx = ivf_cosine_topk_ds(
+            read_embeddings(sf_dir), qm, qids, k=10, nprobe=32
+        ).to_pandas()
+    import pandas as pd
+
+    rows = []
+    for qid in qids:
+        ex = set(exact[exact.query_id == qid]["vec_id"])
+        ap = set(approx[approx.query_id == qid]["vec_id"])
+        rows.append((qid, int(len(ex & ap) / max(len(ex), 1) >= bound)))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"]).astype("int64")
+
+
+def q_ann_lsh_recall(sf_dir: str):
+    return _ann_recall_rows(sf_dir, "lsh", bound=0.5)
+
+
+def q_ann_ivf_recall(sf_dir: str):
+    return _ann_recall_rows(sf_dir, "ivf", bound=0.7)
+
+
 def q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -814,6 +877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": q_hll_users,
         "bloom_decontaminate": q_bloom_decontaminate,
         "winnow_fp": q_winnow_fp,
+        "winnow_md5": q_winnow_md5,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1189,6 +1255,31 @@ FROM pass GROUP BY md5(text)
         # Bloom decontamination: zero false negatives, FP ~1e-12 at this
         # eval-set size — deterministically equal to the exact recipe here
         "crawl_clean": clean_corpus,
+        # winnowing's fingerprint SET = distinct union of window minima
+        # (tie-break only affects positions, never values) -> one SQL
+        # window function over md5-hex k-gram hashes
+        "winnow_md5": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 16) AS h
+      FROM t, unnest(range(1, len(ts) - 1)) AS u(i)),
+wm AS (SELECT doc_id, pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       FROM g)
+SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 4
+""",
+        # recall@10-above-bound assertions for the approximate ANN paths:
+        # the Ray side computes recall against the exact brute-force top-k
+        # (both deterministic/seeded); the oracle pins the bound outcome
+        "ann_lsh_recall": (
+            "SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT), (1, 1), (2, 1))"
+            " AS t(query_id, recall_ok)"
+        ),
+        "ann_ivf_recall": (
+            "SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT), (1, 1), (2, 1))"
+            " AS t(query_id, recall_ok)"
+        ),
         "dup_ngram_stats": f"""
 WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id,

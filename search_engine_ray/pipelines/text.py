@@ -141,6 +141,85 @@ def winnow_fp_ds(docs: rd.Dataset, k: int = 3, w: int = 4) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def winnow_md5_fp_ds(docs: rd.Dataset, k: int = 3, w: int = 4) -> rd.Dataset:
+    """Winnowing fingerprints over md5-hex k-gram hashes — the
+    ORACLE-CHECKABLE conformance variant of ``winnow_fp_ds``.
+
+    The fingerprint SET of MOSS winnowing is the DISTINCT union of window
+    minima (the rightmost-tie-break only affects which POSITION is
+    recorded, never which VALUE), so the whole scheme is one SQL window
+    function: min(h) OVER (PARTITION BY doc ORDER BY pos ROWS w-1
+    PRECEDING) + DISTINCT. The hash is the first 16 hex chars of
+    md5(k-gram) compared as fixed-width strings (same ordering as the
+    integer value), which DuckDB mirrors exactly. k-gram construction is
+    vectorized Arrow (shifted flat slices + binary_join); the md5 itself
+    is per-string (hashlib) — at crawl scale prefer ``winnow_fp_ds``
+    (vectorized crc32 rolling hashes); this variant exists to pin the
+    window-min semantics against the SQL oracle.
+
+    Output: one row per distinct (doc_id, fp), fp = 16-hex-char string.
+    Docs with fewer than k+w-1 tokens emit nothing (no full window)."""
+    import hashlib as _hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = token_lists(batch.column("text"))
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.string())}
+        )
+        if n < k:
+            return empty
+        # k-gram strings: join k shifted views of the flat token array,
+        # valid where the whole gram stays inside one doc
+        views = [flat.slice(i, n - k + 1) for i in range(k)]
+        grams = pc.binary_join_element_wise(
+            *views, " "
+        )  # gram i spans flat[i .. i+k-1]
+        gp = parents[: n - k + 1]
+        ok = parents[k - 1 :] == gp  # same doc at both ends
+        # md5-hex prefix per gram as uint64 (16 hex chars = 64 bits; the
+        # integer order equals the fixed-width hex string order the SQL
+        # oracle uses). Per-string md5 — conformance variant.
+        gl = grams.to_pylist()
+        h = np.array(
+            [
+                int(_hashlib.md5(g.encode()).hexdigest()[:16], 16) if m else 0
+                for g, m in zip(gl, ok)
+            ],
+            dtype=np.uint64,
+        )
+        if len(h) < w:
+            return empty
+        # sliding window min over w consecutive grams, windows fully
+        # inside one doc
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        wp_first = gp[: len(gp) - w + 1]
+        wp_last = gp[w - 1 :]
+        wok = (wp_first == wp_last) & (ok[: len(ok) - w + 1]) & (ok[w - 1 :])
+        if not wok.any():
+            return empty
+        mins = win[wok].min(axis=1)
+        docs_sel = doc_ids[wp_first[wok]]
+        # distinct (doc, fp)
+        order = np.lexsort((mins, docs_sel))
+        d, m = docs_sel[order], mins[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (m[1:] != m[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "fp": pa.array(
+                    [f"{int(v):016x}" for v in m[keep]], pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def _distinct_terms_batch(batch: pa.Table, min_len: int = 2) -> tuple[np.ndarray, np.ndarray]:
     """(terms, doc_ids) of distinct per-doc lowercased terms, len >= min_len."""
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

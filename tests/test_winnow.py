@@ -107,3 +107,42 @@ def test_winnow_fp_ds_pipeline(ray_session):
     assert len(out) > 0
     # per-doc distinct
     assert not out.duplicated(["doc_id", "fp"]).any()
+
+
+def test_winnow_md5_matches_python_reference(ray_session):
+    """winnow_md5_fp_ds == brute-force reference: distinct union of
+    window minima over md5-hex k-gram hashes (k=3, w=4)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import winnow_md5_fp_ds
+
+    texts = [
+        "a b c d e f g h i j",
+        "short doc",                      # < k+w-1 tokens: no window
+        "x y x y x y x y x y x y",        # heavy repetition -> tied hashes
+        "a b c d e f g h i j",            # exact dup of doc 0
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_md5_fp_ds(docs, k=3, w=4).take_all()
+    }
+    want = set()
+    for did, t in enumerate(texts):
+        ts = [x for x in t.split(" ") if x]
+        grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+        for i in range(len(hs) - 3):
+            want.add((did, min(hs[i : i + 4])))
+    assert got == want
+    assert not any(d == 1 for d, _ in got)  # short doc emits nothing
