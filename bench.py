@@ -290,6 +290,48 @@ def _training_data_ops(sf_dir: str) -> dict:
     return out
 
 
+def _ref50k_queries() -> dict:
+    """SAME-SCALE comparison vs the reference's two published numbers
+    (README.md:122-174, 50k wikipedia abstracts on a 2018 MacBook Pro:
+    'philosophy psychology' 3.850 ms, '\"carl friedrich\" german'
+    6.177 ms). Real abstracts are unavailable offline, so the corpus is
+    synthesized to the published workload's shape with the query terms
+    planted at encyclopedic document frequencies (sources/synth.py).
+    Queries run on the COMPAT path (snippets included — the reference's
+    returned ingress strings are part of its measured work)."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.synth import synth_wiki_abstracts_parquet
+
+    path = synth_wiki_abstracts_parquet(50_000)
+    out = "/tmp/se_ray_bench/ref50k"
+    build_index(
+        rd.read_parquet(path), out, EngineConfig(),
+        doc_id_mode="rank", fingerprint="ref50k_v1", resume=True, fuse=True,
+    )
+    s = SegmentSearcher(out, EngineConfig())
+    res = {}
+    for q, ref_ms in [
+        ("philosophy psychology", 3.850),
+        ('"carl friedrich" german', 6.177),
+    ]:
+        hits = s.search(q)  # warm caches; also sanity-check result shape
+        assert hits, f"ref50k query returned no hits: {q}"
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            s.search(q)
+            times.append(time.perf_counter() - t0)
+        res[f"ref50k:{q}"] = round(float(np.median(times)), 6)
+        res[f"ref50k:{q}:ref_ms"] = ref_ms
+        res[f"ref50k:{q}:n_hits"] = len(hits)
+    return res
+
+
 def run_default() -> dict:
     markers = _host_markers()
     ray = _init_ray(NUM_CPUS)
@@ -304,10 +346,12 @@ def run_default() -> dict:
         sf_build = _build_documents_sf(SF_DIR)
         td_ops = _training_data_ops(SF_DIR)
         qlat = _query_latencies(synth)
+        ref50k = _ref50k_queries()
     finally:
         ray.shutdown()
     queries = dict(qlat["per_query"])
     queries.update(td_ops)
+    queries.update(ref50k)
     queries.update(markers)
     queries["build_synth_walls"] = [round(w, 3) for w in build_walls]
     queries["build_synth_sec"] = round(synth["wall_sec"], 3)
