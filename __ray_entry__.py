@@ -517,6 +517,23 @@ def q_ann_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_skip_consecutive(sf_dir: str):
+    """Streaming consecutive-duplicate skip (reference demo.ts:129-131
+    parity) exercised over documents with source as the dup key and doc_id
+    as the dense add order; oracle = SQL lag() window."""
+    from search_engine_ray.pipelines.build import skip_consecutive_dup_urls_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    kept = skip_consecutive_dup_urls_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "source"]),
+        key_col="source",
+        order_col="doc_id",
+    )
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 def q_winnow_md5(sf_dir: str):
     """Winnowing with md5-hex k-gram hashes — the window-min semantics
     pinned against an exact SQL oracle (the crc32 variant stays the scale
@@ -878,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "winnow_fp": q_winnow_fp,
         "winnow_md5": q_winnow_md5,
+        "skip_consecutive": q_skip_consecutive,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1255,6 +1273,12 @@ FROM pass GROUP BY md5(text)
         # Bloom decontamination: zero false negatives, FP ~1e-12 at this
         # eval-set size — deterministically equal to the exact recipe here
         "crawl_clean": clean_corpus,
+        "skip_consecutive": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, lag(source) OVER (ORDER BY doc_id) AS prev
+  FROM documents)
+WHERE prev IS NULL OR source <> prev
+""",
         # winnowing's fingerprint SET = distinct union of window minima
         # (tie-break only affects positions, never values) -> one SQL
         # window function over md5-hex k-gram hashes

@@ -191,6 +191,47 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Index-size report — the reference's `npm run index-size`
+    (`du -sh .index/*`, package.json:9) analogue: per-directory byte sizes
+    (docs / segments / term_dict, per generation) plus manifest headline
+    stats. Pure metadata — no Ray session, works on any fsio backend."""
+    from search_engine_ray.state import fsio
+    from search_engine_ray.state.segments import generation_dirs
+
+    def dir_bytes(d: str) -> int:
+        if not fsio.isdir(d):
+            return 0
+        total = 0
+        for name in fsio.listdir(d):
+            p = fsio.join(d, name)
+            total += dir_bytes(p) if fsio.isdir(p) else fsio.file_size(p)
+        return total
+
+    out: dict = {"index": args.index, "generations": []}
+    for g in generation_dirs(args.index):
+        m = {}
+        mpath = fsio.join(g, "manifest.json")
+        if fsio.exists(mpath):
+            m = json.loads(fsio.read_bytes(mpath))
+        out["generations"].append(
+            {
+                "dir": g,
+                "n_docs": m.get("n_docs"),
+                "avgdl": m.get("avgdl"),
+                "bytes": {
+                    sub: dir_bytes(fsio.join(g, sub))
+                    for sub in ("docs", "segments", "term_dict")
+                },
+            }
+        )
+    out["total_bytes"] = sum(
+        sum(g["bytes"].values()) for g in out["generations"]
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_pipeline(args: argparse.Namespace) -> int:
     """Run any named pipeline from __ray_entry__.queries() over a table
     directory and write the result as partitioned Parquet — the resumable
@@ -294,6 +335,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--num-cpus", type=int, default=0)
     r.set_defaults(fn=cmd_pipeline)
+
+    st = sub.add_parser("stats", help="index-size report (du -sh analogue)")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     w = sub.add_parser("bm25", help="BM25 top-k (WAND or conjunctive)")
     w.add_argument("--index", required=True)

@@ -415,6 +415,78 @@ def _dedup_duplicate_urls(
     return pages.map_batches(keep_winner, batch_format="pyarrow"), n_skipped
 
 
+def skip_consecutive_dup_urls_ds(
+    pages: rd.Dataset, key_col: str = "url", order_col: str = "add_order"
+) -> rd.Dataset:
+    """Streaming consecutive-duplicate skip — reference demo parity
+    (demo.ts:129-131: while streaming adds, skip a page whose url equals
+    the IMMEDIATELY PRECEDING add's url; non-adjacent duplicates pass,
+    unlike the batch ``url_dedup_ds``).
+
+    Contract: ``order_col`` is the dense add order (0..n-1) — each row's
+    predecessor is order-1, so "previous add" is a SHIFT-JOIN: the narrow
+    (order, key-hash) view joins its own (order+1)-shifted copy on order
+    (two int64 columns through Ray's native hash join — keys only, never
+    page payloads), equal 128-bit double hashes mark drops, and the drop
+    set anti-joins back onto the full rows. No driver-side row data; both
+    shuffles are int64-pair exchanges. SQL mirror: lag(key) OVER (ORDER BY
+    order)."""
+    from search_engine_ray.stages.postings import _hash_utf8_array
+
+    def hashes(shift: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            h1 = _hash_utf8_array(keys)
+            h2 = _hash_utf8_array(keys, poly=_URL_H2_POLY, add=131)
+            order = batch.column(order_col).cast(pa.int64())
+            if shift:
+                order = pc.add(order, shift)
+            suffix = "p" if shift else ""
+            return pa.table(
+                {
+                    order_col: order,
+                    f"h1{suffix}": pa.array(h1, pa.uint64()),
+                    f"h2{suffix}": pa.array(h2, pa.uint64()),
+                }
+            )
+
+        return f
+
+    narrow = pages.select_columns([key_col, order_col])
+    cur = narrow.map_batches(hashes(0), batch_format="pyarrow")
+    prev = narrow.map_batches(hashes(1), batch_format="pyarrow")
+    drops = (
+        cur.join(
+            prev,
+            join_type="inner",
+            num_partitions=16,
+            on=(order_col,),
+        )
+        .filter(expr="h1 == h1p and h2 == h2p")
+        .select_columns([order_col])
+    )
+    # Ray 2.49's Acero join crashes on ANY empty input block and the dup
+    # filter empties blocks wherever a partition had no adjacent dups —
+    # pin blocks and add an order=-1 sentinel (matches no real row, so the
+    # anti join silently ignores it).
+    from search_engine_ray.pipelines.dedup import _pin_blocks
+
+    drop_schema = pa.schema([(order_col, pa.int64())])
+    drops, _ = _pin_blocks(
+        drops.union(
+            rd.from_arrow(pa.table({order_col: pa.array([-1], pa.int64())}))
+        ),
+        drop_schema,
+    )
+    # anti-join the full rows against the drop set via the native shuffle
+    # join (the drop set is ~dup-rate x corpus — too big to broadcast)
+    from search_engine_ray.pipelines.relational import shuffle_semi_anti_join
+
+    return shuffle_semi_anti_join(pages, drops, on=order_col, anti=True)
+
+
 def url_dedup_ds(pages: rd.Dataset) -> rd.Dataset:
     """Public D2 operator: one surviving row per url with a deterministic
     winner — min (warc_ts, add_order, rank) over whichever exist (the

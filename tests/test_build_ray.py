@@ -411,3 +411,36 @@ def test_url_dedup_distributed_winner_resolution(ray_session):
     pd.testing.assert_frame_equal(
         got[["url", "add_order", "rank"]], want[["url", "add_order", "rank"]]
     )
+
+
+def test_skip_consecutive_dup_urls(ray_session):
+    """demo.ts:129-131 parity: only ADJACENT (by add order) duplicate urls
+    are skipped; non-adjacent repeats pass through."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.build import skip_consecutive_dup_urls_ds
+
+    urls = ["a", "a", "b", "a", "c", "c", "c", "d"]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "add_order": pa.array(range(8), pa.int64()),
+            "rank": pa.array(range(8), pa.int64()),
+        }
+    )
+    kept = (
+        skip_consecutive_dup_urls_ds(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("add_order")
+    )
+    assert kept["add_order"].tolist() == [0, 2, 3, 4, 7]
+    assert kept["url"].tolist() == ["a", "b", "a", "c", "d"]
+    # no-dup corpus passes through unchanged
+    t2 = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(6)], pa.string()),
+            "add_order": pa.array(range(6), pa.int64()),
+        }
+    )
+    kept2 = skip_consecutive_dup_urls_ds(rd.from_arrow(t2)).to_pandas()
+    assert sorted(kept2["add_order"].tolist()) == list(range(6))
