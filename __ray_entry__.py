@@ -517,6 +517,20 @@ def q_ann_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+
+
+def q_domain_mix(sf_dir: str):
+    """Domain-mixture resampling: per-source deterministic keep rates
+    (unlisted sources dropped), md5-uniform membership — oracle-exact."""
+    from search_engine_ray.pipelines.text import domain_mix_ds, read_documents
+
+    return domain_mix_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "source"]),
+        rates=_MIX_RATES,
+    )
+
+
 def q_skip_consecutive(sf_dir: str):
     """Streaming consecutive-duplicate skip (reference demo.ts:129-131
     parity) exercised over documents with source as the dup key and doc_id
@@ -896,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fp": q_winnow_fp,
         "winnow_md5": q_winnow_md5,
         "skip_consecutive": q_skip_consecutive,
+        "domain_mix": q_domain_mix,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1278,6 +1293,14 @@ SELECT doc_id, source FROM (
   SELECT doc_id, source, lag(source) OVER (ORDER BY doc_id) AS prev
   FROM documents)
 WHERE prev IS NULL OR source <> prev
+""",
+        "domain_mix": """
+WITH rates(source, rate) AS (
+  VALUES ('src0', 1.0), ('src1', 0.75), ('src2', 0.5), ('src3', 0.25))
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(least(r.rate * 4294967296, 4294967295) AS BIGINT))
 """,
         # winnowing's fingerprint SET = distinct union of window minima
         # (tie-break only affects positions, never values) -> one SQL

@@ -1288,6 +1288,45 @@ def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def domain_mix_ds(
+    docs: rd.Dataset,
+    rates: dict[str, float],
+    key_col: str = "source",
+    default_rate: float = 0.0,
+) -> rd.Dataset:
+    """Deterministic DOMAIN-MIXTURE resampling — the data-mixing primitive
+    a training run uses to hit target source proportions: keep each doc
+    with its source's rate (``rates[source]``, ``default_rate`` for
+    unlisted sources). Membership is the same md5-uniform vs
+    hex-threshold compare as weighted_sample_ds, so the sample is
+    reproducible on any cluster shape, joinable across tables, and
+    oracle-checkable in DuckDB. The rate table is a driver-side constant
+    (domains are few); the pass is one stateless map, no shuffle.
+    Output: (doc_id, source) of kept docs."""
+    import hashlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column(key_col).to_pylist()
+        thr = [
+            f"{min(int(rates.get(s, default_rate) * 2.0**32), 2**32 - 1):08x}"
+            for s in src
+        ]
+        keep = [
+            hashlib.md5(str(int(i)).encode()).hexdigest()[:8] < t
+            for i, t in zip(ids, thr)
+        ]
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                key_col: out.column(key_col).cast(pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # spell suggestion (SymSpell deletion-join over the corpus vocabulary)
 # ---------------------------------------------------------------------------

@@ -653,3 +653,33 @@ def test_autocomplete(docs):
     assert ta["term"].tolist() == want["term"].tolist()
     assert ta["df"].tolist() == want["df"].tolist()
     assert (got.prefix != "zz").all()
+
+
+def test_domain_mix_rates_and_determinism(ray_session):
+    """Per-source keep rates hit their targets (md5-uniform), unlisted
+    sources drop entirely, and membership is identical across runs and
+    partitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import domain_mix_ds
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    src = rng.choice(["a", "b", "c"], size=n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    rates = {"a": 1.0, "b": 0.5}
+    out1 = domain_mix_ds(rd.from_arrow(t), rates).to_pandas()
+    out2 = domain_mix_ds(rd.from_arrow(t).repartition(7), rates).to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    by = out1.groupby("source").size()
+    n_a, n_b = int((src == "a").sum()), int((src == "b").sum())
+    assert by.get("a", 0) == n_a                      # rate 1.0: all kept
+    assert abs(by.get("b", 0) / n_b - 0.5) < 0.05     # rate 0.5 +- noise
+    assert "c" not in by.index                        # unlisted: dropped
