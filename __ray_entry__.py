@@ -517,6 +517,60 @@ def q_ann_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_hll_error(sf_dir: str):
+    """HLL distinct-user estimates vs the EXACT distinct count, asserted
+    within 5% per event_type (p=12 -> ~1.6% standard error). Both sides
+    computed distributed; the oracle pins the bound outcome per key."""
+    import pandas as pd
+
+    from search_engine_ray.pipelines.sketches import hll_distinct_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    ev = read_events(sf_dir.rstrip("/"), columns=["event_type", "user_id"])
+    est = hll_distinct_ds(ev, "event_type", "user_id").to_pandas()
+    exact = (
+        read_events(sf_dir.rstrip("/"), columns=["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact"})
+    )
+    m = est.merge(exact, on="event_type")
+    m["within_bound"] = (
+        (m["distinct_est"] - m["exact"]).abs() / m["exact"] <= 0.05
+    ).astype("int64")
+    return (
+        m[["event_type", "within_bound"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def q_bloom_flag(sf_dir: str):
+    """Bloom decontamination FLAG vs the exact shingle-join oracle:
+    zero false negatives by construction, and at this filter sizing
+    (1 MiB / 7 hashes vs ~10k eval shingles) the false-positive rate is
+    ~1e-12, so the per-doc flag equals the exact gate deterministically."""
+    from search_engine_ray.pipelines.text import bloom_decontaminate_ds
+
+    import pyarrow.compute as pc
+
+    out = bloom_decontaminate_ds(_docs(sf_dir))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "flagged": pc.cast(
+                    pc.greater(b.column("n_flagged"), 0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
 
 
@@ -911,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_md5": q_winnow_md5,
         "skip_consecutive": q_skip_consecutive,
         "domain_mix": q_domain_mix,
+        "hll_error": q_hll_error,
+        "bloom_flag": q_bloom_flag,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1302,6 +1358,19 @@ FROM documents d JOIN rates r ON d.source = r.source
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', CAST(least(r.rate * 4294967296, 4294967295) AS BIGINT))
 """,
+        # HLL estimates are deterministic given the hash; the bound (5% vs
+        # exact, ~3x the p=12 standard error) is the driver-checked claim
+        "hll_error": (
+            "SELECT event_type, 1::BIGINT AS within_bound FROM events"
+            " GROUP BY event_type ORDER BY event_type"
+        ),
+        # Bloom flag == exact flag: zero false negatives by construction,
+        # FP ~1e-12 at this sizing — deterministically equal here
+        "bloom_flag": f"""
+SELECT doc_id, CAST(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END AS BIGINT)
+       AS flagged
+FROM ({decontaminate})
+""",
         # winnowing's fingerprint SET = distinct union of window minima
         # (tie-break only affects positions, never values) -> one SQL
         # window function over md5-hex k-gram hashes
@@ -1425,6 +1494,11 @@ SELECT doc_id FROM (
         "dedup_spans": dedup_spans,
         "ann_cosine_topk": ann,
         "embedding_neardup": neardup,
+        # LSH bucketing at 4 bits x 32 tables misses a cos>=0.5 pair with
+        # p < 1e-3 and within-bucket verification is exact cosine; seeded
+        # and deterministic — verified equal to the exact pair set at
+        # sf0.001 and sf0.01, so it shares the exact SQL oracle
+        "embedding_neardup_lsh": neardup,
         "wand_or_topk": wand_or,
         "search_phrase": phrase,
         "lang_id": lang_id,
