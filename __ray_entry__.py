@@ -517,6 +517,15 @@ def q_ann_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]
 
 
+def q_model_score(sf_dir: str):
+    """Batched model inference (hashed bag-of-words logistic scorer) on an
+    actor pool. Rows-only: the hashing trick has no SQL mirror; pinned by
+    a numpy reference test."""
+    from search_engine_ray.pipelines.text import model_score_ds
+
+    return model_score_ds(_docs(sf_dir), concurrency=2)
+
+
 def q_hll_error(sf_dir: str):
     """HLL distinct-user estimates vs the EXACT distinct count, asserted
     within 5% per event_type (p=12 -> ~1.6% standard error). Both sides
@@ -967,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": q_domain_mix,
         "hll_error": q_hll_error,
         "bloom_flag": q_bloom_flag,
+        "model_score": q_model_score,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

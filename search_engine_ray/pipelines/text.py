@@ -1288,6 +1288,82 @@ def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+class HashedLogisticScorer:
+    """Batched model inference as an actor-pool stage — the shape every
+    learned quality/toxicity/domain classifier takes in a training-data
+    pipeline (fastText-style linear model over hashed bag-of-words):
+
+    - ``__init__`` (ONCE per actor): materialize the weight vector —
+      either a real model's weights via an ``ObjectRef`` (``ray.put`` once,
+      every actor reads the same copy from the object store) or a
+      deterministic seeded stand-in (no model files ship in this sandbox).
+    - ``__call__`` (per batch): fully vectorized — Arrow tokenize, one
+      polynomial hash pass over the flat token buffer, bucket % dim,
+      per-doc scatter-add into the feature matrix, one matvec + sigmoid.
+      No Python-per-row work.
+
+    Use: docs.map_batches(HashedLogisticScorer, fn_constructor_args=(dim,
+    weights_ref_or_seed), batch_size=B, concurrency=N). Output:
+    (doc_id, score float64 in (0,1)). Pinned by a numpy reference test
+    (the hashing trick has no SQL mirror)."""
+
+    def __init__(self, dim: int = 1 << 18, weights=7) -> None:
+        import ray as _ray
+
+        if isinstance(weights, int):  # seed for the deterministic stand-in
+            rng = np.random.default_rng(weights)
+            self.w = rng.standard_normal(dim) / np.sqrt(dim)
+            self.b = 0.0
+        else:  # ObjectRef or ndarray: a real model's weights
+            w = _ray.get(weights) if not isinstance(weights, np.ndarray) else weights
+            self.w = np.asarray(w, np.float64)[:dim]
+            self.b = 0.0
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from search_engine_ray.stages.postings import _hash_utf8_array
+
+        toks = token_lists(batch.column("text"))
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        x_dot_w = np.zeros(n, np.float64)
+        if len(flat):
+            buckets = (_hash_utf8_array(flat) % np.uint64(self.dim)).astype(
+                np.int64
+            )
+            np.add.at(x_dot_w, parents, self.w[buckets])
+        score = 1.0 / (1.0 + np.exp(-(x_dot_w + self.b)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+
+def model_score_ds(
+    docs: rd.Dataset,
+    dim: int = 1 << 18,
+    weights=7,
+    concurrency: int | None = None,
+    batch_size: int = 1024,
+) -> rd.Dataset:
+    """(doc_id, score) via HashedLogisticScorer on an actor pool (weights
+    load once per actor; inference vectorized per batch)."""
+    if concurrency is None:
+        from search_engine_ray.util import default_pool_size
+
+        concurrency = default_pool_size()
+    return docs.map_batches(
+        HashedLogisticScorer,
+        fn_constructor_args=(dim, weights),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def domain_mix_ds(
     docs: rd.Dataset,
     rates: dict[str, float],

@@ -683,3 +683,52 @@ def test_domain_mix_rates_and_determinism(ray_session):
     assert by.get("a", 0) == n_a                      # rate 1.0: all kept
     assert abs(by.get("b", 0) / n_b - 0.5) < 0.05     # rate 0.5 +- noise
     assert "c" not in by.index                        # unlisted: dropped
+
+
+def test_model_score_matches_numpy_reference(ray_session):
+    """HashedLogisticScorer == a per-doc python/numpy reference (same
+    polynomial hash, hashing-trick buckets, sigmoid), and ray.put weights
+    give identical scores to the seeded stand-in they came from."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import model_score_ds
+    from search_engine_ray.stages.postings import _hash_utf8_array
+
+    texts = ["the quick brown fox", "lorem ipsum dolor", "a b c d e f", ""]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    dim = 1 << 12
+    got = (
+        model_score_ds(docs, dim=dim, weights=7, concurrency=2, batch_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal(dim) / np.sqrt(dim)
+    want = []
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        z = 0.0
+        if toks:
+            h = _hash_utf8_array(pa.array(toks, pa.string()))
+            z = float(w[(h % np.uint64(dim)).astype(np.int64)].sum())
+        want.append(1.0 / (1.0 + np.exp(-z)))
+    assert np.allclose(got["score"].to_numpy(), want)
+    # real-model path: the same weights via ray.put give identical scores
+    got2 = (
+        model_score_ds(docs, dim=dim, weights=ray.put(w), concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got2["score"].to_numpy(), got["score"].to_numpy())
