@@ -444,3 +444,85 @@ def test_skip_consecutive_dup_urls(ray_session):
     )
     kept2 = skip_consecutive_dup_urls_ds(rd.from_arrow(t2)).to_pandas()
     assert sorted(kept2["add_order"].tolist()) == list(range(6))
+
+
+def test_winner_reduce_associative_hypothesis():
+    """_winner_reduce is the single combiner used by both per-batch
+    partials and the tree-reduce merge — verify (split → reduce → merge)
+    equals (reduce whole) on randomized inputs, any split point."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_ray.pipelines.build import _winner_reduce
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 7),   # h1 (small range -> many collisions)
+                st.integers(0, 3),   # h2
+                st.integers(-5, 5),  # k0
+                st.integers(-5, 5),  # k1
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(1, 39),
+    )
+    def check(rows, split):
+        split = min(split, len(rows) - 1) or 1
+        def arrs(rs):
+            a = np.array(rs, dtype=np.int64).reshape(len(rs), 4)
+            return (
+                a[:, 0].astype(np.uint64),
+                a[:, 1].astype(np.uint64),
+                np.ones(len(rs), np.int64),
+                [a[:, 2], a[:, 3]],
+            )
+
+        def as_sets(res):
+            h1, h2, cnt, ks = res
+            return {
+                (int(a), int(b)): (int(c), int(k0), int(k1))
+                for a, b, c, k0, k1 in zip(h1, h2, cnt, ks[0], ks[1])
+            }
+
+        whole = as_sets(_winner_reduce(*arrs(rows)))
+        l = _winner_reduce(*arrs(rows[:split])) if rows[:split] else None
+        r = _winner_reduce(*arrs(rows[split:])) if rows[split:] else None
+        parts = [p for p in (l, r) if p is not None]
+        h1 = np.concatenate([p[0] for p in parts])
+        h2 = np.concatenate([p[1] for p in parts])
+        cnt = np.concatenate([p[2] for p in parts])
+        ks = [np.concatenate([p[3][i] for p in parts]) for i in range(2)]
+        merged = as_sets(_winner_reduce(h1, h2, cnt, ks))
+        assert merged == whole
+
+    check()
+
+
+def test_fused_emit_retry_overwrites_not_duplicates(ray_session, tmp_path):
+    """Retry idempotence of the map-side shuffle write: building the SAME
+    corpus into the same out_dir twice (resume=False — simulates every
+    emit task re-running) leaves identical docs and bucket contents, not
+    duplicated postings; search results are identical."""
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.synth import synth_zipf_table
+
+    config = EngineConfig()
+    table = synth_zipf_table(120, n_tokens=20, vocab=150)
+    out = str(tmp_path / "retry")
+    r1 = build_index(rd.from_arrow(table), out, config, doc_id_mode="rank",
+                     resume=False, fuse=True)
+    s1 = [(r.doc_id, round(r.score, 9))
+          for r in SegmentSearcher(out, config).search_bm25("w0 w1", k=20, mode="or")]
+    r2 = build_index(rd.from_arrow(table), out, config, doc_id_mode="rank",
+                     resume=False, fuse=True)
+    s2 = [(r.doc_id, round(r.score, 9))
+          for r in SegmentSearcher(out, config).search_bm25("w0 w1", k=20, mode="or")]
+    assert r1.n_docs == r2.n_docs == 120
+    assert s1 == s2
