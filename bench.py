@@ -421,11 +421,23 @@ def run_scaling() -> dict:
     r8 = results[8]["docs_per_sec"]
     r32 = results[32]["docs_per_sec"]
     eff = (r32 / r8) / 4.0
+    # per-rep SAME-EPOCH pairing: each rep runs 8 then 32 back-to-back, so
+    # the pair shares one host-drift epoch. Best-of-per-level can pair a
+    # lucky 8-CPU epoch against a different 32-CPU epoch and understate E
+    # on this drifting host; the pairwise read-out is the epoch-controlled
+    # estimator (both are reported, best-of stays the headline value for
+    # continuity with earlier rounds).
+    pair_eff = [
+        round((b["docs_per_sec"] / a["docs_per_sec"]) / 4.0, 3)
+        for a, b in zip(all_runs[8], all_runs[32])
+    ]
     return {
         "metric": "index-build scaling efficiency, 8 -> 32 CPUs (N vs 4N substitute)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
+            "pair_efficiencies": pair_eff,
+            "best_pair_efficiency": max(pair_eff) if pair_eff else None,
             "docs_per_sec_8cpu": r8,
             "docs_per_sec_32cpu": r32,
             "wall_sec_8cpu": results[8]["wall_sec"],

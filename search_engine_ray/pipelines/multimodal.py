@@ -1,10 +1,13 @@
 """Multimodal column plumbing — image/audio as opaque binary + typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): ``decode_fn`` defaults to a deterministic fake that derives
-"features" from the payload bytes, and a real decoder can be injected. The
-Ray-side plumbing — schema, actor-pool stage, batch sizing for large binary
-payloads, output layout — is real and tested.
+Pixel work is REAL for P6 PPM (pure-numpy decode → nearest-neighbor
+resize → encode; pixel-true tested — the one raster format that needs no
+external libraries). Compressed formats (JPEG/PNG/WAV/MP4) remain
+STUBBED: PIL/libvips/ffmpeg are absent from this container, so
+``decode_fn``/``resize_fn`` default to deterministic fakes for them and a
+real codec injects through the same signature. The Ray-side plumbing —
+schema, actor-pool stage, batch sizing for large binary payloads, output
+layout — is identical either way and fully tested.
 
 Scale notes: binary payloads dominate batch memory, so the stages run with
 small ``batch_size`` and actor pools sized by ``concurrency``; outputs drop
@@ -35,24 +38,98 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def fake_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media rows (payload = seeded bytes)."""
+    """Deterministic synthetic media rows. Image rows carry REAL P6 PPM
+    payloads (random pixels at the row's width x height — decodable and
+    resizable with the pure-numpy codec below); audio/video rows carry
+    opaque seeded bytes (no codecs in this container)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    payloads = [rng.integers(0, 256, size=64, dtype=np.uint8).tobytes() for _ in range(n)]
+    widths = [64 + i % 32 for i in range(n)]
+    heights = [48 + i % 32 for i in range(n)]
+    payloads = [
+        fake_ppm_payload(widths[i], heights[i], seed + i)
+        if i % 3 == 0
+        else rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        for i in range(n)
+    ]
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
             "kind": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(
-                ["image/jpeg" if i % 3 == 0 else "audio/wav" if i % 3 == 1 else "video/mp4" for i in range(n)],
+                [
+                    "image/x-portable-pixmap"
+                    if i % 3 == 0
+                    else "audio/wav"
+                    if i % 3 == 1
+                    else "video/mp4"
+                    for i in range(n)
+                ],
                 pa.string(),
             ),
-            "width": pa.array([64 + i % 32 for i in range(n)], pa.int32()),
-            "height": pa.array([48 + i % 32 for i in range(n)], pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
             "duration_ms": pa.array([0 if i % 3 == 0 else 1000 + i for i in range(n)], pa.int32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel work — P6 PPM, the one raster format that needs no external
+# libraries (round-3 upgrade of the decode stub: PIL/libvips/ffmpeg remain
+# absent from this container, but an uncompressed format makes the decode →
+# resize → encode path genuinely pixel-true; compressed formats still go
+# through an injected ``resize_fn``).
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "P6 is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary P6 PPM -> (h, w, 3) uint8. Plain header (no comments),
+    maxval 255 — exactly what ``encode_ppm`` writes."""
+    import re
+
+    # exactly ONE whitespace byte terminates the header (raster bytes may
+    # themselves look like whitespace — never strip into the raster)
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    raster = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=m.end())
+    return raster.reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (index-map gather; the classic
+    sample-at-pixel-center rule: src = floor((dst + 0.5) * s/t))."""
+    h, w = arr.shape[:2]
+    ys = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def ppm_resize_fn(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Real decode → resize → encode for P6 payloads; non-PPM payloads fall
+    back to the deterministic marker stub (no codec libraries here)."""
+    if payload.startswith(b"P6"):
+        return encode_ppm(resize_nearest(decode_ppm(payload), tw, th))
+    return hashlib.md5(payload).digest() + payload
+
+
+def fake_ppm_payload(w: int, h: int, seed: int) -> bytes:
+    """Deterministic random-pixel P6 image."""
+    rng = np.random.default_rng(seed)
+    return encode_ppm(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
 
 
 def deterministic_fake_decode(payload: bytes, kind: str) -> np.ndarray:
@@ -143,17 +220,17 @@ def frame_sample_ds(
 
 class MediaResize:
     """Actor-pool stage: image resize to fit a bounding box, preserving
-    aspect ratio. The PIXEL work is stubbed (no image libs here): the
-    payload passes through a deterministic byte marker so tests can pin
-    lineage; the real plumbing — actor pool, payload-in/payload-out
-    schema, metadata math, small batches — is what a real resampler
-    plugs into (inject ``resize_fn(payload, w, h, tw, th) -> bytes``)."""
+    aspect ratio. P6 PPM payloads get REAL pixel work (pure-numpy decode →
+    nearest-neighbor resize → encode, pixel-true tested); other formats
+    fall back to a deterministic byte marker unless a real codec is
+    injected (``resize_fn(payload, w, h, tw, th) -> bytes`` — no
+    JPEG/PNG libraries exist in this container). The plumbing — actor
+    pool, payload-in/payload-out schema, metadata math, small batches —
+    is identical either way."""
 
     def __init__(self, max_w: int, max_h: int, resize_fn=None) -> None:
         self.max_w, self.max_h = max_w, max_h
-        self.resize = resize_fn or (
-            lambda payload, w, h, tw, th: hashlib.md5(payload).digest() + payload
-        )
+        self.resize = resize_fn or ppm_resize_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
