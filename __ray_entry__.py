@@ -526,6 +526,34 @@ def q_model_score(sf_dir: str):
     return model_score_ds(_docs(sf_dir), concurrency=2)
 
 
+def q_cm_heavy_hitters(sf_dir: str):
+    """Count-Min frequency sketch vs the exact top-20 term counts: CM
+    never underestimates, and the overestimate is bounded by
+    ceil((e/width) * total_tokens) w.h.p. — both asserted per term; the
+    oracle pins the outcome over the exact top-term set."""
+    import math
+
+    import pandas as pd
+
+    from search_engine_ray.pipelines.sketches import (
+        cm_estimate,
+        count_min_token_sketch,
+    )
+    from search_engine_ray.pipelines.text import top_terms_ds
+
+    top = top_terms_ds(_docs(sf_dir), k=20).to_pandas()
+    grid, total = count_min_token_sketch(_docs(sf_dir))
+    est = cm_estimate(grid, pa.array(top["term"].tolist(), pa.string()))
+    bound = math.ceil(math.e / grid.shape[1] * total)
+    true = top["n"].to_numpy()
+    within = (est >= true) & (est - true <= bound)
+    return (
+        pd.DataFrame({"term": top["term"], "within_bound": within.astype("int64")})
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
 def q_hll_error(sf_dir: str):
     """HLL distinct-user estimates vs the EXACT distinct count, asserted
     within 5% per event_type (p=12 -> ~1.6% standard error). Both sides
@@ -977,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error": q_hll_error,
         "bloom_flag": q_bloom_flag,
         "model_score": q_model_score,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1367,6 +1396,15 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', CAST(least(r.rate * 4294967296, 4294967295) AS BIGINT))
+""",
+        # Count-Min never underestimates; the (e/width)*total overestimate
+        # bound over the exact top-term set is the driver-checked claim
+        "cm_heavy_hitters": f"""
+SELECT term, 1::BIGINT AS within_bound FROM (
+  SELECT term, count(*)::BIGINT AS n FROM (
+    SELECT unnest({tok}) AS term FROM documents)
+  WHERE length(term) >= 2 GROUP BY term ORDER BY n DESC, term LIMIT 20)
+ORDER BY term
 """,
         # HLL estimates are deterministic given the hash; the bound (5% vs
         # exact, ~3x the p=12 standard error) is the driver-checked claim

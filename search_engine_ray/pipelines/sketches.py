@@ -118,3 +118,111 @@ def hll_distinct_ds(
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005, public
+# literature) — the mergeable FREQUENCY counterpart to HLL's cardinality:
+# per-batch partial sketches are (depth x width) int64 count grids that
+# merge by elementwise SUM (fully associative, retry/batching invariant),
+# and est(term) = min over rows overestimates the true count by at most
+# (e/width) * total_tokens with probability 1 - e^-depth. Exact per-term
+# counts shuffle O(vocabulary); the sketch ships one fixed-size grid per
+# batch through a binary tree of Ray tasks.
+# ---------------------------------------------------------------------------
+
+_CM_ROW_POLYS = [
+    1099511628211,          # FNV prime (matches _hash_utf8_array default)
+    0x9E3779B97F4A7C15,     # golden-ratio odd constant
+    0xC2B2AE3D27D4EB4F,     # xxhash64 prime 2
+    0x165667B19E3779F9,     # xxhash64 prime 5
+    0x27D4EB2F165667C5,     # xxhash64 rotl constant
+]
+
+
+def _cm_row_hashes(terms: pa.Array, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket indices for a term array — one vectorized
+    polynomial-hash pass per row, mixed through SplitMix64 so rows are
+    pairwise independent enough for the CM guarantee."""
+    from search_engine_ray.stages.postings import _hash_utf8_array
+
+    out = np.empty((depth, len(terms)), np.int64)
+    for d in range(depth):
+        h = _hash_utf8_array(
+            terms, poly=np.uint64(_CM_ROW_POLYS[d % len(_CM_ROW_POLYS)]),
+            add=31 + 2 * d,
+        )
+        out[d] = (_splitmix64(h + np.uint64(d)) % np.uint64(width)).astype(
+            np.int64
+        )
+    return out
+
+
+def count_min_token_sketch(
+    docs: rd.Dataset,
+    col: str = "text",
+    depth: int = 4,
+    width: int = 1 << 14,
+    min_len: int = 2,
+) -> tuple[np.ndarray, int]:
+    """Merged Count-Min sketch over every token occurrence (length >=
+    min_len) in ``docs[col]`` plus the total token count. Per-batch
+    partials reduce in a binary tree of Ray tasks (the grid, never the
+    tokens, crosses the wire)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.textstats import token_lists
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch.column(col))
+        flat = pc.utf8_lower(toks.flatten())
+        ok = pc.greater_equal(pc.utf8_length(flat), min_len)
+        terms = flat.filter(ok)
+        grid = np.zeros((depth, width), np.int64)
+        if len(terms):
+            idx = _cm_row_hashes(terms, depth, width)
+            for d in range(depth):
+                np.add.at(grid[d], idx[d], 1)
+        return pa.table(
+            {
+                "grid": pa.array([grid.tobytes()], pa.large_binary()),
+                "n": pa.array([len(terms)], pa.int64()),
+            }
+        )
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> tuple[bytes, int]:
+        acc = np.zeros(depth * width, np.int64)
+        for g in t.column("grid").to_pylist():
+            acc += np.frombuffer(g, np.int64)
+        return acc.tobytes(), int(pc.sum(t.column("n")).as_py() or 0)
+
+    @ray.remote
+    def pair_sum(a: tuple, b: tuple) -> tuple[bytes, int]:
+        return (
+            (np.frombuffer(a[0], np.int64) + np.frombuffer(b[0], np.int64)).tobytes(),
+            a[1] + b[1],
+        )
+
+    refs = [
+        block_sum.remote(r)
+        for r in docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    while len(refs) > 1:
+        refs = [
+            pair_sum.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    grid_bytes, total = ray.get(refs[0]) if refs else (
+        np.zeros(depth * width, np.int64).tobytes(), 0
+    )
+    return np.frombuffer(grid_bytes, np.int64).reshape(depth, width), total
+
+
+def cm_estimate(grid: np.ndarray, terms: pa.Array) -> np.ndarray:
+    """min-over-rows point estimates for a term array."""
+    depth, width = grid.shape
+    idx = _cm_row_hashes(terms, depth, width)
+    ests = np.stack([grid[d][idx[d]] for d in range(depth)])
+    return ests.min(axis=0)

@@ -69,3 +69,44 @@ def test_hll_exact_small_range(ray_session):
     )
     out = hll_distinct_ds(rd.from_arrow(tbl), "k", "v").to_pandas()
     assert out["distinct_est"].tolist() == [10]
+
+
+def test_count_min_properties(ray_session):
+    """CM never underestimates any term; estimates are exact for terms
+    with no collisions at this width; the merged sketch is invariant to
+    batching/partitioning (associative partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.sketches import (
+        cm_estimate,
+        count_min_token_sketch,
+    )
+
+    rng = np.random.default_rng(4)
+    vocab = [f"term{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(200)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    grid1, total1 = count_min_token_sketch(rd.from_arrow(t), width=1 << 12)
+    grid2, total2 = count_min_token_sketch(
+        rd.from_arrow(t).repartition(7), width=1 << 12
+    )
+    assert total1 == total2 == 200 * 30
+    assert (grid1 == grid2).all()
+
+    from collections import Counter
+
+    true = Counter(w for s in texts for w in s.split())
+    terms = pa.array(vocab, pa.string())
+    est = cm_estimate(grid1, terms)
+    tv = np.array([true[v] for v in vocab])
+    assert (est >= tv).all()          # CM never underestimates
+    assert (est - tv <= 4).all()      # 50 terms in 4096 buckets: ~no collisions
