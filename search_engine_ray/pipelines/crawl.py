@@ -105,8 +105,8 @@ def crawl_dup_clusters_ds(
     ).map_batches(
         lambda b: pa.table(
             {
-                "src": b.column("doc_a").cast(pa.int64()),
-                "dst": b.column("doc_b").cast(pa.int64()),
+                "u": b.column("doc_a").cast(pa.int64()),
+                "v": b.column("doc_b").cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",

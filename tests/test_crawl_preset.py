@@ -106,3 +106,41 @@ def test_crawl_clean_matches_exact_clean(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_crawl_dup_clusters_matches_exact_closure(ray_session):
+    """crawl_dup_clusters_ds (LSH pairs + connected components, caps on)
+    equals the exact-Jaccard closure at test scale (no group hits the cap)."""
+    import pandas as pd
+
+    from search_engine_ray.pipelines.crawl import crawl_dup_clusters_ds
+    from search_engine_ray.pipelines.dedup import (
+        connected_components_ds,
+        ngram_jaccard_pairs_ds,
+    )
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = _docs_ds()
+    got = (
+        crawl_dup_clusters_ds(docs, threshold=0.8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    exact_pairs = ngram_jaccard_pairs_ds(_docs_ds(), k=3, threshold=0.8).map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("doc_a").cast(pa.int64()),
+                "v": b.column("doc_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    want = (
+        connected_components_ds(exact_pairs)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
