@@ -703,11 +703,35 @@ def q_ann_ivf_recall(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Media feature extraction (actor pool). The raw list<float> feature
+    column is summarized to scalars here so every checker can hash the
+    result; the list layout itself is pinned in tests."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from search_engine_ray.pipelines.multimodal import fake_media_table, media_features_ds
 
-    return media_features_ds(rd.from_arrow(fake_media_table(100)))
+    feats = media_features_ds(rd.from_arrow(fake_media_table(100)))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from search_engine_ray.util import embedding_matrix
+
+        m = embedding_matrix(b.column("features"))
+        return pa.table(
+            {
+                "media_id": b.column("media_id").cast(pa.int64()),
+                "kind": b.column("kind"),
+                "feat_mean": pa.array(np.round(m.mean(axis=1), 9), pa.float64()),
+                "feat_norm": pa.array(
+                    np.round(np.linalg.norm(m, axis=1), 9), pa.float64()
+                ),
+                "payload_bytes": b.column("payload_bytes").cast(pa.int64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
 
 
 def q_funnel(sf_dir: str):
