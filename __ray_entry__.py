@@ -526,6 +526,36 @@ def q_model_score(sf_dir: str):
     return model_score_ds(_docs(sf_dir), concurrency=2)
 
 
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (fragment strip, scheme/authority lowercase,
+    default-port strip, trailing-slash strip). The corpus carries no url
+    column, so both sides construct identical messy URLs from doc_id and
+    normalize them — pyarrow and DuckDB both embed RE2, so the regex
+    semantics mirror exactly."""
+    from search_engine_ray.pipelines.text import read_documents, url_normalize_ds
+
+    def mk_raw(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        raw = [
+            f"HTTP://WWW.Example{i % 7}.COM:80/Path/{i}"
+            + ("/#Sec" if i % 3 == 0 else "///" if i % 3 == 1 else "?Q=zZ#f")
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(raw, pa.string()),
+            }
+        )
+
+    ds = read_documents(sf_dir.rstrip("/"), columns=["doc_id"]).map_batches(
+        mk_raw, batch_format="pyarrow"
+    )
+    return url_normalize_ds(ds).map_batches(
+        lambda b: b.select(["doc_id", "url_norm"]), batch_format="pyarrow"
+    )
+
+
 def q_cm_heavy_hitters(sf_dir: str):
     """Count-Min frequency sketch vs the exact top-20 term counts: CM
     never underestimates, and the overestimate is bounded by
@@ -1030,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_flag": q_bloom_flag,
         "model_score": q_model_score,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "url_normalize": q_url_normalize,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1420,6 +1451,27 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', CAST(least(r.rate * 4294967296, 4294967295) AS BIGINT))
+""",
+        "url_normalize": """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80/Path/' || doc_id ||
+         CASE doc_id % 3 WHEN 0 THEN '/#Sec' WHEN 1 THEN '///'
+              ELSE '?Q=zZ#f' END AS url
+  FROM documents),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+p AS (SELECT doc_id, u,
+        lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+        regexp_extract(u, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+      FROM nf)
+SELECT doc_id,
+  scheme || '://' ||
+  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+       ELSE auth END ||
+  regexp_replace(rest, '/+$', '') AS url_norm
+FROM p
 """,
         # Count-Min never underestimates; the (e/width)*total overestimate
         # bound over the exact top-term set is the driver-checked claim

@@ -1288,6 +1288,58 @@ def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_urls(urls: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization — the dedup-key prep every crawl
+    pipeline runs before url dedup:
+
+      1. drop the fragment (first '#' onward);
+      2. lowercase scheme and authority (host[:port]) — path/query case
+         is preserved (paths are case-sensitive);
+      3. strip the scheme's default port (:80 http, :443 https);
+      4. strip trailing '/' runs from the path.
+
+    All steps are RE2 kernels (pc.extract_regex / replace_substring_regex)
+    — one pass, no Python per row. pyarrow and DuckDB both embed RE2, so
+    the SQL oracle mirrors the exact same regex semantics. Rows that do
+    not parse as scheme://... pass through unchanged."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    no_frag = pc.replace_substring_regex(urls, "#.*$", "")
+    parts = pc.extract_regex(no_frag, r"^(?P<scheme>[^:/?#]+)://(?P<auth>[^/?#]*)(?P<rest>.*)$")
+    ok = pc.is_valid(parts)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    auth = pc.utf8_lower(pc.struct_field(parts, "auth"))
+    # default ports (scheme-conditional)
+    auth = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(auth, ":80$", ""),
+        auth,
+    )
+    auth = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(auth, ":443$", ""),
+        auth,
+    )
+    rest = pc.replace_substring_regex(pc.struct_field(parts, "rest"), "/+$", "")
+    # binary_join takes ONE separator, so build "scheme://" first
+    rebuilt = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(scheme, "://", ""), auth, rest, ""
+    )
+    return pc.if_else(ok, rebuilt, no_frag)
+
+
+def url_normalize_ds(
+    docs: rd.Dataset, url_col: str = "url", out_col: str = "url_norm"
+) -> rd.Dataset:
+    """Append the canonicalized URL column (see normalize_urls). One
+    stateless vectorized map, no shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, normalize_urls(batch.column(url_col)))
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 class HashedLogisticScorer:
     """Batched model inference as an actor-pool stage — the shape every
     learned quality/toxicity/domain classifier takes in a training-data

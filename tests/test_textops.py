@@ -732,3 +732,33 @@ def test_model_score_matches_numpy_reference(ray_session):
         .reset_index(drop=True)
     )
     assert np.allclose(got2["score"].to_numpy(), got["score"].to_numpy())
+
+
+def test_url_normalize_cases(ray_session):
+    """Canonicalization rules: fragment strip, scheme+authority lowercase
+    (path/query case preserved), default-port strip (scheme-aware),
+    trailing-slash-run strip, schemeless passthrough."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import normalize_urls
+
+    got = normalize_urls(
+        pa.array(
+            [
+                "HTTP://WWW.Example.COM:80/Path/One/#Frag",
+                "https://Host.org:443/a/b///",
+                "https://Host.org:8443/Keep/Port",
+                "ftp://X.Y/z/",
+                "no-scheme-here#frag",
+                "http://case.COM/QUERY?x=Y#z",
+            ]
+        )
+    ).to_pylist()
+    assert got == [
+        "http://www.example.com/Path/One",
+        "https://host.org/a/b",
+        "https://host.org:8443/Keep/Port",
+        "ftp://x.y/z",
+        "no-scheme-here",
+        "http://case.com/QUERY?x=Y",
+    ]
