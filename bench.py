@@ -311,7 +311,7 @@ def _ref50k_queries() -> dict:
     out = "/tmp/se_ray_bench/ref50k"
     build_index(
         rd.read_parquet(path), out, EngineConfig(),
-        doc_id_mode="rank", fingerprint="ref50k_v1", resume=True, fuse=True,
+        doc_id_mode="rank", fingerprint="ref50k_v2", resume=True, fuse=True,
     )
     s = SegmentSearcher(out, EngineConfig())
     res = {}
@@ -326,7 +326,8 @@ def _ref50k_queries() -> dict:
             t0 = time.perf_counter()
             s.search(q)
             times.append(time.perf_counter() - t0)
-        res[f"ref50k:{q}"] = round(float(np.median(times)), 6)
+        # milliseconds, so the value sits unit-consistent next to :ref_ms
+        res[f"ref50k:{q}:ms"] = round(float(np.median(times)) * 1000.0, 3)
         res[f"ref50k:{q}:ref_ms"] = ref_ms
         res[f"ref50k:{q}:n_hits"] = len(hits)
     return res

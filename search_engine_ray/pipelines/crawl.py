@@ -164,26 +164,34 @@ def crawl_clean_corpus_ds(
     @ray.remote
     def _or_block(t: pa.Table) -> bytes:
         acc = np.zeros(n_words, np.uint64)
-        for r in t.column("bloom").to_pylist():
-            acc = acc | np.frombuffer(r, np.uint64)
+        # empty input blocks skip map_batches untouched and keep the DOCS
+        # schema (no "bloom" column) — treat them as empty filters
+        if "bloom" in t.column_names:
+            for r in t.column("bloom").to_pylist():
+                acc = acc | np.frombuffer(r, np.uint64)
         return acc.tobytes()
 
     @ray.remote
     def _or2(a: bytes, b: bytes) -> bytes:
         return (np.frombuffer(a, np.uint64) | np.frombuffer(b, np.uint64)).tobytes()
 
+    # materialize ONCE: to_arrow_refs on a lazy dataset re-executes the
+    # whole plan a second time for schema inference (see build.py's
+    # measured note) — this pass tokenizes+shingles the full corpus
     refs = [
         _or_block.remote(r)
-        for r in docs.map_batches(
-            partial_bloom, batch_format="pyarrow"
-        ).to_arrow_refs()
+        for r in docs.map_batches(partial_bloom, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
     ]
     while len(refs) > 1:
         refs = [
             _or2.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
             for i in range(0, len(refs), 2)
         ]
-    bloom_ref = refs[0]
+    bloom_ref = (
+        refs[0] if refs else ray.put(np.zeros(n_words, np.uint64).tobytes())
+    )
 
     def features(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

@@ -119,10 +119,16 @@ def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def ppm_resize_fn(payload: bytes, w: int, h: int, tw: int, th: int) -> bytes:
-    """Real decode → resize → encode for P6 payloads; non-PPM payloads fall
-    back to the deterministic marker stub (no codec libraries here)."""
+    """Real decode → resize → encode for P6 payloads; anything else —
+    including an arbitrary binary payload whose first bytes happen to be
+    'P6' (~1/65536 of random rows, a certainty at crawl scale) or a
+    truncated/corrupt PPM — falls back to the deterministic marker stub
+    instead of killing the stage."""
     if payload.startswith(b"P6"):
-        return encode_ppm(resize_nearest(decode_ppm(payload), tw, th))
+        try:
+            return encode_ppm(resize_nearest(decode_ppm(payload), tw, th))
+        except (ValueError, IndexError):
+            pass
     return hashlib.md5(payload).digest() + payload
 
 

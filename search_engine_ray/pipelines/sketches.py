@@ -194,6 +194,9 @@ def count_min_token_sketch(
     @ray.remote
     def block_sum(t: pa.Table) -> tuple[bytes, int]:
         acc = np.zeros(depth * width, np.int64)
+        # empty blocks pass through map_batches with the input schema
+        if "grid" not in t.column_names:
+            return acc.tobytes(), 0
         for g in t.column("grid").to_pylist():
             acc += np.frombuffer(g, np.int64)
         return acc.tobytes(), int(pc.sum(t.column("n")).as_py() or 0)
@@ -205,9 +208,13 @@ def count_min_token_sketch(
             a[1] + b[1],
         )
 
+    # materialize ONCE — to_arrow_refs on a lazy dataset re-executes the
+    # plan a second time for schema inference (measured in build.py)
     refs = [
         block_sum.remote(r)
-        for r in docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        for r in docs.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
     ]
     while len(refs) > 1:
         refs = [

@@ -1146,6 +1146,9 @@ def bloom_decontaminate_ds(
 
     @ray.remote
     def _block_blooms(t: pa.Table) -> bytes:
+        # empty blocks pass through map_batches with the input schema
+        if "bloom" not in t.column_names:
+            return np.zeros(n_words, np.uint64).tobytes()
         rows = t.column("bloom").to_pylist()
         if not rows:
             return np.zeros(n_words, np.uint64).tobytes()
@@ -1154,16 +1157,22 @@ def bloom_decontaminate_ds(
             acc = acc | np.frombuffer(r, np.uint64)
         return acc.tobytes()
 
+    # materialize ONCE — to_arrow_refs on a lazy dataset re-executes the
+    # plan a second time for schema inference (measured in build.py)
     refs = [
         _block_blooms.remote(r)
-        for r in docs.map_batches(partial_bloom, batch_format="pyarrow").to_arrow_refs()
+        for r in docs.map_batches(partial_bloom, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
     ]
     while len(refs) > 1:  # binary tree OR-reduce in the object store
         refs = [
             _or2.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
             for i in range(0, len(refs), 2)
         ]
-    bloom_ref = refs[0]
+    bloom_ref = (
+        refs[0] if refs else ray.put(np.zeros(n_words, np.uint64).tobytes())
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         bits = np.frombuffer(ray.get(bloom_ref), np.uint64)
@@ -1368,7 +1377,16 @@ class HashedLogisticScorer:
             self.b = 0.0
         else:  # ObjectRef or ndarray: a real model's weights
             w = _ray.get(weights) if not isinstance(weights, np.ndarray) else weights
-            self.w = np.asarray(w, np.float64)[:dim]
+            w = np.asarray(w, np.float64)
+            if len(w) != dim:
+                raise ValueError(
+                    f"weight vector length {len(w)} != dim {dim}: the "
+                    "hashing-trick bucket space must equal the model's "
+                    "feature dimension (a shorter vector would IndexError "
+                    "mid-inference; a longer one would silently score with "
+                    "a truncated model)"
+                )
+            self.w = w
             self.b = 0.0
         self.dim = dim
 

@@ -129,10 +129,23 @@ def synth_wiki_abstracts_table(n_docs: int = 50_000, seed: int = 1234) -> pa.Tab
         for i in range(n_docs)
     ]
 
+    # positions already used by a planted word, per doc — a later plant
+    # must never overwrite an earlier one (e.g. 'german' landing on the
+    # 'carl'/'friedrich' slot would silently break the phrase benchmark)
+    used: dict[int, set[int]] = {}
+
+    def _free_pos(d: int, span: int = 1) -> int:
+        slots = used.setdefault(int(d), set())
+        n = len(tokens[d])
+        while True:
+            p = int(rng.integers(0, n - span + 1))
+            if all(p + o not in slots for o in range(span)):
+                slots.update(p + o for o in range(span))
+                return p
+
     def plant(word: str, docs_idx: np.ndarray) -> None:
         for d in docs_idx:
-            p = int(rng.integers(0, len(tokens[d])))
-            tokens[d][p] = word
+            tokens[d][_free_pos(d)] = word
 
     all_docs = rng.permutation(n_docs)
     phil = all_docs[:400]
@@ -142,7 +155,7 @@ def synth_wiki_abstracts_table(n_docs: int = 50_000, seed: int = 1234) -> pa.Tab
 
     phrase_docs = all_docs[700:745]  # 45 docs with adjacent "carl friedrich"
     for d in phrase_docs:
-        p = int(rng.integers(0, len(tokens[d]) - 1))
+        p = _free_pos(int(d), span=2)
         tokens[d][p] = "carl"
         tokens[d][p + 1] = "friedrich"
     plant("carl", all_docs[745:895])
@@ -180,7 +193,7 @@ def synth_wiki_abstracts_parquet(
     seed: int = 1234,
 ) -> str:
     """Cached parquet form of synth_wiki_abstracts_table."""
-    path = os.path.join(cache_dir, f"wiki_{n_docs}_{seed}")
+    path = os.path.join(cache_dir, f"wiki_{n_docs}_{seed}_v2")
     marker = os.path.join(path, "_complete")
     if os.path.exists(marker):
         return path
