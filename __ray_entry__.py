@@ -526,6 +526,23 @@ def q_model_score(sf_dir: str):
     return model_score_ds(_docs(sf_dir), concurrency=2)
 
 
+def q_group_rank(sf_dir: str):
+    """Partitioned window rank: row_number() per source by (n_chars desc,
+    doc_id asc) — one shuffle, vectorized lexsort per group."""
+    from search_engine_ray.pipelines.relational import group_row_number_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    out = group_row_number_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "source", "n_chars"]),
+        part_col="source",
+        order_col="n_chars",
+        tiebreak_col="doc_id",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "source", "rn"]), batch_format="pyarrow"
+    )
+
+
 def q_url_normalize(sf_dir: str):
     """URL canonicalization (fragment strip, scheme/authority lowercase,
     default-port strip, trailing-slash strip). The corpus carries no url
@@ -1061,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": q_model_score,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "url_normalize": q_url_normalize,
+        "group_rank": q_group_rank,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1451,6 +1469,12 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN rates r ON d.source = r.source
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
       < printf('%08x', CAST(least(r.rate * 4294967296, 4294967295) AS BIGINT))
+""",
+        "group_rank": """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS rn
+FROM documents
 """,
         "url_normalize": """
 WITH raw AS (

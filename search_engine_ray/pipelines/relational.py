@@ -485,6 +485,36 @@ def group_median_ds(
     )
 
 
+def group_row_number_ds(
+    ds: rd.Dataset,
+    part_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    descending: bool = True,
+    out_col: str = "rn",
+) -> rd.Dataset:
+    """``row_number() OVER (PARTITION BY part ORDER BY order [DESC],
+    tiebreak ASC)`` — the partitioned window-rank operator Ray Data lacks.
+
+    One hash shuffle on ``part_col``; inside each group the rank is a
+    single numpy lexsort + inverse permutation (no Python per row).
+    Partitioning assumption (same as group_median_ds): one partition's
+    rows fit a task — true for enum-like keys; for giant partitions
+    pre-bucket by a secondary range and offset ranks by bucket sizes
+    (the pack_sequences prefix-scan shape)."""
+
+    def rank(group: pa.Table) -> pa.Table:
+        v = group.column(order_col).to_numpy(zero_copy_only=False)
+        t = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        key = -v if descending else v
+        order = np.lexsort((t, key))
+        rn = np.empty(len(order), np.int64)
+        rn[order] = np.arange(1, len(order) + 1)
+        return group.append_column(out_col, pa.array(rn, pa.int64()))
+
+    return ds.groupby(part_col).map_groups(rank, batch_format="pyarrow")
+
+
 def skew_hash_join(
     probe: rd.Dataset,
     build: rd.Dataset,

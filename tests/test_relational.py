@@ -326,3 +326,37 @@ def test_skew_join_drops_unmatched_hot_keys(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_group_row_number_matches_pandas(ray_session):
+    """row_number per partition (order desc, tiebreak asc) == pandas
+    groupby rank reference, including duplicate order values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import group_row_number_ds
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "grp": rng.choice(["a", "b", "c"], size=n),
+            "val": rng.integers(0, 50, size=n).astype(np.int64),  # many ties
+        }
+    )
+    got = (
+        group_row_number_ds(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5),
+            part_col="grp", order_col="val", tiebreak_col="id",
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["grp", "val", "id"], ascending=[True, False, True])
+    want["rn"] = want.groupby("grp").cumcount() + 1
+    want = want.sort_values("id").reset_index(drop=True)
+    assert got["rn"].tolist() == want["rn"].tolist()
