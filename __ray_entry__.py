@@ -543,6 +543,67 @@ def q_group_rank(sf_dir: str):
     )
 
 
+def q_user_lag(sf_dir: str):
+    """lag(value) per user by event time — the previous-event window op
+    (one shuffle, per-group vectorized shift)."""
+    from search_engine_ray.pipelines.relational import group_lag_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    out = group_lag_ds(
+        read_events(sf_dir.rstrip("/"), columns=["user_id", "event_id", "value"]),
+        part_col="user_id",
+        order_col="event_id",  # unique per row: deterministic order
+        val_col="value",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "lag_val": pc.round(
+                    b.column("lag_val").cast(pa.float64()), ndigits=6
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_user_cumsum(sf_dir: str):
+    """Running per-user total of an integer metric by event order — the
+    ROWS-UNBOUNDED-PRECEDING window op, int64-exact."""
+    from search_engine_ray.pipelines.relational import group_cumsum_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    ev = read_events(sf_dir.rstrip("/"), columns=["user_id", "event_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "cents": pa.array(v, pa.int64()),
+            }
+        )
+
+    out = group_cumsum_ds(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="event_id",
+        val_col="cents",
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "running_sum"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_url_normalize(sf_dir: str):
     """URL canonicalization (fragment strip, scheme/authority lowercase,
     default-port strip, trailing-slash strip). The corpus carries no url
@@ -1079,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "url_normalize": q_url_normalize,
         "group_rank": q_group_rank,
+        "user_lag": q_user_lag,
+        "user_cumsum": q_user_cumsum,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1475,6 +1538,19 @@ SELECT doc_id, source,
        row_number() OVER (PARTITION BY source
                           ORDER BY n_chars DESC, doc_id) AS rn
 FROM documents
+""",
+        "user_lag": """
+SELECT event_id, user_id,
+       round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 6)
+         AS lag_val
+FROM events
+""",
+        "user_cumsum": """
+SELECT event_id, user_id,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS running_sum
+FROM events
 """,
         "url_normalize": """
 WITH raw AS (

@@ -515,6 +515,58 @@ def group_row_number_ds(
     return ds.groupby(part_col).map_groups(rank, batch_format="pyarrow")
 
 
+def group_lag_ds(
+    ds: rd.Dataset,
+    part_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "lag_val",
+) -> rd.Dataset:
+    """``lag(val) OVER (PARTITION BY part ORDER BY order)`` — previous
+    row's value within the partition (null for the first row). Same
+    single-shuffle + per-group numpy shape as group_row_number_ds."""
+
+    def lag(group: pa.Table) -> pa.Table:
+        o = group.column(order_col).to_numpy(zero_copy_only=False)
+        v = group.column(val_col)
+        order = np.argsort(o, kind="stable")
+        prev = np.full(len(o), -1, np.int64)
+        prev[order[1:]] = order[:-1]
+        has = prev >= 0
+        idx = pa.array(
+            np.where(has, prev, 0).astype(np.int64), pa.int64()
+        )
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        shifted = v.take(idx)
+        out = pc.if_else(pa.array(has), shifted, pa.scalar(None, v.type))
+        return group.append_column(out_col, out)
+
+    return ds.groupby(part_col).map_groups(lag, batch_format="pyarrow")
+
+
+def group_cumsum_ds(
+    ds: rd.Dataset,
+    part_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "running_sum",
+) -> rd.Dataset:
+    """``sum(val) OVER (PARTITION BY part ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` — per-partition running total, int64-exact (the order
+    column must be unique within a partition, as with ROWS framing)."""
+
+    def csum(group: pa.Table) -> pa.Table:
+        o = group.column(order_col).to_numpy(zero_copy_only=False)
+        v = group.column(val_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(o, kind="stable")
+        run = np.empty(len(o), np.int64)
+        run[order] = np.cumsum(v[order])
+        return group.append_column(out_col, pa.array(run, pa.int64()))
+
+    return ds.groupby(part_col).map_groups(csum, batch_format="pyarrow")
+
+
 def skew_hash_join(
     probe: rd.Dataset,
     build: rd.Dataset,

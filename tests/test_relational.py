@@ -360,3 +360,42 @@ def test_group_row_number_matches_pandas(ray_session):
     want["rn"] = want.groupby("grp").cumcount() + 1
     want = want.sort_values("id").reset_index(drop=True)
     assert got["rn"].tolist() == want["rn"].tolist()
+
+
+def test_group_lag_and_cumsum_match_pandas(ray_session):
+    """lag + running-sum window ops == pandas groupby shift/cumsum, with
+    nulls for each partition's first row and exact int64 running totals."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import group_cumsum_ds, group_lag_ds
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "part": rng.choice([10, 20, 30], size=n).astype(np.int64),
+            "ord": np.arange(n, dtype=np.int64),
+            "val": rng.integers(-100, 100, size=n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    lag = (
+        group_lag_ds(ds, part_col="part", order_col="ord", val_col="val")
+        .to_pandas().sort_values("ord").reset_index(drop=True)
+    )
+    want_lag = df.groupby("part")["val"].shift(1)
+    assert lag["lag_val"].isna().equals(want_lag.isna())
+    assert (lag["lag_val"].dropna() == want_lag.dropna()).all()
+
+    cs = (
+        group_cumsum_ds(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6),
+            part_col="part", order_col="ord", val_col="val",
+        )
+        .to_pandas().sort_values("ord").reset_index(drop=True)
+    )
+    want_cs = df.groupby("part")["val"].cumsum()
+    assert cs["running_sum"].tolist() == want_cs.tolist()
