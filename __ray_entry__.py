@@ -636,9 +636,12 @@ def q_url_normalize(sf_dir: str):
 
 def q_cm_heavy_hitters(sf_dir: str):
     """Count-Min frequency sketch vs the exact top-20 term counts: CM
-    never underestimates, and the overestimate is bounded by
-    ceil((e/width) * total_tokens) w.h.p. — both asserted per term; the
-    oracle pins the outcome over the exact top-term set."""
+    never underestimates (deterministic), and the overestimate is asserted
+    within TWICE the textbook (e/width)*total bound at depth 6. Margin
+    math: per row P(err > 2e*total/width) <= 1/(2e) (Markov), so per term
+    P(miss) <= (2e)^-6 ~= 4e-5 and across 20 terms ~8e-4 — the pinned
+    all-ones oracle survives corpus/SF changes, unlike the depth-4 1x bound
+    whose a-priori any-term failure odds were ~30%."""
     import math
 
     import pandas as pd
@@ -650,9 +653,9 @@ def q_cm_heavy_hitters(sf_dir: str):
     from search_engine_ray.pipelines.text import top_terms_ds
 
     top = top_terms_ds(_docs(sf_dir), k=20).to_pandas()
-    grid, total = count_min_token_sketch(_docs(sf_dir))
+    grid, total = count_min_token_sketch(_docs(sf_dir), depth=6)
     est = cm_estimate(grid, pa.array(top["term"].tolist(), pa.string()))
-    bound = math.ceil(math.e / grid.shape[1] * total)
+    bound = 2 * math.ceil(math.e / grid.shape[1] * total)
     true = top["n"].to_numpy()
     within = (est >= true) & (est - true <= bound)
     return (
@@ -1547,9 +1550,9 @@ FROM events
 """,
         "user_cumsum": """
 SELECT event_id, user_id,
-       sum(CAST(round(value * 100) AS BIGINT))
+       (sum(CAST(round(value * 100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY event_id
-               ROWS UNBOUNDED PRECEDING) AS running_sum
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS running_sum
 FROM events
 """,
         "url_normalize": """
@@ -1839,17 +1842,22 @@ FROM s1""",
         "stratified_sample": """
 SELECT lang, doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 10""",
-        # integer-cents summation on both sides (float-order independent)
+        # integer-cents summation on both sides (float-order independent);
+        # ORDER BY pins row order to the Ray side's deterministic sort
         "segment_revenue": """
 SELECT c_mktsegment,
        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY 1""",
+GROUP BY 1
+ORDER BY c_mktsegment""",
         # all metrics as exact integer numerators (cents / basis-point
-        # products) so the hash is float-summation-order independent
+        # products) so the hash is float-summation-order independent.
+        # sum_qty needs the ::BIGINT cast: DuckDB's sum(BIGINT) returns
+        # HUGEINT (decimal128) while the Ray side emits int64 — identical
+        # values in different physical types flip a dtype-sensitive hash.
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
          AS sum_base_price,
        round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1862,13 +1870,15 @@ SELECT l_returnflag, l_linestatus,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
-GROUP BY 1, 2""",
+GROUP BY 1, 2
+ORDER BY l_returnflag, l_linestatus""",
         "order_nations": """
-SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+SELECT c_nationkey::BIGINT AS c_nationkey, count(*)::BIGINT AS n_orders,
        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
          AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_nationkey""",
+GROUP BY c_nationkey
+ORDER BY c_nationkey""",
         "revenue_rollup": """
 SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
        coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1876,11 +1886,13 @@ SELECT coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
          AS revenue,
        count(*)::BIGINT AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY ROLLUP (c_mktsegment, o_orderpriority)""",
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+ORDER BY 1, 2""",
         "type_median": """
 SELECT event_type, round(median(value), 6) AS median_value,
        count(*)::BIGINT AS n
-FROM events GROUP BY event_type""",
+FROM events GROUP BY event_type
+ORDER BY event_type""",
         "pack_sequences": f"""
 WITH tok AS (SELECT doc_id, len({tok}) AS n_tokens FROM documents),
 c AS (
@@ -1902,11 +1914,13 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 SEMI JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
   ON o_custkey = c_custkey""",
         # the Ray side extracts with RE2; json_extract (a real JSON parser)
-        # cross-checks the regex
+        # cross-checks the regex. sum_k ::BIGINT: sum(BIGINT) is HUGEINT in
+        # DuckDB, the Ray side is int64.
         "json_field_stats": """
 SELECT event_type, count(*)::BIGINT AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY 1""",
+FROM events GROUP BY 1
+ORDER BY event_type""",
     }

@@ -135,6 +135,7 @@ def _split_input(
 
 def _dedup_duplicate_urls(
     pages: rd.Dataset,
+    scratch_base: str | None = None,
 ) -> tuple[rd.Dataset, int]:
     """Exact URL dedup in the batch build (SURVEY D2): keep ONE row per url,
     winner = lexicographic min over whichever of (warc_ts, add_order, rank)
@@ -157,7 +158,10 @@ def _dedup_duplicate_urls(
     the hash-count pass.
 
     Returns (filtered_pages, n_skipped_duplicate_rows)."""
-    from search_engine_ray.stages.postings import _hash_utf8_array
+    from search_engine_ray.stages.postings import (
+        _hash_utf8_array,
+        _hash_utf8_array_tab,
+    )
 
     schema_names = pages.schema().names
     key_cols = [c for c in ("warc_ts", "add_order", "rank") if c in schema_names]
@@ -243,10 +247,16 @@ def _dedup_duplicate_urls(
     else:
         # crawl scale: the distinct-hash table no longer fits one task —
         # fall back to the disk bucket shuffle + per-bucket dup scan.
-        # Scratch must be node-shared (emit and scan tasks land anywhere):
-        # SE_RAY_SHUFFLE_BASE may be a path or URI, routed through fsio.
+        # Scratch must be node-shared (emit tasks write bucket files and
+        # the driver + scan tasks read them back from any node): prefer the
+        # caller's shared storage (the build threads its out_dir through
+        # scratch_base, mirroring _shuffle_dir_for); SE_RAY_SHUFFLE_BASE
+        # overrides; /tmp only as the single-node last resort. All values
+        # may be paths or pyarrow.fs URIs, routed through fsio.
         shuffle_dir = fsio.join(
-            os.environ.get("SE_RAY_SHUFFLE_BASE") or "/tmp/se_ray_url_dedup",
+            os.environ.get("SE_RAY_SHUFFLE_BASE")
+            or scratch_base
+            or "/tmp/se_ray_url_dedup",
             f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
         )
         fsio.rmtree(shuffle_dir)
@@ -301,7 +311,10 @@ def _dedup_duplicate_urls(
     # keyed by the 128-bit (h1, h2) url hash; tree-reduced in the object
     # store. No row data touches the driver.
     def _second_hashes(arr: pa.Array) -> np.ndarray:
-        return _hash_utf8_array(arr, poly=_URL_H2_POLY, add=131)
+        # tabulation-style hash: structurally independent of h1's
+        # polynomial scheme (a joint adversarial collision would need to
+        # solve two unrelated algebraic systems at once)
+        return _hash_utf8_array_tab(arr)
 
     kn = [f"k{i}" for i in range(len(key_cols))]
     empty_winners = pa.table(
@@ -431,7 +444,10 @@ def skip_consecutive_dup_urls_ds(
     set anti-joins back onto the full rows. No driver-side row data; both
     shuffles are int64-pair exchanges. SQL mirror: lag(key) OVER (ORDER BY
     order)."""
-    from search_engine_ray.stages.postings import _hash_utf8_array
+    from search_engine_ray.stages.postings import (
+        _hash_utf8_array,
+        _hash_utf8_array_tab,
+    )
 
     def hashes(shift: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -439,7 +455,7 @@ def skip_consecutive_dup_urls_ds(
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
             h1 = _hash_utf8_array(keys)
-            h2 = _hash_utf8_array(keys, poly=_URL_H2_POLY, add=131)
+            h2 = _hash_utf8_array_tab(keys)
             order = batch.column(order_col).cast(pa.int64())
             if shift:
                 order = pc.add(order, shift)
@@ -487,13 +503,17 @@ def skip_consecutive_dup_urls_ds(
     return shuffle_semi_anti_join(pages, drops, on=order_col, anti=True)
 
 
-def url_dedup_ds(pages: rd.Dataset) -> rd.Dataset:
+def url_dedup_ds(
+    pages: rd.Dataset, scratch_dir: str | None = None
+) -> rd.Dataset:
     """Public D2 operator: one surviving row per url with a deterministic
     winner — min (warc_ts, add_order, rank) over whichever exist (the
     reference throws on duplicate adds, engine.ts:56-58; its demo driver
     skips, demo.ts:129-131). Same machinery the batch build runs when
-    ``dedup_urls=True``."""
-    kept, _ = _dedup_duplicate_urls(pages)
+    ``dedup_urls=True``. On a multi-node cluster pass ``scratch_dir``
+    (shared path/URI) or set SE_RAY_SHUFFLE_BASE so the >64M-distinct-url
+    disk-shuffle fallback lands on node-shared storage."""
+    kept, _ = _dedup_duplicate_urls(pages, scratch_base=scratch_dir)
     return kept
 
 
@@ -530,8 +550,9 @@ def _block_rows_build(t: pa.Table) -> int:
     return t.num_rows
 
 
-# second, independent polynomial for the url-dedup (h1, h2) 128-bit key
-_URL_H2_POLY = np.uint64(0x9E3779B97F4A7C15)
+# (the former second polynomial _URL_H2_POLY is gone: h2 now comes from
+# _hash_utf8_array_tab, a tabulation-style hash structurally independent
+# of h1's polynomial scheme)
 
 
 def _winner_reduce(
@@ -877,7 +898,9 @@ def _build_index_fused(
     n_dup_urls_skipped = 0
     t0 = time.perf_counter()
     if dedup_urls:
-        pages, n_dup_urls_skipped = _dedup_duplicate_urls(pages)
+        pages, n_dup_urls_skipped = _dedup_duplicate_urls(
+            pages, scratch_base=fsio.join(out_dir, "url_dedup_shuffle")
+        )
         timings["url_dedup"] = time.perf_counter() - t0
 
     # hot-term sample + corpus-size estimate from the INPUT (no docs table
@@ -1149,7 +1172,9 @@ def build_index(
         except Exception:
             est_rows = 0
         if dedup_urls:
-            pages, n_dup_urls_skipped = _dedup_duplicate_urls(pages)
+            pages, n_dup_urls_skipped = _dedup_duplicate_urls(
+                pages, scratch_base=fsio.join(out_dir, "url_dedup_shuffle")
+            )
             timings["url_dedup"] = time.perf_counter() - t0
         counters = StageCounters.remote()
         ds = _split_input(pages, target_blocks, est_rows)

@@ -160,7 +160,8 @@ def segment_revenue_ds(
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # ~5 rows: sort so output order is deterministic across runs
+    return agg.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")
 
 
 def pricing_summary_ds(

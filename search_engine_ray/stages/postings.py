@@ -220,6 +220,49 @@ def _hash_utf8_array(
     return h
 
 
+def _hash_utf8_array_tab(arr: pa.Array) -> np.ndarray:
+    """Tabulation-style per-string uint64 hash, fully vectorized —
+    STRUCTURALLY independent of ``_hash_utf8_array``'s polynomial scheme.
+
+    h(s) = splitmix64( sum_i splitmix64(pos_i * K ^ byte_i) ^ len * L ):
+    each (position, byte) pair indexes a pseudorandom 64-bit table entry
+    (SplitMix64 of the packed pair) and the entries are summed per string.
+    A collision here requires equal SUMS of effectively-random table
+    values — a different algebraic problem from the linear-recurrence
+    collisions of a polynomial hash, so an adversary cannot construct a
+    joint (h1, h2) collision by solving one polynomial system (the round-3
+    h2 used the SAME polynomial form with different constants, which made
+    the documented ~n^2/2^129 bound optimistic under adversarial input)."""
+    from search_engine_ray.pipelines.sketches import _splitmix64
+
+    _K = np.uint64(0xD6E8FEB86659FD93)
+    _L = np.uint64(0xA3AAC1A9B1F4E2C5)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    lens = np.diff(off)
+    with np.errstate(over="ignore"):
+        if len(data):
+            parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+            starts_b = np.repeat(off[:-1] - off[0], lens)
+            pos = (np.arange(len(data), dtype=np.int64) - starts_b).astype(
+                np.uint64
+            )
+            entries = _splitmix64(pos * _K ^ data.astype(np.uint64))
+            h = np.zeros(n, dtype=np.uint64)
+            np.add.at(h, parent, entries)
+        else:
+            h = np.zeros(n, dtype=np.uint64)
+        return _splitmix64(h ^ lens.astype(np.uint64) * _L)
+
+
 def partial_df_batch(batch: pa.Table, config: EngineConfig) -> pa.Table:
     """Per-batch partial document frequencies (term, pdf) with the same term
     filter as emit — the df pre-pass that decides which terms get salted."""
