@@ -31,6 +31,26 @@ def _idx_dir(sf_dir: str) -> str:
     return f"/tmp/se_ray_entry/{h}"
 
 
+def _docs_to_pages(batch: pa.Table) -> pa.Table:
+    """documents rows → the build's page shape (url/html/rank), empty title
+    so tokens == text tokens."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+            "html": pa.array(
+                [
+                    f"<html><head><title></title></head><body>{t}</body></html>".encode()
+                    for t in texts
+                ],
+                pa.binary(),
+            ),
+            "rank": pa.array(ids, pa.int64()),
+        }
+    )
+
+
 def _docs_searcher(sf_dir: str):
     """Build (or resume) the inverted index over the documents table and
     return a SegmentSearcher. Empty title so tokens == text tokens."""
@@ -44,26 +64,9 @@ def _docs_searcher(sf_dir: str):
     out = _idx_dir(sf_dir)
     config = EngineConfig()
 
-    def to_pages(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        return pa.table(
-            {
-                "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
-                "html": pa.array(
-                    [
-                        f"<html><head><title></title></head><body>{t}</body></html>".encode()
-                        for t in texts
-                    ],
-                    pa.binary(),
-                ),
-                "rank": pa.array(ids, pa.int64()),
-            }
-        )
-
     pages = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(to_pages, batch_format="pyarrow")
+    ).map_batches(_docs_to_pages, batch_format="pyarrow")
     build_index(
         pages, out, config, doc_id_mode="rank", fingerprint=sf_dir, resume=True
     )
@@ -188,6 +191,54 @@ def q_url_dedup(sf_dir: str):
 def q_search_and(sf_dir: str):
     s = _docs_searcher(sf_dir)
     rows = s.search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
+def q_add_compact(sf_dir: str):
+    """The reference's incremental lifecycle (engine.ts:43-99 repeated adds
+    → one queryable index) as a driver query: build the base index over the
+    even-doc_id half of documents, ``add_generation`` the odd half as a
+    second Lucene-style generation, ``compact`` back to ONE generation, and
+    run the same conjunctive search as ``search_and``. Correct generations
+    + merge + compaction ⇒ the result is identical to a single-shot build,
+    so it shares the search_and SQL oracle."""
+    import shutil
+
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import (
+        add_generation,
+        build_index,
+        compact,
+    )
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.state.segments import generation_dirs
+
+    sf_dir = sf_dir.rstrip("/")
+    out = _idx_dir(sf_dir) + "_ac"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig()
+
+    def half(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return _docs_to_pages(batch.filter(pa.array(ids % 2 == parity)))
+
+        return f
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_index(
+        docs.map_batches(half(0), batch_format="pyarrow"),
+        out, config, doc_id_mode="rank", resume=False,
+    )
+    add_generation(
+        out, docs.map_batches(half(1), batch_format="pyarrow"), config
+    )
+    assert len(generation_dirs(out)) == 2
+    compact(out, config)
+    assert len(generation_dirs(out)) == 1
+    rows = SegmentSearcher(out, config).search("table query", max_count=100)
     return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
 
 
@@ -1072,82 +1123,96 @@ def q_pricing_summary(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Dict order is load-bearing: the round driver checks the FIRST 50
+    # entries against oracle_sql(). The window therefore holds (a) the core
+    # build/search/dedup/relational set and (b) every oracle-bearing query
+    # that had not yet produced a CORRECTNESS row by round 3 (the r3 verdict
+    # lists them). Long-proven single-op trivia (token_count_bpe, quality,
+    # fingerprint, lang_id, simhash, the simple window aggregates, the
+    # samplers — all green in r1–r3) rotate below the window; their r3
+    # records stand.
     return {
+        # --- core text/build/search (green r1–r3, kept in-window)
         "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
         "term_df": q_term_df,
         "top_terms": q_top_terms,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "skip_filter": q_skip_filter,
-        "extract_roundtrip": q_extract_roundtrip,
         "postings_pairs": q_postings_pairs,
         "exact_dedup": q_exact_dedup,
         "url_dedup": q_url_dedup,
         "search_and": q_search_and,
         "bm25_topk": q_bm25_topk,
+        "search_phrase": q_search_phrase,
+        "wand_or_topk": q_wand_or_topk,
+        "batch_bm25": q_batch_bm25,
+        "add_compact": q_add_compact,  # NEW r4: incremental lifecycle
+        # --- dedup / similarity / text-analysis core
         "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_neardup": q_simhash_neardup,
         "dup_clusters": q_dup_clusters,
+        "dedup_spans": q_dedup_spans,
         "tfidf_topk": q_tfidf_topk,
         "cooccur_pmi": q_cooccur_pmi,
-        "dedup_spans": q_dedup_spans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
-        "lang_id": q_lang_id,
-        "minhash_pairs": q_minhash_pairs,
-        "wand_or_topk": q_wand_or_topk,
-        "search_phrase": q_search_phrase,
-        "simhash": q_simhash,
-        "simhash_neardup": q_simhash_neardup,
-        "batch_bm25": q_batch_bm25,
-        "tumbling_window": q_tumbling_window,
-        "hopping_window": q_hopping_window,
-        "funnel": q_funnel,
-        "window_users": q_window_users,
+        "clean_corpus": q_clean_corpus,
+        "crawl_clean": q_crawl_clean,
+        "decontaminate": q_decontaminate,
+        # --- windows / relational core
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "repetition": q_repetition,
-        "decontaminate": q_decontaminate,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "spell_suggest": q_spell_suggest,
-        "autocomplete": q_autocomplete,
-        "clean_corpus": q_clean_corpus,
-        "crawl_clean": q_crawl_clean,
-        "dup_ngram_stats": q_dup_ngram_stats,
-        "unigram_lm": q_unigram_lm,
-        "quantile_bucket": q_quantile_bucket,
-        "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
         "segment_revenue": q_segment_revenue,
         "pricing_summary": q_pricing_summary,
         "idle_customers": q_idle_customers,
+        # --- oracle-bearing, first driver check this round (r3 verdict #2)
         "pack_sequences": q_pack_sequences,
         "revenue_rollup": q_revenue_rollup,
         "order_nations": q_order_nations,
         "type_median": q_type_median,
         "segment_orders": q_segment_orders,
-        "semdedup": q_semdedup,
         "json_field_stats": q_json_field_stats,
+        "winnow_md5": q_winnow_md5,
+        "skip_consecutive": q_skip_consecutive,
+        "domain_mix": q_domain_mix,
+        "group_rank": q_group_rank,
+        "user_lag": q_user_lag,
+        "user_cumsum": q_user_cumsum,
+        "url_normalize": q_url_normalize,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "hll_error": q_hll_error,
+        "bloom_flag": q_bloom_flag,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
+        # ---------------- below the driver's 50-entry window ----------------
+        "token_count_bpe": q_token_count_bpe,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "skip_filter": q_skip_filter,
+        "extract_roundtrip": q_extract_roundtrip,
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
+        "tumbling_window": q_tumbling_window,
+        "hopping_window": q_hopping_window,
+        "funnel": q_funnel,
+        "window_users": q_window_users,
+        "repetition": q_repetition,
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "spell_suggest": q_spell_suggest,
+        "autocomplete": q_autocomplete,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "unigram_lm": q_unigram_lm,
+        "quantile_bucket": q_quantile_bucket,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
         # rows-only (no SQL oracle)
         "hll_users": q_hll_users,
         "bloom_decontaminate": q_bloom_decontaminate,
         "winnow_fp": q_winnow_fp,
-        "winnow_md5": q_winnow_md5,
-        "skip_consecutive": q_skip_consecutive,
-        "domain_mix": q_domain_mix,
-        "hll_error": q_hll_error,
-        "bloom_flag": q_bloom_flag,
         "model_score": q_model_score,
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "url_normalize": q_url_normalize,
-        "group_rank": q_group_rank,
-        "user_lag": q_user_lag,
-        "user_cumsum": q_user_cumsum,
-        "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_ivf_recall": q_ann_ivf_recall,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
@@ -1706,6 +1771,16 @@ WHERE length(term) >= 2""",
         "exact_dedup": "SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)",
         "url_dedup": "SELECT 'doc://' || CAST(doc_id // 3 AS VARCHAR) AS url, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
         "search_and": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
+        # incremental build (base + add_generation + compact) must equal the
+        # single-shot build, so it shares search_and's oracle
+        "add_compact": f"""
 SELECT doc_id FROM (
   SELECT doc_id FROM (
     SELECT DISTINCT doc_id, term FROM (

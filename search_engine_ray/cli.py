@@ -16,20 +16,25 @@ import sys
 import time
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """Init Ray if nobody else has; returns True iff WE initialized it (the
+    caller then owns the matching shutdown — an embedding process's session,
+    e.g. pytest's, must not be torn down by a CLI call)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(
-            address="local",
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-            **kwargs,
-        )
+    if ray.is_initialized():
+        return False
+    kwargs = {}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(
+        address="local",
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        **kwargs,
+    )
+    return True
 
 
 def cmd_build(args: argparse.Namespace) -> int:
@@ -44,7 +49,7 @@ def cmd_build(args: argparse.Namespace) -> int:
     )
     from search_engine_ray.pipelines.build import build_index
 
-    _init_ray(args.num_cpus)
+    owns_ray = _init_ray(args.num_cpus)
     demo = args.stop_words == "demo"
     config = EngineConfig(
         stop_words=DEMO_STOP_WORDS if demo else frozenset(),
@@ -90,7 +95,8 @@ def cmd_build(args: argparse.Namespace) -> int:
             }
         )
     )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
@@ -143,7 +149,7 @@ def cmd_add(args: argparse.Namespace) -> int:
     from search_engine_ray.config import EngineConfig
     from search_engine_ray.pipelines.build import add_generation
 
-    _init_ray(args.num_cpus)
+    owns_ray = _init_ray(args.num_cpus)
     pages = rd.read_parquet(args.input)
     if args.limit:
         pages = pages.limit(args.limit)
@@ -163,7 +169,8 @@ def cmd_add(args: argparse.Namespace) -> int:
             }
         )
     )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
@@ -174,7 +181,7 @@ def cmd_compact(args: argparse.Namespace) -> int:
     from search_engine_ray.config import EngineConfig
     from search_engine_ray.pipelines.build import compact
 
-    _init_ray(args.num_cpus)
+    owns_ray = _init_ray(args.num_cpus)
     t0 = time.perf_counter()
     res = compact(args.index, EngineConfig())
     print(
@@ -187,7 +194,8 @@ def cmd_compact(args: argparse.Namespace) -> int:
             }
         )
     )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
@@ -238,20 +246,32 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     batch-output path (many part files, never one giant file)."""
     import ray
 
-    _init_ray(args.num_cpus)
+    owns_ray = _init_ray(args.num_cpus)
     import importlib
 
     entry = importlib.import_module("__ray_entry__")
     qs = entry.queries()
-    if args.name not in qs:
-        print(f"unknown pipeline {args.name!r}; available: {sorted(qs)}")
+    name = args.name
+    if getattr(args, "preset", "crawl") == "crawl":
+        from search_engine_ray.pipelines.crawl import CRAWL_QUERY_SUBSTITUTES
+
+        sub = CRAWL_QUERY_SUBSTITUTES.get(name)
+        if sub is not None:
+            print(
+                f"preset=crawl: running {sub!r} (scale-safe variant of "
+                f"{name!r}); pass --preset exact to force the exact variant",
+                file=sys.stderr,
+            )
+            name = sub
+    if name not in qs:
+        print(f"unknown pipeline {name!r}; available: {sorted(qs)}")
         return 2
     import pandas as pd
     import pyarrow as pa_
     import ray.data as rd
 
     t0 = time.perf_counter()
-    res = qs[args.name](args.sf_dir)
+    res = qs[name](args.sf_dir)
     if isinstance(res, pd.DataFrame):
         res = rd.from_pandas(res)
     elif isinstance(res, pa_.Table):
@@ -261,14 +281,16 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     print(
         json.dumps(
             {
-                "pipeline": args.name,
+                "pipeline": name,
+                "requested": args.name,
                 "rows": int(n),
                 "wall_sec": round(time.perf_counter() - t0, 2),
                 "out": args.out,
             }
         )
     )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
@@ -334,6 +356,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     r.add_argument("--out", required=True)
     r.add_argument("--num-cpus", type=int, default=0)
+    r.add_argument(
+        "--preset",
+        choices=("crawl", "exact"),
+        default="crawl",
+        help="crawl (default): substitute scale-safe variants for "
+        "quadratic/broadcast-heavy exact operators; exact: run the "
+        "requested operator verbatim (oracle parity, small corpora)",
+    )
     r.set_defaults(fn=cmd_pipeline)
 
     st = sub.add_parser("stats", help="index-size report (du -sh analogue)")

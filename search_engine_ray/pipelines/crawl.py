@@ -50,6 +50,23 @@ import ray.data as rd
 #: logged count.
 CRAWL_MAX_GROUP = 2048
 
+#: CLI `pipeline --preset crawl` (the default) swaps a requested query for
+#: its crawl-scale counterpart so the quadratic / broadcast-heavy exact
+#: variants cannot be run on a real crawl by accident. `--preset exact`
+#: opts out (oracle-parity runs, small corpora). Keys and values are
+#: __ray_entry__.queries() names.
+CRAWL_QUERY_SUBSTITUTES: dict[str, str] = {
+    # exact all-pairs shingle Jaccard -> MinHash+LSH banding
+    "ngram_jaccard": "minhash_pairs",
+    # broadcast exact shingle decontamination -> fixed-size Bloom filter
+    "decontaminate": "bloom_decontaminate",
+    "clean_corpus": "crawl_clean",
+    # exact O(n^2/B^2) block cross-product -> LSH-bucketed cosine
+    "embedding_neardup": "embedding_neardup_lsh",
+    # per-string md5 winnowing -> vectorized rolling-hash winnowing
+    "winnow_md5": "winnow_fp",
+}
+
 #: One place to read every scale default this preset applies.
 CRAWL_PRESET: dict = {
     "max_group": CRAWL_MAX_GROUP,
@@ -139,7 +156,7 @@ def crawl_clean_corpus_ds(
     the safe direction. Output: (doc_id, n_tokens), same schema as
     clean_corpus_ds."""
     from search_engine_ray.functions.textstats import (
-        md5_fingerprints,
+        md5_fingerprints_arrow,
         quality_metrics,
         repetition_metrics,
         shingle_hashes_batch,
@@ -238,7 +255,7 @@ def crawl_clean_corpus_ds(
             ktext = ktext.combine_chunks()
         return pa.table(
             {
-                "fp": pa.array(md5_fingerprints(ktext.to_pylist()), pa.string()),
+                "fp": pa.array(md5_fingerprints_arrow(ktext), pa.string()),
                 "doc_id": kept.column("doc_id").cast(pa.int64()),
                 "n_tokens": pa.array(q["n_tokens"][ok], pa.int64()),
             }

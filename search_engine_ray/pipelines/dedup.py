@@ -40,7 +40,7 @@ from ray.data.aggregate import Max, Min
 
 from search_engine_ray.functions.textstats import (
     band_keys_batch,
-    md5_fingerprints,
+    md5_fingerprints_arrow,
     minhash_params,
     minhash_signatures_flat,
     shingle_hashes_batch,
@@ -90,7 +90,7 @@ def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
         return pa.table(
             {
                 "fp": pa.array(
-                    md5_fingerprints(batch.column("text").to_pylist()), pa.string()
+                    md5_fingerprints_arrow(batch.column("text")), pa.string()
                 ),
                 "doc_id": batch.column("doc_id"),
             }
@@ -800,12 +800,11 @@ def dup_ngram_stats_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
     every occurrence of a shingle lands in one bucket; a groupby(_bkt)
     map_groups computes document frequency within the bucket via one
     dictionary-encode + bincount (no per-shingle Python); (2) a native
-    groupby(doc_id) sums the flags. The bucket hash (crc32) is internal
+    groupby(doc_id) sums the flags. The bucket hash is internal
     partitioning only — equality is decided on the strings, so hash
     collisions cannot corrupt counts."""
-    import zlib
-
     from search_engine_ray.functions.textstats import distinct_shingle_strings
+    from search_engine_ray.stages.postings import _hash_utf8_array
 
     n_buckets = _n_pair_buckets()
 
@@ -816,15 +815,11 @@ def dup_ngram_stats_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
             text = text.combine_chunks()
         p, sh = distinct_shingle_strings(text, k)
         # hash only the batch-unique shingles (the dictionary), then fan
-        # out through the codes — crc32 calls ∝ vocabulary, not rows
+        # out through the codes — hash work ∝ vocabulary, not rows; the
+        # hash is vectorized over the dictionary's Arrow buffer
         enc = sh.dictionary_encode()
-        dic = enc.dictionary.to_pylist()
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        h = np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) for s in dic),
-            dtype=np.uint64,
-            count=len(dic),
-        )
+        h = _hash_utf8_array(enc.dictionary)
         bkt = (h[codes] % np.uint64(n_buckets)).astype(np.int64)
         return pa.table(
             {
@@ -1150,10 +1145,10 @@ def dedup_spans_ds(docs: rd.Dataset, k: int = 3, min_count: int = 2) -> rd.Datas
 
     Scale shape — two bucketed shuffles, zero driver state, no joins:
     (1) positional (doc_id, pos, shingle-string) rows stream out of one
-    vectorized map_batches, bucketed on crc32(shingle) so every occurrence
+    vectorized map_batches, bucketed on hash(shingle) so every occurrence
     of a gram lands in one bucket; within the bucket one dictionary-encode
     + bincount finds the duplicated grams and emits ONLY their (doc_id,
-    pos) rows (equality on strings — the crc32 is internal partitioning,
+    pos) rows (equality on strings — the hash is internal partitioning,
     collisions cannot corrupt). (2) the coverage rows and the docs rows
     are co-bucketed on doc_id (reduce-side join); each bucket re-tokenizes
     its docs once, turns coverage into a flat boolean mask ([pos, pos+k)
@@ -1163,9 +1158,8 @@ def dedup_spans_ds(docs: rd.Dataset, k: int = 3, min_count: int = 2) -> rd.Datas
     shuffle once; at crawl scale that is the same bytes the docs stage
     already moves, and coverage rows are only emitted for duplicated
     grams."""
-    import zlib
-
     from search_engine_ray.functions.textstats import positional_shingle_strings
+    from search_engine_ray.stages.postings import _hash_utf8_array
 
     n_buckets = _n_pair_buckets()
 
@@ -1176,13 +1170,8 @@ def dedup_spans_ds(docs: rd.Dataset, k: int = 3, min_count: int = 2) -> rd.Datas
             text = text.combine_chunks()
         p, pos, sh = positional_shingle_strings(text, k)
         enc = sh.dictionary_encode()
-        dic = enc.dictionary.to_pylist()
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        h = np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) for s in dic),
-            dtype=np.uint64,
-            count=len(dic),
-        )
+        h = _hash_utf8_array(enc.dictionary)
         bkt = (
             (h[codes] % np.uint64(n_buckets)).astype(np.int64)
             if len(codes)

@@ -17,7 +17,7 @@ from ray.data.aggregate import Sum
 
 from search_engine_ray.functions.textstats import (
     lang_scores,
-    md5_fingerprints,
+    md5_fingerprints_arrow,
     quality_metrics,
     token_lists,
 )
@@ -95,7 +95,7 @@ def fingerprint_ds(docs: rd.Dataset) -> rd.Dataset:
             {
                 "doc_id": batch.column("doc_id"),
                 "fp": pa.array(
-                    md5_fingerprints(batch.column("text").to_pylist()), pa.string()
+                    md5_fingerprints_arrow(batch.column("text")), pa.string()
                 ),
             }
         )
@@ -415,16 +415,37 @@ def decontaminate_ds(
 
 
 def hash_sample_ds(
-    docs: rd.Dataset, prefixes: tuple[str, ...] = ("0", "1", "2")
+    docs: rd.Dataset,
+    prefixes: tuple[str, ...] = ("0", "1", "2"),
+    method: str = "md5",
 ) -> rd.Dataset:
-    """Deterministic hash-based corpus sampling: keep a doc iff the md5
-    of its doc_id string starts with one of `prefixes` (default 3/16 =
-    18.75%). The standard reproducible-subset primitive — unlike
+    """Deterministic hash-based corpus sampling: keep a doc iff the hash
+    of its doc_id keeps it under the rate (default 3/16 = 18.75%). The
+    standard reproducible-subset primitive — unlike
     random_shuffle().limit(), the SAME docs are kept on every run, on
-    any cluster size, and membership is joinable across tables. md5 is
-    chosen deliberately: DuckDB's md5() makes the sample
-    oracle-checkable across engines. Reads only the doc_id column."""
+    any cluster size, and membership is joinable across tables.
+
+    ``method="md5"``: keep iff md5(str(doc_id)) hex starts with one of
+    ``prefixes`` — chosen so DuckDB's md5() makes the sample
+    oracle-checkable across engines; per-row hashlib (~1 us/row).
+    ``method="fast"``: the crawl-scale variant — keep iff
+    splitmix64(doc_id) < rate * 2^64 with rate = len(prefixes)/16; fully
+    vectorized (~65x faster), same expected rate and determinism, but a
+    DIFFERENT member set (not md5-oracle-checkable). Reads only doc_id."""
     import hashlib
+
+    if method == "fast":
+        from search_engine_ray.pipelines.sketches import _splitmix64
+
+        rate = len(prefixes) / 16.0
+        thr = np.uint64(min(int(rate * 2.0**64), 2**64 - 1))
+
+        def f_fast(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = _splitmix64(ids.astype(np.uint64)) < thr
+            return batch.filter(pa.array(keep)).select(["doc_id"])
+
+        return docs.map_batches(f_fast, batch_format="pyarrow")
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -463,7 +484,7 @@ def clean_corpus_ds(docs: rd.Dataset, eval_mod: int = 97, k: int = 3) -> rd.Data
 
     from search_engine_ray.functions.textstats import (
         distinct_shingle_strings,
-        md5_fingerprints,
+        md5_fingerprints_arrow,
         quality_metrics,
         repetition_metrics,
     )
@@ -528,7 +549,7 @@ def clean_corpus_ds(docs: rd.Dataset, eval_mod: int = 97, k: int = 3) -> rd.Data
             ktext = ktext.combine_chunks()
         return pa.table(
             {
-                "fp": pa.array(md5_fingerprints(ktext.to_pylist()), pa.string()),
+                "fp": pa.array(md5_fingerprints_arrow(ktext), pa.string()),
                 "doc_id": kept.column("doc_id").cast(pa.int64()),
                 "n_tokens": pa.array(q["n_tokens"][ok], pa.int64()),
             }
@@ -779,7 +800,7 @@ def stratified_sample_ds(
     per_group rows PER GROUP (partial top-k combiner), so the final
     per-group selection shuffles n_batches * n_groups * per_group tiny
     rows, never the corpus."""
-    from search_engine_ray.functions.textstats import md5_fingerprints
+    from search_engine_ray.functions.textstats import md5_fingerprints_arrow
 
     def topk(tbl: pa.Table) -> pa.Table:
         grp = tbl.column(group_col)
@@ -804,7 +825,7 @@ def stratified_sample_ds(
             {
                 group_col: batch.column(group_col),
                 "doc_id": batch.column("doc_id"),
-                "smp": pa.array(md5_fingerprints(text.to_pylist()), pa.string()),
+                "smp": pa.array(md5_fingerprints_arrow(text), pa.string()),
             }
         )
         return topk(t)
@@ -852,27 +873,25 @@ def tfidf_topk_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
     Scale shape: (doc_id, term, tf) rows are doc-local (one vectorized
     batch pass, no shuffle); df is the combiner-aggregated term_df_ds;
     joining df onto the tf rows is a reduce-side hash join — both sides
-    bucketed on crc32(term) with string-equality resolution inside the
+    bucketed on hash(term) with string-equality resolution inside the
     bucket (the vocabulary at crawl scale is far too large to broadcast);
     the per-doc top-k is one more bucketed shuffle on doc_id with a
     vectorized run-length selection. Three shuffles total, no driver state,
     no whole-vocab materialization anywhere."""
-    import zlib
-
     from search_engine_ray.pipelines.dedup import _bucketer, _n_pair_buckets
 
     n_docs = docs.count()
     n_buckets = _n_pair_buckets()
 
     def _term_buckets(terms: np.ndarray) -> np.ndarray:
-        # crc32 once per DISTINCT term of the batch (dictionary trick)
+        # vectorized hash once per DISTINCT term of the batch (dictionary
+        # trick); bucket id is internal partitioning only — the join
+        # resolves on string equality, so any uniform hash works
+        from search_engine_ray.stages.postings import _hash_utf8_array
+
         uniq, inv = np.unique(terms, return_inverse=True)
-        h = np.fromiter(
-            (zlib.crc32(s.encode()) for s in uniq), dtype=np.uint64, count=len(uniq)
-        )
-        with np.errstate(over="ignore"):
-            b = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        return b.astype(np.int64)[inv] % n_buckets
+        h = _hash_utf8_array(pa.array(uniq, pa.string()))
+        return (h % np.uint64(n_buckets)).astype(np.int64)[inv]
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         d, t, f = _doc_term_tf_batch(batch)

@@ -144,3 +144,35 @@ def test_crawl_dup_clusters_matches_exact_closure(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cli_pipeline_preset_substitution(ray_session, tmp_path, capsys):
+    """`pipeline` defaults to --preset crawl: exact quadratic variants are
+    substituted by their scale-safe counterparts; --preset exact opts out.
+    Runs the real CLI entry (cmd_pipeline) against sf0.001."""
+    import argparse
+    import json as _json
+
+    from search_engine_ray.cli import cmd_pipeline
+    from search_engine_ray.pipelines.crawl import CRAWL_QUERY_SUBSTITUTES
+
+    assert CRAWL_QUERY_SUBSTITUTES["clean_corpus"] == "crawl_clean"
+
+    def run(name, preset):
+        out = str(tmp_path / f"{name}_{preset}")
+        args = argparse.Namespace(
+            name=name, sf_dir="/root/testdata/sf0.001", out=out,
+            num_cpus=0, preset=preset,
+        )
+        rc = cmd_pipeline(args)
+        assert rc == 0
+        return _json.loads(
+            [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        )
+
+    crawl = run("clean_corpus", "crawl")
+    assert crawl["pipeline"] == "crawl_clean" and crawl["requested"] == "clean_corpus"
+    exact = run("clean_corpus", "exact")
+    assert exact["pipeline"] == "clean_corpus"
+    # crawl preset and exact recipe agree on this corpus (Bloom FP ~ 0)
+    assert crawl["rows"] == exact["rows"]

@@ -762,3 +762,86 @@ def test_url_normalize_cases(ray_session):
         "no-scheme-here",
         "http://case.com/QUERY?x=Y",
     ]
+
+
+def test_md5_fingerprints_arrow_matches_list_path():
+    """The Arrow-buffer md5 (memoryview slices, no per-row Python string)
+    must be byte-identical to the hashlib-over-pylist reference on plain,
+    sliced, chunked, unicode, empty-string, and null-bearing arrays."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from search_engine_ray.functions.textstats import (
+        md5_fingerprints,
+        md5_fingerprints_arrow,
+    )
+
+    texts = ["hello world", "", "éüñ — dash", "a" * 5000, "tab\tnl\n"]
+    arr = pa.array(texts, pa.string())
+    assert md5_fingerprints_arrow(arr) == md5_fingerprints(texts)
+    # non-zero offset slice
+    assert md5_fingerprints_arrow(arr.slice(1, 3)) == md5_fingerprints(texts[1:4])
+    # chunked
+    ch = pa.chunked_array([texts[:2], texts[2:]])
+    assert md5_fingerprints_arrow(ch) == md5_fingerprints(texts)
+    # large_string
+    assert md5_fingerprints_arrow(arr.cast(pa.large_string())) == md5_fingerprints(
+        texts
+    )
+    # empty
+    assert md5_fingerprints_arrow(pa.array([], pa.string())) == []
+    # nulls fall back to the list path with "" for null
+    withnull = pa.array(["x", None, "y"], pa.string())
+    assert md5_fingerprints_arrow(withnull) == [
+        hashlib.md5(s.encode()).hexdigest() for s in ("x", "", "y")
+    ]
+
+
+def test_hash_utf8_array_tab_basics():
+    """Tabulation second hash: deterministic, offset/chunk-safe, distinct
+    from the polynomial h1 (independence smoke), and permutation-sensitive
+    (the classic polynomial-collision shapes don't collide here)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.stages.postings import (
+        _hash_utf8_array,
+        _hash_utf8_array_tab,
+    )
+
+    vals = ["", "a", "ab", "ba", "abc", "acb", "http://x/1", "http://x/2"]
+    arr = pa.array(vals, pa.string())
+    h = _hash_utf8_array_tab(arr)
+    assert len(set(h.tolist())) == len(vals)  # all distinct here
+    # determinism + slice/chunk correctness
+    assert (_hash_utf8_array_tab(arr) == h).all()
+    assert (_hash_utf8_array_tab(arr.slice(2, 3)) == h[2:5]).all()
+    ch = pa.chunked_array([vals[:3], vals[3:]])
+    assert (_hash_utf8_array_tab(ch) == h).all()
+    assert (
+        _hash_utf8_array_tab(arr.cast(pa.large_string())) == h
+    ).all()
+    # not correlated with the polynomial hash
+    h1 = _hash_utf8_array(arr)
+    assert (h != h1).any()
+    assert _hash_utf8_array_tab(pa.array([], pa.string())).shape == (0,)
+    assert h.dtype == np.uint64
+
+
+def test_hash_sample_fast_method(ray_session):
+    """method='fast' (splitmix64 threshold): deterministic across runs,
+    subset rate near len(prefixes)/16, disjoint code path from md5."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import hash_sample_ds
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4000), pa.int64())})
+    )
+    a = sorted(r["doc_id"] for r in hash_sample_ds(docs, method="fast").take_all())
+    b = sorted(r["doc_id"] for r in hash_sample_ds(docs, method="fast").take_all())
+    assert a == b
+    rate = len(a) / 4000
+    assert 0.14 < rate < 0.24  # target 3/16 = 0.1875

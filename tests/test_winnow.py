@@ -146,3 +146,18 @@ def test_winnow_md5_matches_python_reference(ray_session):
             want.add((did, min(hs[i : i + 4])))
     assert got == want
     assert not any(d == 1 for d, _ in got)  # short doc emits nothing
+
+
+def test_winnow_md5_tail_batch_between_k_and_window(ray_session):
+    """A batch whose flat token count n is in [k, k+w-1) (e.g. one 4-token
+    doc at k=3, w=4) has grams but no full window: must return empty, not
+    raise from sliding_window_view."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import winnow_md5_fp_ds
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a b c d"]})
+    )
+    assert winnow_md5_fp_ds(docs, k=3, w=4).take_all() == []
