@@ -133,6 +133,12 @@ def _split_input(
         return pages.repartition(n_blocks)
 
 
+# above this many (url_hash, count) rows the tree-reduce table no longer
+# fits one task; the url dedup falls back to the disk bucket shuffle
+# (module-level so tests can force the crawl-scale path on small data)
+_URL_DEDUP_TREE_MAX_ROWS = 64_000_000
+
+
 def _dedup_duplicate_urls(
     pages: rd.Dataset,
     scratch_base: str | None = None,
@@ -227,7 +233,7 @@ def _dedup_duplicate_urls(
     sizes = ray.get([_block_rows_build.remote(r) for r in refs])
     total_rows = sum(sizes)
 
-    if total_rows <= 64_000_000:
+    if total_rows <= _URL_DEDUP_TREE_MAX_ROWS:
         # tree-reduce in the object store: pairwise sorted-merge of the
         # (h, cnt) tables (~16 bytes/distinct url — 64M rows ~ 1 GB), dup
         # hashes extracted in the final task. No files at all.

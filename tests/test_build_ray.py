@@ -526,3 +526,59 @@ def test_fused_emit_retry_overwrites_not_duplicates(ray_session, tmp_path):
           for r in SegmentSearcher(out, config).search_bm25("w0 w1", k=20, mode="or")]
     assert r1.n_docs == r2.n_docs == 120
     assert s1 == s2
+
+
+def test_url_dedup_disk_shuffle_scratch_under_out_dir(
+    ray_session, tmp_path, monkeypatch
+):
+    """Crawl-scale url dedup (disk bucket shuffle fallback): same winners
+    as the tree-reduce path, and the shuffle scratch lands under the
+    build's out_dir (node-shared storage) — not node-local /tmp — when
+    SE_RAY_SHUFFLE_BASE is unset. Forced by shrinking the tree-reduce
+    row cap to 0."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    import search_engine_ray.pipelines.build as build_mod
+    from search_engine_ray.pipelines.build import _dedup_duplicate_urls
+
+    monkeypatch.delenv("SE_RAY_SHUFFLE_BASE", raising=False)
+
+    urls = [f"http://e/{i % 7}" for i in range(40)]  # every url duplicated
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "title": pa.array([f"t{i}" for i in range(40)], pa.string()),
+                "rank": pa.array(list(range(40)), pa.int64()),
+            }
+        )
+    )
+    want = sorted(
+        {u: min(i for i, x in enumerate(urls) if x == u) for u in urls}.values()
+    )
+
+    kept_tree, n_skip_tree = _dedup_duplicate_urls(pages)
+    assert sorted(r["rank"] for r in kept_tree.take_all()) == want
+    assert n_skip_tree == 40 - 7
+
+    scratch_root = str(tmp_path / "outidx")
+    os.makedirs(scratch_root, exist_ok=True)
+    seen_dirs: list[str] = []
+    real_rmtree = build_mod.fsio.rmtree
+
+    def spy_rmtree(path: str) -> None:
+        seen_dirs.append(path)
+        real_rmtree(path)
+
+    monkeypatch.setattr(build_mod, "_URL_DEDUP_TREE_MAX_ROWS", 0)
+    monkeypatch.setattr(build_mod.fsio, "rmtree", spy_rmtree)
+    kept_disk, n_skip_disk = _dedup_duplicate_urls(
+        pages, scratch_base=build_mod.fsio.join(scratch_root, "url_dedup_shuffle")
+    )
+    assert sorted(r["rank"] for r in kept_disk.take_all()) == want
+    assert n_skip_disk == n_skip_tree
+    shuffle_paths = [p for p in seen_dirs if "url_dedup_shuffle" in p]
+    assert shuffle_paths and all(p.startswith(scratch_root) for p in shuffle_paths)
