@@ -64,6 +64,34 @@ def md5_fingerprints_arrow(arr: pa.Array | pa.ChunkedArray) -> list[str]:
     ]
 
 
+def md5_id_u32(ids: np.ndarray) -> np.ndarray:
+    """Per-id md5-uniform as uint32: ``int(md5(str(int(id))).hexdigest()[:8],
+    16)`` for every id, byte-identical to the per-row hashlib expression the
+    samplers' SQL oracles pin (DuckDB ``md5(CAST(id AS VARCHAR))``), but the
+    decimal rendering happens as ONE Arrow int64->utf8 cast and the digest is
+    read as 4 big-endian bytes — no per-row ``str()``/``hexdigest()``/f-string.
+    Lexicographic order on fixed-width lowercase hex equals numeric order, so
+    every ``hexdigest()[:8] < threshold_hex`` compare becomes ``u32 < thr``
+    and every first-nibble membership test becomes ``u32 >> 28 in nibbles``.
+    md5's C core remains the per-row cost (~0.4 us/id)."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    s = pc.cast(pa.array(np.ascontiguousarray(ids), pa.int64()), pa.string())
+    off = np.frombuffer(s.buffers()[1], dtype=np.int32)[s.offset : s.offset + n + 1]
+    mv = memoryview(s.buffers()[2])
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    return np.fromiter(
+        (
+            from_bytes(md5(mv[a:b]).digest()[:4], "big")
+            for a, b in zip(off[:-1].tolist(), off[1:].tolist())
+        ),
+        dtype=np.uint32,
+        count=n,
+    )
+
+
 def quality_metrics(texts: pa.Array) -> dict[str, np.ndarray]:
     """Per-doc quality features: char count, token count, mean token length,
     short-token ratio. Deterministic and SQL-mirrorable."""

@@ -35,8 +35,6 @@ What the preset pins, and why:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -211,12 +209,11 @@ def crawl_clean_corpus_ds(
     )
 
     def features(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.textstats import md5_id_u32
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (hashlib.md5(str(int(i)).encode()).hexdigest()[0] < "8" for i in ids),
-            dtype=bool,
-            count=len(ids),
-        )
+        # hexdigest()[0] < "8" == top bit of the md5 u32 clear
+        keep = md5_id_u32(ids) < np.uint32(0x80000000)
         if "lang" in batch.column_names:
             keep &= pc.equal(batch.column("lang"), "en").to_numpy(
                 zero_copy_only=False

@@ -427,13 +427,12 @@ def hash_sample_ds(
 
     ``method="md5"``: keep iff md5(str(doc_id)) hex starts with one of
     ``prefixes`` — chosen so DuckDB's md5() makes the sample
-    oracle-checkable across engines; per-row hashlib (~1 us/row).
+    oracle-checkable across engines; md5's C core is the per-row cost
+    (the hex compare itself is vectorized via md5_id_u32).
     ``method="fast"``: the crawl-scale variant — keep iff
     splitmix64(doc_id) < rate * 2^64 with rate = len(prefixes)/16; fully
     vectorized (~65x faster), same expected rate and determinism, but a
     DIFFERENT member set (not md5-oracle-checkable). Reads only doc_id."""
-    import hashlib
-
     if method == "fast":
         from search_engine_ray.pipelines.sketches import _splitmix64
 
@@ -447,12 +446,15 @@ def hash_sample_ds(
 
         return docs.map_batches(f_fast, batch_format="pyarrow")
 
+    from search_engine_ray.functions.textstats import md5_id_u32
+
+    # first hex digit of md5(str(id)) == top nibble of md5_id_u32(id)
+    nibbles = np.array(sorted(int(p, 16) for p in prefixes), dtype=np.uint32)
+
     def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = pa.array(
-            [hashlib.md5(str(int(i)).encode()).hexdigest()[0] in prefixes for i in ids]
-        )
-        return batch.filter(keep).select(["doc_id"])
+        keep = np.isin(md5_id_u32(ids) >> np.uint32(28), nibbles)
+        return batch.filter(pa.array(keep)).select(["doc_id"])
 
     return docs.map_batches(f, batch_format="pyarrow")
 
@@ -478,13 +480,12 @@ def clean_corpus_ds(docs: rd.Dataset, eval_mod: int = 97, k: int = 3) -> rd.Data
     groupby(fp), which ships just (fp, doc_id, n_tokens) triples for
     surviving rows — never text. Output: (doc_id, n_tokens) of kept docs.
     """
-    import hashlib
-
     import ray
 
     from search_engine_ray.functions.textstats import (
         distinct_shingle_strings,
         md5_fingerprints_arrow,
+        md5_id_u32,
         quality_metrics,
         repetition_metrics,
     )
@@ -507,11 +508,8 @@ def clean_corpus_ds(docs: rd.Dataset, eval_mod: int = 97, k: int = 3) -> rd.Data
         # cheap gates first: lang + hash subsample drop rows before any
         # tokenization work happens
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (hashlib.md5(str(int(i)).encode()).hexdigest()[0] < "8" for i in ids),
-            dtype=bool,
-            count=len(ids),
-        )
+        # hexdigest()[0] < "8" == top bit of the md5 u32 clear
+        keep = md5_id_u32(ids) < np.uint32(0x80000000)
         if "lang" in batch.column_names:
             keep &= pc.equal(batch.column("lang"), "en").to_numpy(
                 zero_copy_only=False
@@ -1282,7 +1280,9 @@ def pack_sequences_ds(docs: rd.Dataset, budget_tokens: int = 2048) -> rd.Dataset
     )
 
 
-def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
+def weighted_sample_ds(
+    docs: rd.Dataset, scale: int = 150, method: str = "md5"
+) -> rd.Dataset:
     """Deterministic IMPORTANCE resampling: keep each doc with probability
     w = min(1, n_tokens/scale) — longer (higher-budget) docs kept more
     often, the DoReMi-style reweighting primitive — decided by comparing
@@ -1290,20 +1290,31 @@ def weighted_sample_ds(docs: rd.Dataset, scale: int = 150) -> rd.Dataset:
     per-doc threshold hex(floor(w * 2^32)), so membership is reproducible
     on any cluster shape, joinable across tables, and oracle-checkable
     (DuckDB computes the identical md5 and printf('%08x') threshold).
-    One stateless map, no shuffle."""
-    import hashlib
+    One stateless map, no shuffle.
+
+    ``method="fast"``: splitmix64(doc_id) < w * 2^64 — fully vectorized
+    (no per-row md5), same expected rates and determinism, but a DIFFERENT
+    member set (not md5-oracle-checkable); the crawl-scale variant."""
 
     def f(batch: pa.Table) -> pa.Table:
-        from search_engine_ray.functions.textstats import token_counts
+        from search_engine_ray.functions.textstats import md5_id_u32, token_counts
 
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n = token_counts(batch.column("text")).astype(np.float64)
         w = np.minimum(1.0, n / float(scale))
-        thr = np.minimum((w * 2.0**32).astype(np.int64), 2**32 - 1)
-        keep = [
-            hashlib.md5(str(int(i)).encode()).hexdigest()[:8] < f"{int(t):08x}"
-            for i, t in zip(ids, thr)
-        ]
+        if method == "fast":
+            from search_engine_ray.pipelines.sketches import _splitmix64
+
+            # w >= 1 keeps unconditionally (w * 2^64 doesn't fit in uint64)
+            full = w >= 1.0
+            thr = (np.where(full, 0.0, w) * 2.0**64).astype(np.uint64)
+            keep = full | (_splitmix64(ids.astype(np.uint64)) < thr)
+        else:
+            # u32 < thr == the oracle's hexdigest[:8] < printf('%08x', thr)
+            # (fixed-width lowercase hex orders numerically); md5 itself is
+            # the only remaining per-row cost
+            thr = np.minimum((w * 2.0**32).astype(np.int64), 2**32 - 1)
+            keep = md5_id_u32(ids).astype(np.int64) < thr
         out = batch.filter(pa.array(keep))
         kept_n = token_counts(out.column("text")).astype(np.int64)
         return pa.table(
@@ -1458,6 +1469,7 @@ def domain_mix_ds(
     rates: dict[str, float],
     key_col: str = "source",
     default_rate: float = 0.0,
+    method: str = "md5",
 ) -> rd.Dataset:
     """Deterministic DOMAIN-MIXTURE resampling — the data-mixing primitive
     a training run uses to hit target source proportions: keep each doc
@@ -1467,20 +1479,39 @@ def domain_mix_ds(
     reproducible on any cluster shape, joinable across tables, and
     oracle-checkable in DuckDB. The rate table is a driver-side constant
     (domains are few); the pass is one stateless map, no shuffle.
-    Output: (doc_id, source) of kept docs."""
-    import hashlib
+    Output: (doc_id, source) of kept docs.
+
+    ``method="fast"``: splitmix64(doc_id) < rate * 2^64 — fully vectorized
+    (no per-row md5), same expected rates and determinism, but a DIFFERENT
+    member set (not md5-oracle-checkable); the crawl-scale variant."""
 
     def f(batch: pa.Table) -> pa.Table:
+        from search_engine_ray.functions.textstats import md5_id_u32
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = batch.column(key_col).to_pylist()
-        thr = [
-            f"{min(int(rates.get(s, default_rate) * 2.0**32), 2**32 - 1):08x}"
-            for s in src
-        ]
-        keep = [
-            hashlib.md5(str(int(i)).encode()).hexdigest()[:8] < t
-            for i, t in zip(ids, thr)
-        ]
+        src = batch.column(key_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        # per-DISTINCT-source rate lookup (domains are few), broadcast to
+        # rows through the dictionary codes — no per-row dict/f-string work
+        enc = src.dictionary_encode()
+        dom_rates = np.array(
+            [rates.get(s, default_rate) for s in enc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = dom_rates[codes]
+        if method == "fast":
+            from search_engine_ray.pipelines.sketches import _splitmix64
+
+            # rate >= 1 keeps unconditionally (w * 2^64 doesn't fit in uint64)
+            full = w >= 1.0
+            thr64 = (np.where(full, 0.0, w) * 2.0**64).astype(np.uint64)
+            keep = full | (_splitmix64(ids.astype(np.uint64)) < thr64)
+        else:
+            # u32 < thr == the oracle's hexdigest[:8] < printf('%08x', thr)
+            thr = np.minimum((w * 2.0**32).astype(np.int64), 2**32 - 1)
+            keep = md5_id_u32(ids).astype(np.int64) < thr
         out = batch.filter(pa.array(keep))
         return pa.table(
             {

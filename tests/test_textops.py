@@ -845,3 +845,100 @@ def test_hash_sample_fast_method(ray_session):
     assert a == b
     rate = len(a) / 4000
     assert 0.14 < rate < 0.24  # target 3/16 = 0.1875
+
+
+def test_md5_id_u32_matches_hashlib():
+    """md5_id_u32 == int(md5(str(id)).hexdigest()[:8], 16) per id — the
+    invariant every md5-membership sampler's SQL oracle rests on — across
+    zero/negative/large ids, and the hex-order == numeric-order identity
+    the threshold compares rely on."""
+    import hashlib
+
+    import numpy as np
+
+    from search_engine_ray.functions.textstats import md5_id_u32
+
+    rng = np.random.default_rng(7)
+    ids = np.concatenate(
+        [
+            np.array([0, 1, -1, -(2**62), 2**62], dtype=np.int64),
+            rng.integers(-(2**62), 2**62, size=5000),
+        ]
+    )
+    got = md5_id_u32(ids)
+    exp = np.array(
+        [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) for i in ids],
+        dtype=np.uint32,
+    )
+    assert got.dtype == np.uint32 and (got == exp).all()
+    assert md5_id_u32(np.zeros(0, np.int64)).shape == (0,)
+    # fixed-width lowercase hex orders numerically (the compare rewrite)
+    for t in (0, 1, 0x7FFFFFFF, 0x80000000, 2**32 - 1):
+        for i in ids[:50]:
+            hexcmp = hashlib.md5(str(int(i)).encode()).hexdigest()[:8] < f"{t:08x}"
+            assert hexcmp == (int(md5_id_u32(np.array([i]))[0]) < t)
+
+
+def test_weighted_sample_fast_method(ray_session):
+    """weighted_sample method='fast': deterministic across runs and
+    partitionings, keep rate tracks w = min(1, n_tokens/scale), scale=1
+    keeps everything (w==1 for any non-empty doc)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import weighted_sample_ds
+
+    n = 4000
+    rng = np.random.default_rng(11)
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 20))) for _ in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = weighted_sample_ds(rd.from_arrow(t), scale=20, method="fast").to_pandas()
+    b = (
+        weighted_sample_ds(rd.from_arrow(t).repartition(7), scale=20, method="fast")
+        .to_pandas()
+    )
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # mean weight = mean(n_tokens)/20 ~ 0.5; fast membership should track it
+    exp_rate = min(1.0, np.mean([len(s.split()) for s in texts]) / 20.0)
+    assert abs(len(a) / n - exp_rate) < 0.05
+    full = weighted_sample_ds(rd.from_arrow(t), scale=1, method="fast").to_pandas()
+    assert len(full) == n
+
+
+def test_domain_mix_fast_method(ray_session):
+    """domain_mix method='fast': rate-1.0 sources keep everything, unlisted
+    drop entirely, 0.5 lands near half, membership identical across
+    partitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import domain_mix_ds
+
+    n = 4000
+    rng = np.random.default_rng(13)
+    src = rng.choice(["a", "b", "c"], size=n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    rates = {"a": 1.0, "b": 0.5}
+    out1 = domain_mix_ds(rd.from_arrow(t), rates, method="fast").to_pandas()
+    out2 = (
+        domain_mix_ds(rd.from_arrow(t).repartition(7), rates, method="fast")
+        .to_pandas()
+    )
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    by = out1.groupby("source").size()
+    n_a, n_b = int((src == "a").sum()), int((src == "b").sum())
+    assert by.get("a", 0) == n_a
+    assert abs(by.get("b", 0) / n_b - 0.5) < 0.05
+    assert "c" not in by.index
