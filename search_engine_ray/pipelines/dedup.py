@@ -340,8 +340,13 @@ def _pin_blocks(ds: rd.Dataset, schema: pa.Schema) -> tuple[rd.Dataset, int]:
     skip map_batches untouched, so they cannot be fixed in-stream. The
     aggregate is a barrier anyway, so taking block refs here costs no
     pipelining. Callers must guarantee >= 1 non-empty block (the sentinel
-    row does)."""
-    refs = ds.to_arrow_refs()
+    row does).
+
+    materialize() first: ray 2.49's to_arrow_refs on a LAZY dataset runs
+    the plan twice — once consuming the blocks and once more for a
+    limit(1) schema probe, which is a near-full second pass when the plan
+    tail is an all-to-all (measured: ~36% of minhash_pairs wall time)."""
+    refs = ds.materialize().to_arrow_refs()
     sizes = ray.get([_block_rows.remote(r) for r in refs])
     pinned = rd.from_arrow_refs(
         [_cast_block.remote(r, schema) for r, n in zip(refs, sizes) if n]
@@ -677,7 +682,9 @@ def embedding_neardup_pairs_ds(
     narrow = embeddings.select_columns(["vec_id", "embedding"])
     n = narrow.count() or 0
     n_blocks = max(1, min(256, -(-n // target_block_rows)))
-    refs = narrow.repartition(n_blocks).to_arrow_refs()
+    # materialize ONCE: to_arrow_refs on a lazy dataset re-executes the
+    # plan for its schema probe (read+repartition would run twice)
+    refs = narrow.repartition(n_blocks).materialize().to_arrow_refs()
     out_refs = [
         _cross_block_pairs.remote(refs[i], refs[j], threshold)
         for i in range(len(refs))

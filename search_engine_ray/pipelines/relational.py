@@ -30,8 +30,11 @@ from ray.data.aggregate import Sum
 
 
 def _collect_arrow(ds: rd.Dataset) -> pa.Table:
-    """Materialize a SMALL dataset into one Arrow table (build sides only)."""
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    """Materialize a SMALL dataset into one Arrow table (build sides only).
+
+    materialize() first — to_arrow_refs on a lazy dataset re-executes the
+    plan a second time for its limit(1) schema probe (ray 2.49)."""
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
     if not tables:
         raise ValueError("broadcast build side is empty")
     return pa.concat_tables(tables).combine_chunks()

@@ -606,7 +606,9 @@ def unigram_lm_ds(docs: rd.Dataset, vocab_size: int = 65536) -> rd.Dataset:
     import ray as _ray
 
     vt = pa.concat_tables(
-        [t for t in _ray.get(vocab.to_arrow_refs()) if t.num_rows]
+        # materialize: avoid to_arrow_refs re-running sort+limit for its
+        # schema probe (ray 2.49 lazy-dataset double execution)
+        [t for t in _ray.get(vocab.materialize().to_arrow_refs()) if t.num_rows]
     ).combine_chunks()
     vocab_ref = ray.put((vt.column("term").combine_chunks(), vt.column("n").to_numpy(zero_copy_only=False).astype(np.float64)))
 
@@ -718,7 +720,9 @@ def quantile_bucket_ds(docs: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
             np.concatenate(
                 [
                     t.column("doc_id").to_numpy(zero_copy_only=False)
-                    for t in ray.get(tc.filter(expr=pred).to_arrow_refs())
+                    for t in ray.get(
+                        tc.filter(expr=pred).materialize().to_arrow_refs()
+                    )
                     if t.num_rows
                 ]
                 or [np.array([], np.int64)]
