@@ -78,13 +78,14 @@ def entry() -> Any:
     search + BM25 top-k; returns the BM25 result table."""
     s = _docs_searcher("/root/testdata/sf0.001")
     rows = s.search_bm25("table query", k=10, mode="and")
+    # contract: Dataset | pandas.DataFrame (not pyarrow.Table)
     return pa.table(
         {
             "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
             "url": pa.array([r.url for r in rows], pa.string()),
             "score": pa.array([round(r.score, 6) for r in rows], pa.float64()),
         }
-    )
+    ).to_pandas()
 
 
 # ---------------------------------------------------------------------------
