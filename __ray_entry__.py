@@ -451,6 +451,10 @@ def q_embedding_neardup(sf_dir: str):
     out = embedding_neardup_pairs_ds(
         read_embeddings(sf_dir.rstrip("/")), threshold=0.5
     ).to_pandas()
+    if "vec_a" not in out.columns:  # zero pairs: Ray aggregate loses schema
+        import pandas as pd
+
+        return pd.DataFrame({"vec_a": pd.array([], "int64"), "vec_b": pd.array([], "int64")})
     return out[["vec_a", "vec_b"]]
 
 
