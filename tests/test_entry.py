@@ -129,3 +129,13 @@ def test_query_matches_oracle(contract, con, name):
 def test_rows_only_queries_run(contract, name):
     out = _to_df(contract.queries()[name](SF))
     assert len(out) >= 0
+
+
+def test_embedding_neardup_empty_pairs_keeps_schema(contract):
+    """Zero-pair corpora (e.g. sf0.001) must still yield the (vec_a, vec_b)
+    schema — Ray's aggregate drops it on empty results (regression)."""
+    out = _to_df(contract.queries()["embedding_neardup"]("/root/testdata/sf0.001"))
+    assert list(out.columns) == ["vec_a", "vec_b"]
+    assert str(out["vec_a"].dtype) == "int64" or out["vec_a"].dtype.name.startswith(
+        "Int64"
+    ) or len(out) > 0
