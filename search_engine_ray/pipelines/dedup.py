@@ -70,6 +70,14 @@ def _join_partitions(est_rows: int | None = None) -> int:
 
 _SHUFFLE_ROWS_PER_BLOCK = 131_072
 
+# Small-candidate verify: below these bounds the exact-Jaccard check skips
+# the two distributed hash joins (fixed ~1.5s each at any size) and instead
+# broadcasts ONLY the candidate docs' shingle sets via ray.put. Bounds cap
+# the driver-held state at ~tens of MB (10k docs x ~1-2KB/set); above them
+# the join path runs unchanged, so the scale path never materializes.
+_BROADCAST_VERIFY_PAIRS = 100_000
+_BROADCAST_VERIFY_DOCS = 10_000
+
 
 def _coalesced(rows: rd.Dataset, est_rows: int | None) -> rd.Dataset:
     """Right-size block count before an all-to-all: the sort shuffle pays a
@@ -472,6 +480,90 @@ def _shingle_set_ds(docs: rd.Dataset, k: int) -> rd.Dataset:
     )
 
 
+def _broadcast_verify_pairs(
+    cand: rd.Dataset, docs: rd.Dataset, k: int, threshold: float
+) -> rd.Dataset | None:
+    """Exact-Jaccard verification for a SMALL candidate set, join-free.
+
+    The join path costs two all-to-all hash joins at a fixed ~1.5 s each
+    regardless of size; when the candidate pairs reference few distinct
+    docs, it is cheaper to broadcast those docs' shingle sets (one bounded
+    ray.put, read once per verify batch) and verify inside map_batches —
+    the same broadcast-small-side strategy the relational joins use.
+    Returns None when the distinct-doc side exceeds
+    ``_BROADCAST_VERIFY_DOCS`` (caller falls back to the joins); driver
+    state is bounded by that cap times the per-doc set size. Output is
+    bit-identical to the join path (same intersect math, same rounding)."""
+    cand_tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    a_all = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b_all = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    real = a_all != _SENTINEL
+    ids = np.unique(np.concatenate([a_all[real], b_all[real]]))
+    if len(ids) > _BROADCAST_VERIFY_DOCS:
+        return None
+    ids_ref = ray.put(ids)  # sorted by np.unique
+
+    def sets_for(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = np.isin(d, want)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.large_binary()),
+            }
+        )
+        if not m.any():
+            return empty
+        sub = batch.filter(pa.array(m))
+        flat, starts = shingle_hashes_batch(token_lists(sub.column("text")), k)
+        val_buf = pa.py_buffer(np.ascontiguousarray(flat.astype("<i8")).tobytes())
+        off_buf = pa.py_buffer((starts * 8).astype("<i8").tobytes())
+        sets = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), sub.num_rows, [None, off_buf, val_buf]
+        )
+        return pa.table({"doc_id": sub.column("doc_id"), "shingles": sets})
+
+    sets_tbl = pa.concat_tables(
+        ray.get(
+            docs.map_batches(sets_for, batch_format="pyarrow")
+            .materialize()  # to_arrow_refs on a lazy plan runs it twice
+            .to_arrow_refs()
+        )
+    )
+    sd = sets_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    blobs = sets_tbl.column("shingles")
+    mapping = {int(sd[i]): blobs[i].as_py() for i in range(len(sd))}
+    sets_ref = ray.put(mapping)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(sets_ref)
+        a_ids = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        keep_a, keep_b, jac = [], [], []
+        for x, y in zip(a_ids, b_ids):
+            if x == _SENTINEL:
+                continue
+            aa = np.frombuffer(m[int(x)], dtype="<i8")
+            bb = np.frombuffer(m[int(y)], dtype="<i8")
+            inter = len(np.intersect1d(aa, bb, assume_unique=True))
+            union = len(aa) + len(bb) - inter
+            jv = inter / union if union else 1.0
+            if jv >= threshold:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+                jac.append(round(jv, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs_ds(
     docs: rd.Dataset,
     num_perm: int = 128,
@@ -483,7 +575,10 @@ def minhash_lsh_pairs_ds(
 ) -> rd.Dataset:
     """Candidate pairs from LSH banding, verified with EXACT shingle Jaccard.
 
-    Verification is a distributed hash join: the (doc_id, shingles) dataset
+    Verification picks its strategy by candidate size: small candidate sets
+    (<= ``_BROADCAST_VERIFY_PAIRS`` pairs over <= ``_BROADCAST_VERIFY_DOCS``
+    distinct docs) broadcast the needed shingle sets and verify join-free;
+    larger sets use a distributed hash join — the (doc_id, shingles) dataset
     is joined onto each candidate-pair side, so each verify batch holds only
     ITS pairs' shingle sets. Recall: P[candidate | j] = 1-(1-j^r)^b; at the
     default 128/32 (r=4) a true j>=0.8 pair is missed with p < 5e-8, so the
@@ -514,6 +609,10 @@ def minhash_lsh_pairs_ds(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
         ),
     )
+    if n_cand <= _BROADCAST_VERIFY_PAIRS:
+        small = _broadcast_verify_pairs(cand, docs, k, threshold)
+        if small is not None:
+            return small
     parts = _join_partitions(n_cand + n_docs)
     sets_ds = _coalesced(_shingle_set_ds(docs, k), n_docs)
     j = cand.join(

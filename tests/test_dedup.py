@@ -95,6 +95,38 @@ def test_minhash_lsh_matches_exact_jaccard(dup_docs):
     assert (g == w).all()
 
 
+def test_minhash_join_fallback_matches_broadcast(dup_docs, monkeypatch):
+    """The two verification strategies (broadcast small-side vs distributed
+    hash join) must be bit-identical; force the join path by zeroing the
+    broadcast caps and compare against the default (broadcast) output."""
+    from search_engine_ray.pipelines import dedup
+
+    got_bcast = dedup.minhash_lsh_pairs_ds(
+        rd.from_arrow(dup_docs), num_perm=128, bands=32, k=3, threshold=0.8
+    ).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_VERIFY_PAIRS", 0)
+    got_join = dedup.minhash_lsh_pairs_ds(
+        rd.from_arrow(dup_docs), num_perm=128, bands=32, k=3, threshold=0.8
+    ).to_pandas()
+    key = ["doc_a", "doc_b"]
+    b = got_bcast.sort_values(key).reset_index(drop=True)
+    j = got_join.sort_values(key).reset_index(drop=True)
+    assert b.equals(j) and len(b) > 0
+
+
+def test_minhash_doc_cap_fallback(dup_docs, monkeypatch):
+    """When the pair count is under the cap but the DISTINCT-DOC side is
+    over it, _broadcast_verify_pairs must return None and the join path
+    must still produce the right pairs."""
+    from search_engine_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "_BROADCAST_VERIFY_DOCS", 1)
+    got = dedup.minhash_lsh_pairs_ds(
+        rd.from_arrow(dup_docs), num_perm=128, bands=32, k=3, threshold=0.8
+    ).to_pandas()
+    assert (0, 10_000) in set(zip(got["doc_a"], got["doc_b"]))
+
+
 def test_simhash_neardups(dup_docs):
     from search_engine_ray.pipelines.dedup import simhash_ds, simhash_neardup_pairs_ds
 
