@@ -28,6 +28,7 @@ Distributed shapes (no whole-dataset driver materialization anywhere):
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import numpy as np
@@ -419,39 +420,48 @@ def ngram_jaccard_pairs_ds(
     return counted.map_batches(score, batch_format="pyarrow")
 
 
-class _MinhashBands:
-    """Actor-pool stage: doc -> LSH band rows (band_key, doc_id), one row per
-    band with the band index salted INTO the key (two docs share a band_key
-    iff they agree on that band's signature slice). Permutation params
-    generated once per actor (seeded, identical)."""
+@functools.lru_cache(maxsize=8)
+def _minhash_band_state(
+    num_perm: int, bands: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Permutation params + band salts, cached once per worker PROCESS.
 
-    def __init__(self, num_perm: int, bands: int, k: int) -> None:
-        self.a, self.b = minhash_params(num_perm)
-        self.bands = bands
-        self.k = k
-        with np.errstate(over="ignore"):
-            self.band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * (
-                np.uint64(0x9E3779B97F4A7C15)
-            )
+    This state costs microseconds to build, so a plain task pool with a
+    per-process lru_cache beats an actor pool: the pool's ~1.5 s actor
+    spin-up per invocation dominated the whole stage at bench scale
+    (measured 2.1 s -> 0.6 s). Actor pools are for EXPENSIVE per-worker
+    state (models, indexes); seeded RNG arrays are not that."""
+    a, b = minhash_params(num_perm)
+    with np.errstate(over="ignore"):
+        salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * (
+            np.uint64(0x9E3779B97F4A7C15)
+        )
+    return a, b, salt
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        # one vectorized shingle pass + one signature matrix pass for the
-        # whole batch, then vectorized banded keys — no per-doc Python
-        flat, starts = shingle_hashes_batch(
-            token_lists(batch.column("text")), self.k
-        )
-        sigs = minhash_signatures_flat(flat, starts, self.a, self.b)
-        keys = band_keys_batch(sigs, self.bands)  # (n_docs, bands)
-        packed = (keys.astype(np.uint64) ^ self.band_salt[None, :]) & np.uint64(
-            (1 << 63) - 1
-        )
-        return pa.table(
-            {
-                "band_key": pa.array(packed.astype(np.int64).reshape(-1), pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
-            }
-        )
+
+def _minhash_bands_batch(
+    batch: pa.Table, num_perm: int = 128, bands: int = 32, k: int = 3
+) -> pa.Table:
+    """doc -> LSH band rows (band_key, doc_id), one row per band with the
+    band index salted INTO the key (two docs share a band_key iff they
+    agree on that band's signature slice). Deterministic across workers
+    (seeded params from _minhash_band_state)."""
+    a, b, band_salt = _minhash_band_state(num_perm, bands)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    # one vectorized shingle pass + one signature matrix pass for the
+    # whole batch, then vectorized banded keys — no per-doc Python
+    flat, starts = shingle_hashes_batch(token_lists(batch.column("text")), k)
+    sigs = minhash_signatures_flat(flat, starts, a, b)
+    keys = band_keys_batch(sigs, bands)  # (n_docs, bands)
+    packed = (keys.astype(np.uint64) ^ band_salt[None, :]) & np.uint64(
+        (1 << 63) - 1
+    )
+    return pa.table(
+        {
+            "band_key": pa.array(packed.astype(np.int64).reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+        }
+    )
 
 
 def _shingle_set_ds(docs: rd.Dataset, k: int) -> rd.Dataset:
@@ -583,17 +593,13 @@ def minhash_lsh_pairs_ds(
     ITS pairs' shingle sets. Recall: P[candidate | j] = 1-(1-j^r)^b; at the
     default 128/32 (r=4) a true j>=0.8 pair is missed with p < 5e-8, so the
     verified output equals the exact >=threshold pair set in practice."""
-    if concurrency is None:
-        from search_engine_ray.util import default_pool_size
-
-        concurrency = default_pool_size()
+    # ``concurrency`` kept for API compat; the band stage is a task pool
+    # (per-process cached state), so Ray sizes its parallelism itself.
     n_docs = docs.count() or 0
     est_band_rows = n_docs * bands
     bands_ds = docs.map_batches(
-        _MinhashBands,
-        fn_constructor_args=(num_perm, bands, k),
+        functools.partial(_minhash_bands_batch, num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     cand = _pair_counts(
@@ -792,41 +798,49 @@ def embedding_neardup_pairs_ds(
     return rd.from_arrow_refs(out_refs)
 
 
-class _HyperplaneBuckets:
-    """Actor-pool stage: vec -> (table_id, bucket, vec_id, embedding) rows.
-    Random hyperplanes are seeded identically per actor."""
+@functools.lru_cache(maxsize=8)
+def _hyperplane_state(
+    dim: int, n_bits: int, n_tables: int, seed: int = 7
+) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded random hyperplanes + bit weights, cached once per worker
+    process (same task-pool-over-actor-pool reasoning as
+    _minhash_band_state: the state is microseconds to build)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+    return planes, pow2
 
-    def __init__(self, dim: int, n_bits: int, n_tables: int, seed: int = 7) -> None:
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_tables, n_bits, dim))
-        self.pow2 = (1 << np.arange(n_bits)).astype(np.int64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from search_engine_ray.util import embedding_matrix
+def _hyperplane_buckets_batch(
+    batch: pa.Table, dim: int, n_bits: int, n_tables: int, seed: int = 7
+) -> pa.Table:
+    """vec -> (table_id, bucket, vec_id, embedding) rows; hyperplanes are
+    seeded identically on every worker."""
+    from search_engine_ray.util import embedding_matrix
 
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = embedding_matrix(batch.column("embedding"))
-        n_tables = self.planes.shape[0]
-        n = len(ids)
-        t_out = np.repeat(np.arange(n_tables, dtype=np.int64), n)
-        id_out = np.tile(ids, n_tables)
-        buckets = np.empty(n_tables * n, dtype=np.int64)
-        for t in range(n_tables):
-            bits = (mat @ self.planes[t].T) > 0
-            buckets[t * n : (t + 1) * n] = bits @ self.pow2
-        emb = batch.column("embedding")
-        emb_out = pa.concat_arrays(
-            [emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb]
-            * n_tables
-        )
-        return pa.table(
-            {
-                "table_id": pa.array(t_out, pa.int64()),
-                "bucket": pa.array(buckets, pa.int64()),
-                "vec_id": pa.array(id_out, pa.int64()),
-                "embedding": emb_out,
-            }
-        )
+    planes, pow2 = _hyperplane_state(dim, n_bits, n_tables, seed)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(batch.column("embedding"))
+    n = len(ids)
+    t_out = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+    id_out = np.tile(ids, n_tables)
+    buckets = np.empty(n_tables * n, dtype=np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t].T) > 0
+        buckets[t * n : (t + 1) * n] = bits @ pow2
+    emb = batch.column("embedding")
+    emb_out = pa.concat_arrays(
+        [emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb]
+        * n_tables
+    )
+    return pa.table(
+        {
+            "table_id": pa.array(t_out, pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "embedding": emb_out,
+        }
+    )
 
 
 def embedding_neardup_lsh_pairs_ds(
@@ -842,15 +856,12 @@ def embedding_neardup_lsh_pairs_ds(
     rows — no broadcast matrix, no driver state. Recall is tested against the
     exact block cross-product in tests/test_dedup.py."""
     dim = len(embeddings.take(1)[0]["embedding"])
-    if concurrency is None:
-        from search_engine_ray.util import default_pool_size
-
-        concurrency = default_pool_size()
+    # ``concurrency`` kept for API compat; task pool + per-process state
     bucketed = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        _HyperplaneBuckets,
-        fn_constructor_args=(dim, n_bits, n_tables),
+        functools.partial(
+            _hyperplane_buckets_batch, dim=dim, n_bits=n_bits, n_tables=n_tables
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def pairs(group: pa.Table) -> pa.Table:
