@@ -99,6 +99,30 @@ def _docs(sf_dir: str):
     return read_documents(sf_dir.rstrip("/"))
 
 
+def _schema_safe(ds):
+    """Dataset -> pandas, preserving the schema when the result is EMPTY.
+
+    Ray's ``to_pandas`` concatenates per-block frames, so a dataset whose
+    every block is an empty (but schema-bearing) Arrow table comes back as
+    a 0-column DataFrame — any downstream column access or driver schema
+    compare then fails. Pair-producing queries (near-dup detectors) hit
+    this on corpora with no duplicates. The fallback re-derives the typed
+    empty frame from the Dataset schema; it only triggers on empty results
+    (re-executing a pipeline that produced nothing is cheap), the
+    non-empty path stays single-execution."""
+    import ray.data as rd
+
+    if not isinstance(ds, rd.Dataset):
+        return ds
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        sch = ds.schema()
+        df = pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        ).to_pandas()
+    return df
+
+
 def q_token_count(sf_dir: str):
     from search_engine_ray.pipelines.text import token_count_ds
 
@@ -257,7 +281,42 @@ def q_bm25_topk(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     from search_engine_ray.pipelines.dedup import ngram_jaccard_pairs_ds
 
-    return ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8)
+    return _schema_safe(ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8))
+
+
+def q_ngram_containment(sf_dir: str):
+    """Near-subset detection: containment |A∩B|/min(|A|,|B|) over
+    3-token shingles — catches quote-inclusion duplicates symmetric
+    Jaccard misses."""
+    from search_engine_ray.pipelines.dedup import ngram_containment_pairs_ds
+
+    return _schema_safe(
+        ngram_containment_pairs_ds(_docs(sf_dir), k=3, threshold=0.9)
+    )
+
+
+def q_lang_top_terms(sf_dir: str):
+    """Grouped top-k: 5 most frequent terms per language."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import lang_top_terms_ds
+
+    docs = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["text", "lang"]
+    )
+    return lang_top_terms_ds(docs, k=5)
+
+
+def q_vocab_stats(sf_dir: str):
+    """Per-language corpus stats: token count, vocabulary, hapax count."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.text import vocab_stats_ds
+
+    docs = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["text", "lang"]
+    )
+    return vocab_stats_ds(docs)
 
 
 def q_tfidf_topk(sf_dir: str):
@@ -448,13 +507,9 @@ def q_embedding_neardup(sf_dir: str):
     from search_engine_ray.pipelines.dedup import embedding_neardup_pairs_ds
     from search_engine_ray.pipelines.similarity import read_embeddings
 
-    out = embedding_neardup_pairs_ds(
-        read_embeddings(sf_dir.rstrip("/")), threshold=0.5
-    ).to_pandas()
-    if "vec_a" not in out.columns:  # zero pairs: Ray aggregate loses schema
-        import pandas as pd
-
-        return pd.DataFrame({"vec_a": pd.array([], "int64"), "vec_b": pd.array([], "int64")})
+    out = _schema_safe(
+        embedding_neardup_pairs_ds(read_embeddings(sf_dir.rstrip("/")), threshold=0.5)
+    )
     return out[["vec_a", "vec_b"]]
 
 
@@ -476,7 +531,7 @@ def q_simhash(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     from search_engine_ray.pipelines.dedup import minhash_lsh_pairs_ds
 
-    return minhash_lsh_pairs_ds(_docs(sf_dir), threshold=0.8)
+    return _schema_safe(minhash_lsh_pairs_ds(_docs(sf_dir), threshold=0.8))
 
 
 def q_wand_or_topk(sf_dir: str):
@@ -526,7 +581,7 @@ def q_batch_bm25(sf_dir: str):
 def q_simhash_neardup(sf_dir: str):
     from search_engine_ray.pipelines.dedup import simhash_neardup_pairs_ds
 
-    return simhash_neardup_pairs_ds(_docs(sf_dir), max_hamming=3)
+    return _schema_safe(simhash_neardup_pairs_ds(_docs(sf_dir), max_hamming=3))
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
@@ -535,13 +590,11 @@ def q_embedding_neardup_lsh(sf_dir: str):
 
     # at this low threshold (cos 0.5 -> P[bit agree] = 2/3) narrow bands are
     # needed for recall: 4 bits x 32 tables -> miss prob (1 - (2/3)^4)^32 < 1e-3
-    out = embedding_neardup_lsh_pairs_ds(
-        read_embeddings(sf_dir.rstrip("/")), threshold=0.5, n_bits=4, n_tables=32
-    ).to_pandas()
-    if "vec_a" not in out.columns:  # zero pairs: Ray aggregate loses schema
-        import pandas as pd
-
-        return pd.DataFrame({"vec_a": pd.array([], "int64"), "vec_b": pd.array([], "int64")})
+    out = _schema_safe(
+        embedding_neardup_lsh_pairs_ds(
+            read_embeddings(sf_dir.rstrip("/")), threshold=0.5, n_bits=4, n_tables=32
+        )
+    )
     return out[["vec_a", "vec_b"]]
 
 
@@ -1213,6 +1266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "ngram_containment": q_ngram_containment,
+        "lang_top_terms": q_lang_top_terms,
+        "vocab_stats": q_vocab_stats,
         # rows-only (no SQL oracle)
         "hll_users": q_hll_users,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -1795,6 +1851,45 @@ SELECT doc_id FROM (
   ORDER BY doc_id LIMIT 100)""",
         "bm25_topk": bm25,
         "ngram_jaccard": ngram,
+        "ngram_containment": f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  END) AS shingle
+    FROM tok)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(ni / least(ca.n, cb.n), 4) AS containment
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE ni / least(ca.n, cb.n) >= 0.9
+""",
+        "lang_top_terms": f"""
+WITH c AS (
+  SELECT lang, term, count(*)::BIGINT AS n FROM (
+    SELECT lang, unnest({tok}) AS term FROM documents)
+  WHERE length(term) >= 2 GROUP BY lang, term),
+r AS (SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+      FROM c)
+SELECT lang, term, n FROM r WHERE rk <= 5
+ORDER BY lang, n DESC, term""",
+        "vocab_stats": f"""
+WITH c AS (
+  SELECT lang, term, count(*)::BIGINT AS n FROM (
+    SELECT lang, unnest({tok}) AS term FROM documents)
+  WHERE length(term) >= 2 GROUP BY lang, term)
+SELECT lang, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+FROM c GROUP BY lang ORDER BY lang""",
         "dup_clusters": dup_clusters,
         "tfidf_topk": tfidf,
         "cooccur_pmi": cooccur,

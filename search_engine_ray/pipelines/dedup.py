@@ -368,6 +368,7 @@ def ngram_jaccard_pairs_ds(
     k: int = 3,
     threshold: float = 0.8,
     max_group: int | None = None,
+    measure: str = "jaccard",
 ) -> rd.Dataset:
     """Exact k-token-shingle Jaccard pairs >= threshold (doc_a < doc_b).
 
@@ -407,17 +408,37 @@ def ngram_jaccard_pairs_ds(
         na = batch.column("n_doc_a").to_numpy(zero_copy_only=False).astype(np.float64)
         nb = batch.column("n_doc_b").to_numpy(zero_copy_only=False).astype(np.float64)
         real = batch.column("doc_a").to_numpy(zero_copy_only=False) != _SENTINEL
-        jac = ni / np.maximum(na + nb - ni, 1.0)
-        keep = (jac >= threshold) & real
+        if measure == "containment":
+            # near-subset score: |A∩B| / min(|A|,|B|) — catches quote
+            # inclusion / page-within-page that symmetric Jaccard misses
+            s = ni / np.maximum(np.minimum(na, nb), 1.0)
+        else:
+            s = ni / np.maximum(na + nb - ni, 1.0)
+        keep = (s >= threshold) & real
         return pa.table(
             {
                 "doc_a": batch.column("doc_a").filter(pa.array(keep)),
                 "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-                "jaccard": pa.array(np.round(jac[keep], 4)),
+                measure: pa.array(np.round(s[keep], 4)),
             }
         )
 
     return counted.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_containment_pairs_ds(
+    docs: rd.Dataset,
+    k: int = 3,
+    threshold: float = 0.9,
+    max_group: int | None = None,
+) -> rd.Dataset:
+    """Near-subset pairs: containment = |A∩B| / min(|A|,|B|) >= threshold.
+    Same single-shuffle-per-stage plan as ``ngram_jaccard_pairs_ds``
+    (shingle-bucket pair emit -> pair-count shuffle -> stateless score);
+    only the final scoring kernel differs."""
+    return ngram_jaccard_pairs_ds(
+        docs, k=k, threshold=threshold, max_group=max_group, measure="containment"
+    )
 
 
 @functools.lru_cache(maxsize=8)

@@ -289,6 +289,116 @@ def top_terms_ds(docs: rd.Dataset, k: int = 20) -> rd.Dataset:
     return agg.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def _lang_term_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL (lang, term) occurrence counts, combined into one
+    shuffle key ``lang|term`` (the pricing_summary composite-key pattern —
+    tokens never contain '|'; the split downstream uses max_splits=1 so a
+    pathological term would still round-trip)."""
+    toks = lower_tokens(token_lists(batch.column("text")))
+    flat = toks.flatten()
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    langs = np.repeat(
+        batch.column("lang").to_numpy(zero_copy_only=False), lens
+    )
+    ok = pc.greater_equal(pc.utf8_length(flat), 2).to_numpy(zero_copy_only=False)
+    terms = flat.to_numpy(zero_copy_only=False)[ok]
+    if len(terms) == 0:
+        return pa.table(
+            {"k": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+        )
+    keys = pc.binary_join_element_wise(
+        pa.array(langs[ok], pa.string()), pa.array(terms, pa.string()), "|"
+    ).to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(keys, return_counts=True)
+    return pa.table(
+        {"k": pa.array(uniq, pa.string()), "pn": pa.array(counts, pa.int64())}
+    )
+
+
+def _split_lang_key(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern(batch.column("k"), "|", max_splits=1)
+    return pa.table(
+        {
+            "lang": pc.list_element(parts, 0),
+            "term": pc.list_element(parts, 1),
+            "n": batch.column("n"),
+        }
+    )
+
+
+def lang_top_terms_ds(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """Grouped top-k: the k most frequent terms per language (count desc,
+    term asc tie-break). Scale shape: per-batch partial (lang, term)
+    counts (combiner — a term ships one row per batch, not one per
+    occurrence) -> ONE vocabulary-scale groupby-sum -> per-lang top-k via
+    ``map_groups`` (group size = that language's vocabulary, << corpus)."""
+
+    agg = (
+        docs.map_batches(_lang_term_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("n", "descending"), ("term", "ascending")],
+        )
+        return group.take(idx[:k])
+
+    return (
+        agg.map_batches(_split_lang_key, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["lang", "n", "term"], descending=[False, True, False])
+    )
+
+
+def vocab_stats_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Per-language corpus statistics: total token count, distinct
+    vocabulary size, and hapax-legomena count (terms occurring exactly
+    once — the Heaps'-law tail that dominates web vocabulary growth).
+    Same combiner shape as ``lang_top_terms_ds``; the second aggregation
+    input is vocabulary-scale rows, reduced per batch to per-lang
+    partials before the final (languages-sized) groupby."""
+
+    agg = (
+        docs.map_batches(_lang_term_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def partial2(batch: pa.Table) -> pa.Table:
+        t = _split_lang_key(batch)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        toks = np.zeros(len(uniq), np.int64)
+        np.add.at(toks, inv, n)
+        vocab = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        hapax = np.zeros(len(uniq), np.int64)
+        np.add.at(hapax, inv, (n == 1).astype(np.int64))
+        return pa.table(
+            {
+                "lang": pa.array(uniq, pa.string()),
+                "pt": pa.array(toks, pa.int64()),
+                "pv": pa.array(vocab, pa.int64()),
+                "ph": pa.array(hapax, pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(partial2, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("pt", alias_name="n_tokens"),
+            Sum("pv", alias_name="vocab"),
+            Sum("ph", alias_name="hapax"),
+        )
+        .sort("lang")
+    )
+
+
 def skip_filter_ds(docs: rd.Dataset) -> rd.Dataset:
     """Reference S2 ingestion skip rules (demo.ts:118-123) over documents."""
 

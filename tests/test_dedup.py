@@ -432,3 +432,30 @@ def test_dedup_spans_matches_duckdb(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["clean_text"].tolist() == want["clean_text"].tolist()
     assert got["n_removed"].tolist() == want["n_removed"].tolist()
+
+
+def test_ngram_containment_catches_subset_docs(ray_session):
+    """A doc embedded verbatim inside a larger doc has containment 1.0 but
+    Jaccard well under 0.8 — the asymmetric measure catches what the
+    symmetric one misses."""
+    from search_engine_ray.pipelines.dedup import (
+        ngram_containment_pairs_ds,
+        ngram_jaccard_pairs_ds,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    d = rd.from_items(
+        [
+            {"doc_id": 1, "text": quote},
+            {"doc_id": 2, "text": filler + " " + quote},
+            {"doc_id": 3, "text": "unrelated tokens only here"},
+        ]
+    )
+    got = ngram_containment_pairs_ds(d, k=3, threshold=0.9).to_pandas()
+    pairs = dict(zip(zip(got["doc_a"], got["doc_b"]), got["containment"]))
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    jac_ds = ngram_jaccard_pairs_ds(d, k=3, threshold=0.8)
+    assert jac_ds.count() == 0  # symmetric Jaccard misses the subset pair

@@ -942,3 +942,62 @@ def test_domain_mix_fast_method(ray_session):
     assert by.get("a", 0) == n_a
     assert abs(by.get("b", 0) / n_b - 0.5) < 0.05
     assert "c" not in by.index
+
+
+def test_lang_top_terms(docs, ray_session):
+    from search_engine_ray.pipelines.text import lang_top_terms_ds
+
+    d = rd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    got = lang_top_terms_ds(d, k=5).to_pandas().reset_index(drop=True)
+    want = _sql(
+        """
+        WITH c AS (
+          SELECT lang, term, count(*)::BIGINT AS n FROM (
+            SELECT lang, unnest(list_filter(string_split(text,' '), x -> x <> ''))
+              AS term FROM documents)
+          WHERE length(term) >= 2 GROUP BY lang, term),
+        r AS (SELECT lang, term, n,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, term)
+                       AS rk FROM c)
+        SELECT lang, term, n FROM r WHERE rk <= 5 ORDER BY lang, n DESC, term
+        """
+    )
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_lang_top_terms_k_larger_than_vocab(ray_session):
+    """k beyond a language's vocabulary returns all its terms, no padding."""
+    from search_engine_ray.pipelines.text import lang_top_terms_ds
+
+    d = rd.from_items(
+        [
+            {"text": "aa bb aa", "lang": "en"},
+            {"text": "cc", "lang": "fr"},
+        ]
+    )
+    got = lang_top_terms_ds(d, k=10).to_pandas()
+    assert got[got["lang"] == "en"]["term"].tolist() == ["aa", "bb"]
+    assert got[got["lang"] == "fr"]["term"].tolist() == ["cc"]
+
+
+def test_vocab_stats(docs, ray_session):
+    from search_engine_ray.pipelines.text import vocab_stats_ds
+
+    d = rd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    got = vocab_stats_ds(d).to_pandas().reset_index(drop=True)
+    want = _sql(
+        """
+        WITH c AS (
+          SELECT lang, term, count(*)::BIGINT AS n FROM (
+            SELECT lang, unnest(list_filter(string_split(text,' '), x -> x <> ''))
+              AS term FROM documents)
+          WHERE length(term) >= 2 GROUP BY lang, term)
+        SELECT lang, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+        FROM c GROUP BY lang ORDER BY lang
+        """
+    )
+    for col in ("lang", "n_tokens", "vocab", "hapax"):
+        assert got[col].tolist() == want[col].tolist(), col
