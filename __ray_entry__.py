@@ -484,6 +484,24 @@ def q_dup_clusters(sf_dir: str):
     return cc.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cluster_best(sf_dir: str):
+    """Keep-LONGEST near-dup survivor selection (production policy: the
+    shortest duplicate is usually the truncated one): jaccard pairs →
+    connected components → per-cluster argmax on token count (tie → min
+    doc_id)."""
+    from search_engine_ray.pipelines.dedup import (
+        cluster_representatives_ds,
+        ngram_jaccard_pairs_ds,
+    )
+
+    pairs = ngram_jaccard_pairs_ds(_docs(sf_dir), k=3, threshold=0.8)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"u": b.column("doc_a"), "v": b.column("doc_b")}),
+        batch_format="pyarrow",
+    )
+    return _schema_safe(cluster_representatives_ds(_docs(sf_dir), edges))
+
+
 def q_ann_cosine_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1269,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": q_ngram_containment,
         "lang_top_terms": q_lang_top_terms,
         "vocab_stats": q_vocab_stats,
+        "cluster_best": q_cluster_best,
         # rows-only (no SQL oracle)
         "hll_users": q_hll_users,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -1444,6 +1463,44 @@ SELECT node AS doc_id,
        least(node, min(r)) AS cluster_id,
        CAST(least(node, min(r)) = node AS BIGINT) AS is_kept
 FROM reach GROUP BY node
+"""
+    # same recursive-CTE closure, but the survivor is the LONGEST doc
+    # (tie -> min doc_id) instead of the min-id doc
+    cluster_best = f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  END) AS shingle
+    FROM tok)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN cnt ca ON doc_a = ca.doc_id
+  JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE ni / (ca.n + cb.n - ni) >= 0.8),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u),
+cc AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+       FROM reach GROUP BY node),
+tokn AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM tok)
+SELECT cc.doc_id, cc.cluster_id, t.n_tokens,
+       CAST(row_number() OVER (PARTITION BY cc.cluster_id
+                               ORDER BY t.n_tokens DESC, cc.doc_id) = 1
+            AS BIGINT) AS is_kept
+FROM cc JOIN tokn t ON cc.doc_id = t.doc_id
 """
     ann = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -1891,6 +1948,7 @@ SELECT lang, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
        sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
 FROM c GROUP BY lang ORDER BY lang""",
         "dup_clusters": dup_clusters,
+        "cluster_best": cluster_best,
         "tfidf_topk": tfidf,
         "cooccur_pmi": cooccur,
         "dedup_spans": dedup_spans,

@@ -1267,6 +1267,62 @@ def connected_components_ds(
     )
 
 
+def cluster_representatives_ds(
+    docs: rd.Dataset, edges: rd.Dataset
+) -> rd.Dataset:
+    """Quality-aware survivor selection: close near-dup edges into
+    connected components, then keep the LONGEST doc per cluster (tie →
+    min doc_id) — the production dedup policy (among near-duplicates the
+    shortest copy is usually the truncated/boilerplate-stripped one, so
+    min-id keep throws away content).
+
+    Plan: ``connected_components_ds`` (bucketed, O(log n) rounds) → ONE
+    hash-shuffle join attaches per-doc token counts (the docs side ships
+    only (doc_id, n_tokens) — two int64 columns, never text; the cc side
+    is duplicate-bounded) → per-cluster argmax via ``map_groups`` (group
+    = one duplicate cluster, small by construction).
+
+    Output: (doc_id, cluster_id, n_tokens, is_kept) for every clustered
+    doc; singletons (docs in no cluster) are implicitly kept and not
+    emitted, mirroring ``connected_components_ds``."""
+    from search_engine_ray.functions.textstats import token_counts
+
+    cc = connected_components_ds(edges)  # (node, cluster)
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(
+                    token_counts(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    lens = docs.map_batches(tok_rows, batch_format="pyarrow")
+    joined = cc.join(
+        lens,
+        join_type="inner",
+        num_partitions=_join_partitions(),
+        on=("node",),
+    )
+
+    def best(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        winner = node[np.lexsort((node, -n))[0]]
+        return pa.table(
+            {
+                "doc_id": pa.array(node, pa.int64()),
+                "cluster_id": group.column("cluster").cast(pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "is_kept": pa.array((node == winner).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return joined.groupby("cluster").map_groups(best, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # duplicate n-gram SPAN REMOVAL (Lee et al. 2022 exact-substring dedup,
 # at k-token-window granularity)

@@ -459,3 +459,29 @@ def test_ngram_containment_catches_subset_docs(ray_session):
 
     jac_ds = ngram_jaccard_pairs_ds(d, k=3, threshold=0.8)
     assert jac_ds.count() == 0  # symmetric Jaccard misses the subset pair
+
+
+def test_cluster_representatives_keep_longest(ray_session):
+    """The survivor is the LONGEST doc in the cluster even when it has the
+    highest doc_id — min-id keep would pick the truncated copy."""
+    from search_engine_ray.pipelines.dedup import cluster_representatives_ds
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},                       # truncated copy
+            {"doc_id": 2, "text": base + " lambda mu"},        # the full doc
+            {"doc_id": 9, "text": "totally different tokens everywhere"},
+        ]
+    )
+    edges = rd.from_items([{"u": 1, "v": 2}])
+    got = (
+        cluster_representatives_ds(d, edges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["cluster_id"].tolist() == [1, 1]
+    assert got["is_kept"].tolist() == [0, 1]  # longest wins, not min-id
+    assert got["n_tokens"].tolist() == [10, 12]
