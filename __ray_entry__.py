@@ -1201,17 +1201,19 @@ def q_pricing_summary(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict order is load-bearing: the round driver checks the FIRST 50
     # entries against oracle_sql(). The window therefore holds (a) the core
-    # build/search/dedup/relational set and (b) every oracle-bearing query
+    # build/search/dedup/relational set, (b) every oracle-bearing query
     # that had not yet produced a CORRECTNESS row by round 3 (the r3 verdict
-    # lists them). Long-proven single-op trivia (token_count_bpe, quality,
-    # fingerprint, lang_id, simhash, the simple window aggregates, the
-    # samplers — all green in r1–r3) rotate below the window; their r3
-    # records stand.
+    # lists them), and (c) the four operators added in round 4
+    # (ngram_containment, lang_top_terms, vocab_stats, cluster_best — all
+    # hash-green under tests/driver_emu.py at sf0.01). To make room for (c),
+    # four queries with THREE consecutive driver-green rounds rotate below
+    # the window — token_count, term_df, top_terms, ngram_jaccard — chosen
+    # because their r1–r3 records already stand and their oracles stay
+    # driver-exercised by in-window twins (minhash_pairs shares
+    # ngram_jaccard's SQL verbatim; lang_top_terms/vocab_stats are strict
+    # supersets of top_terms/term_df semantics).
     return {
-        # --- core text/build/search (green r1–r3, kept in-window)
-        "token_count": q_token_count,
-        "term_df": q_term_df,
-        "top_terms": q_top_terms,
+        # --- core build/search (green r1–r3, kept in-window)
         "postings_pairs": q_postings_pairs,
         "exact_dedup": q_exact_dedup,
         "url_dedup": q_url_dedup,
@@ -1222,8 +1224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_bm25": q_batch_bm25,
         "add_compact": q_add_compact,  # NEW r4: incremental lifecycle
         # --- dedup / similarity / text-analysis core
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_containment": q_ngram_containment,  # NEW r4
+        "lang_top_terms": q_lang_top_terms,  # NEW r4
+        "vocab_stats": q_vocab_stats,  # NEW r4
+        "cluster_best": q_cluster_best,  # NEW r4
         "simhash_neardup": q_simhash_neardup,
         "dup_clusters": q_dup_clusters,
         "dedup_spans": q_dedup_spans,
@@ -1263,6 +1268,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         # ---------------- below the driver's 50-entry window ----------------
+        # three driver-green rounds each (r1–r3); oracles still exercised
+        # in-window via minhash_pairs (ngram_jaccard's SQL verbatim) and the
+        # r4 supersets lang_top_terms / vocab_stats
+        "token_count": q_token_count,
+        "term_df": q_term_df,
+        "top_terms": q_top_terms,
+        "ngram_jaccard": q_ngram_jaccard,
         "token_count_bpe": q_token_count_bpe,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
@@ -1284,10 +1296,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
-        "ngram_containment": q_ngram_containment,
-        "lang_top_terms": q_lang_top_terms,
-        "vocab_stats": q_vocab_stats,
-        "cluster_best": q_cluster_best,
         # rows-only (no SQL oracle)
         "hll_users": q_hll_users,
         "bloom_decontaminate": q_bloom_decontaminate,

@@ -129,6 +129,33 @@ def crawl_dup_clusters_ds(
     return connected_components_ds(pairs)
 
 
+def crawl_cluster_best_ds(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    k: int = 3,
+    max_group: int = CRAWL_MAX_GROUP,
+) -> rd.Dataset:
+    """Keep-LONGEST near-dup survivors on crawl defaults: LSH candidate
+    pairs (capped hot groups) -> connected components -> per-cluster
+    argmax on token count (tie -> min doc_id). Same output schema as
+    ``dedup.cluster_representatives_ds``; the preferred survivor policy
+    when duplicates differ by truncation (web page re-crawls)."""
+    from search_engine_ray.pipelines.dedup import cluster_representatives_ds
+
+    edges = crawl_neardup_pairs_ds(
+        docs, threshold=threshold, k=k, max_group=max_group
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("doc_a").cast(pa.int64()),
+                "v": b.column("doc_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cluster_representatives_ds(docs, edges)
+
+
 def crawl_clean_corpus_ds(
     docs: rd.Dataset,
     eval_mod: int = 97,

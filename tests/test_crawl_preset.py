@@ -176,3 +176,39 @@ def test_cli_pipeline_preset_substitution(ray_session, tmp_path, capsys):
     assert exact["pipeline"] == "clean_corpus"
     # crawl preset and exact recipe agree on this corpus (Bloom FP ~ 0)
     assert crawl["rows"] == exact["rows"]
+
+
+def test_crawl_cluster_best_matches_exact_path(ray_session):
+    """crawl_cluster_best_ds (LSH pairs, caps on) equals the exact-Jaccard
+    keep-longest selection at test scale (no group hits the cap)."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.crawl import crawl_cluster_best_ds
+    from search_engine_ray.pipelines.dedup import (
+        cluster_representatives_ds,
+        ngram_jaccard_pairs_ds,
+    )
+
+    got = (
+        crawl_cluster_best_ds(_docs_ds(), threshold=0.8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exact_edges = ngram_jaccard_pairs_ds(_docs_ds(), k=3, threshold=0.8).map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("doc_a").cast(pa.int64()),
+                "v": b.column("doc_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    want = (
+        cluster_representatives_ds(_docs_ds(), exact_edges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want) and len(got) > 0
+    assert (got.groupby("cluster_id")["is_kept"].sum() == 1).all()
