@@ -1,0 +1,122 @@
+"""WARC/WET crawl-archive source: parse → pages schema → full build →
+search (the crawl-native analogue of the wiki-XML ingestion test)."""
+
+import gzip
+
+import pytest
+
+import ray.data as rd
+
+HTML_A = b"<html><head><title>Anarchism</title></head><body>Anarchism is a political philosophy and movement</body></html>"
+HTML_B = b"<html><head><title>Albedo</title></head><body>Albedo is the fraction of sunlight reflected</body></html>"
+WET_TEXT = b"Python is a programming language with philosophy of readability"
+
+
+def _records_a():
+    return [
+        {
+            "type": "warcinfo",
+            "url": "",
+            "payload": b"software: test\r\n",
+        },
+        {
+            "type": "response",
+            "url": "https://example.com/anarchism",
+            "date": "2024-03-01T12:00:00Z",
+            "payload": HTML_A,
+        },
+        {
+            "type": "request",  # must be skipped
+            "url": "https://example.com/anarchism",
+            "payload": b"GET /anarchism HTTP/1.1\r\n",
+        },
+        {
+            "type": "response",
+            "url": "https://example.com/albedo",
+            "date": "2024-03-01T12:00:01Z",
+            # payload that CONTAINS a fake record marker: boundaries must
+            # come from Content-Length, not payload scanning
+            "payload": HTML_B + b"\r\nWARC/1.0\r\nnot a record",
+        },
+    ]
+
+
+def _records_b():
+    return [
+        {
+            "type": "conversion",  # WET-style plain text
+            "url": "https://example.com/python",
+            "date": "2024-03-02T00:00:00Z",
+            "payload": WET_TEXT,
+        },
+    ]
+
+
+@pytest.fixture()
+def warc_files(tmp_path):
+    from search_engine_ray.sources.warc import write_warc
+
+    a = tmp_path / "seg1.warc"
+    b = tmp_path / "seg2.warc.gz"
+    write_warc(str(a), _records_a())
+    write_warc(str(b), _records_b(), compress=True)
+    return [str(a), str(b)]
+
+
+def test_parse_warc_plain_and_gzip(tmp_path):
+    from search_engine_ray.sources.warc import parse_warc, write_warc
+
+    a = tmp_path / "x.warc"
+    write_warc(str(a), _records_a())
+    recs = parse_warc(a.read_bytes())
+    assert [r["url"] for r in recs] == [
+        "https://example.com/anarchism",
+        "https://example.com/albedo",
+    ]
+    # HTTP envelope stripped; payload containing 'WARC/1.0' intact
+    assert recs[0]["html"] == HTML_A
+    assert recs[1]["html"] == HTML_B + b"\r\nWARC/1.0\r\nnot a record"
+    assert recs[0]["warc_ts"] == "2024-03-01T12:00:00Z"
+    # multi-member gzip round-trips
+    assert parse_warc(gzip.compress(a.read_bytes()))[0]["html"] == HTML_A
+
+
+def test_warc_pages_schema(ray_session, warc_files):
+    from search_engine_ray.sources.warc import warc_pages
+
+    t = warc_pages(warc_files).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert list(t.columns) == ["url", "warc_ts", "html", "rank"]
+    assert len(t) == 3
+    assert str(t["warc_ts"].dtype).startswith("datetime64")
+    assert t["warc_ts"].notna().all()
+    # conversion text got the html envelope; response html untouched
+    assert t.loc[2, "html"].startswith(b"<html><head><title></title>")
+    assert WET_TEXT in t.loc[2, "html"]
+    assert t.loc[0, "html"] == HTML_A
+    # ranks unique, stride-spaced across files
+    assert t["rank"].is_unique
+
+
+def test_warc_to_index_end_to_end(ray_session, tmp_path, warc_files):
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.warc import warc_pages
+    from search_engine_ray.state.segments import SegmentReader
+
+    pages = warc_pages(warc_files)
+    config = EngineConfig()
+    out = str(tmp_path / "warcidx")
+    res = build_index(
+        pages, out, config, doc_id_mode="rank", skip_filter=True, resume=False
+    )
+    # the albedo record's payload carries trailing junk after </html>
+    # (the boundary fixture) -> it fails the strict envelope and is
+    # dropped per-record, the reference's ingestion-skip semantics
+    assert res.n_docs == 2
+    reader = SegmentReader(out)
+    titles = {d.title for d in reader.fetch_docs(list(reader.all_doc_ids())).values()}
+    assert titles == {"Anarchism", ""}  # WET page has no title
+    s = SegmentSearcher(out, config)
+    hits = s.search_bm25("philosophy", k=10, mode="or")
+    assert len(hits) == 2  # Anarchism + Python pages
