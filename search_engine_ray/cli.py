@@ -60,7 +60,12 @@ def cmd_build(args: argparse.Namespace) -> int:
     )
     fmt = args.format
     if fmt == "auto":
-        fmt = "wiki-xml" if args.input.endswith(".xml") else "parquet"
+        if args.input.endswith(".xml"):
+            fmt = "wiki-xml"
+        elif args.input.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
+            fmt = "warc"
+        else:
+            fmt = "parquet"
     if fmt == "wiki-xml":
         import glob
 
@@ -68,6 +73,13 @@ def cmd_build(args: argparse.Namespace) -> int:
 
         files = sorted(glob.glob(args.input)) or [args.input]
         pages = wiki_abstract_pages(files)
+    elif fmt == "warc":
+        import glob
+
+        from search_engine_ray.sources.warc import warc_pages
+
+        files = sorted(glob.glob(args.input)) or [args.input]
+        pages = warc_pages(files)
     else:
         pages = rd.read_parquet(args.input)
     if args.limit:
@@ -315,9 +327,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument(
         "--format",
-        choices=["auto", "parquet", "wiki-xml"],
+        choices=["auto", "parquet", "wiki-xml", "warc"],
         default="auto",
-        help="input format (wiki-xml = the reference demo's abstract dump)",
+        help="input format (wiki-xml = the reference demo's abstract dump; "
+        "warc = WARC/WET crawl archives, .gz ok)",
     )
     b.add_argument("--out", required=True)
     b.add_argument("--limit", type=int, default=0)

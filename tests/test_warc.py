@@ -120,3 +120,16 @@ def test_warc_to_index_end_to_end(ray_session, tmp_path, warc_files):
     s = SegmentSearcher(out, config)
     hits = s.search_bm25("philosophy", k=10, mode="or")
     assert len(hits) == 2  # Anarchism + Python pages
+
+
+def test_cli_build_warc_autodetect(ray_session, tmp_path, warc_files, capsys):
+    """`build --input seg1.warc` autodetects the warc format end-to-end."""
+    import json
+
+    from search_engine_ray.cli import main
+
+    out = str(tmp_path / "cliidx")
+    rc = main(["build", "--input", warc_files[0], "--out", out, "--skip-filter"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_docs"] == 1  # albedo dropped (junk), seg1 has anarchism only
