@@ -133,3 +133,39 @@ def test_cli_build_warc_autodetect(ray_session, tmp_path, warc_files, capsys):
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n_docs"] == 1  # albedo dropped (junk), seg1 has anarchism only
+
+
+def test_warc_roundtrip_hypothesis(tmp_path):
+    """write_warc -> parse_warc is lossless for arbitrary payload bytes —
+    including payloads containing record markers, CRLF runs, and gzip
+    magic — because boundaries come from Content-Length alone."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_ray.sources.warc import parse_warc, write_warc
+
+    payloads = st.binary(min_size=0, max_size=2048)
+    evil = st.sampled_from(
+        [b"WARC/1.0\r\n", b"\r\n\r\n", b"\x1f\x8b", b"Content-Length: 0\r\n"]
+    )
+    payload = st.one_of(payloads, st.tuples(evil, payloads).map(lambda t: t[0] + t[1]))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(payload, min_size=1, max_size=8), st.booleans())
+    def run(ps, compress):
+        recs = [
+            {
+                "type": "conversion",  # raw payload, no HTTP envelope
+                "url": f"https://h.example/{i}",
+                "date": "2024-01-01T00:00:00Z",
+                "payload": p,
+            }
+            for i, p in enumerate(ps)
+        ]
+        f = tmp_path / "h.warc"
+        write_warc(str(f), recs, compress=compress)
+        got = parse_warc(f.read_bytes())
+        assert [r["html"] for r in got] == ps
+        assert [r["url"] for r in got] == [r["url"] for r in recs]
+
+    run()
