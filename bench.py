@@ -277,6 +277,8 @@ def _training_data_ops(sf_dir: str) -> dict:
         "clean_corpus",
         "dedup_spans",
         "dup_clusters",
+        "cluster_best",
+        "vocab_stats",
         "tfidf_topk",
         "hll_users",
     ):
