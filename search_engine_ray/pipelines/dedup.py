@@ -79,6 +79,10 @@ _SHUFFLE_ROWS_PER_BLOCK = 131_072
 _BROADCAST_VERIFY_PAIRS = 100_000
 _BROADCAST_VERIFY_DOCS = 10_000
 
+# cluster_representatives: broadcast the (node, cluster) map when it fits
+# (two int64 cols — ~32 MB at 2M clustered docs); beyond that, hash join.
+_BROADCAST_CC_ROWS = 2_000_000
+
 
 def _coalesced(rows: rd.Dataset, est_rows: int | None) -> rd.Dataset:
     """Right-size block count before an all-to-all: the sort shuffle pays a
@@ -1284,28 +1288,18 @@ def cluster_representatives_ds(
 
     Output: (doc_id, cluster_id, n_tokens, is_kept) for every clustered
     doc; singletons (docs in no cluster) are implicitly kept and not
-    emitted, mirroring ``connected_components_ds``."""
+    emitted, mirroring ``connected_components_ds``.
+
+    Join strategy mirrors the minhash-verify pattern: when the cc map
+    fits the broadcast bound (two int64 columns — ~16 MB at 1M clustered
+    docs) it ships once via ``ray.put`` and each docs batch FILTERS to
+    members before tokenizing (token counts are never computed for
+    unclustered docs, which dominate a real corpus); above the bound the
+    honest fallback is the distributed hash join of (doc_id, n_tokens)
+    rows, same semantics."""
     from search_engine_ray.functions.textstats import token_counts
 
-    cc = connected_components_ds(edges)  # (node, cluster)
-
-    def tok_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("doc_id").cast(pa.int64()),
-                "n_tokens": pa.array(
-                    token_counts(batch.column("text")), pa.int64()
-                ),
-            }
-        )
-
-    lens = docs.map_batches(tok_rows, batch_format="pyarrow")
-    joined = cc.join(
-        lens,
-        join_type="inner",
-        num_partitions=_join_partitions(),
-        on=("node",),
-    )
+    cc = connected_components_ds(edges).materialize()  # (node, cluster)
 
     def best(group: pa.Table) -> pa.Table:
         node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1318,6 +1312,71 @@ def cluster_representatives_ds(
                 "n_tokens": pa.array(n, pa.int64()),
                 "is_kept": pa.array((node == winner).astype(np.int64), pa.int64()),
             }
+        )
+
+    if cc.count() <= _BROADCAST_CC_ROWS:
+        tables = [t for t in ray.get(cc.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                        "is_kept": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        tbl = pa.concat_tables(tables).combine_chunks()
+        nodes = tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = tbl.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(nodes)
+        cc_ref = ray.put((nodes[o], labels[o]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ns, ls = ray.get(cc_ref)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ns, ids)
+            pos[pos >= len(ns)] = 0
+            hit = ns[pos] == ids
+            if not hit.any():
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                        "n_tokens": pa.array([], pa.int64()),
+                    }
+                )
+            sub = batch.filter(pa.array(hit))  # tokenize MEMBERS only
+            return pa.table(
+                {
+                    "node": pa.array(ids[hit], pa.int64()),
+                    "cluster": pa.array(ls[pos[hit]], pa.int64()),
+                    "n_tokens": pa.array(
+                        token_counts(sub.column("text")), pa.int64()
+                    ),
+                }
+            )
+
+        joined = docs.map_batches(attach, batch_format="pyarrow")
+    else:
+
+        def tok_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("doc_id").cast(pa.int64()),
+                    "n_tokens": pa.array(
+                        token_counts(batch.column("text")), pa.int64()
+                    ),
+                }
+            )
+
+        lens = docs.map_batches(tok_rows, batch_format="pyarrow")
+        joined = cc.join(
+            lens,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("node",),
         )
 
     return joined.groupby("cluster").map_groups(best, batch_format="pyarrow")

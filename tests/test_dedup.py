@@ -485,3 +485,37 @@ def test_cluster_representatives_keep_longest(ray_session):
     assert got["cluster_id"].tolist() == [1, 1]
     assert got["is_kept"].tolist() == [0, 1]  # longest wins, not min-id
     assert got["n_tokens"].tolist() == [10, 12]
+
+
+def test_cluster_representatives_join_fallback_matches_broadcast(
+    ray_session, monkeypatch
+):
+    """Forcing the distributed-join path (broadcast bound = 0) must be
+    bit-identical to the broadcast fast path."""
+    from search_engine_ray.pipelines import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " lambda mu"},
+            {"doc_id": 5, "text": "x1 x2 x3 x4 x5 x6"},
+            {"doc_id": 7, "text": "x1 x2 x3 x4 x5 x6 x7 x8"},
+        ]
+    )
+    edges = rd.from_items([{"u": 1, "v": 2}, {"u": 5, "v": 7}])
+    bcast = (
+        dedup.cluster_representatives_ds(d, edges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(dedup, "_BROADCAST_CC_ROWS", 0)
+    join = (
+        dedup.cluster_representatives_ds(d, edges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bcast.equals(join) and len(bcast) == 4
+    assert bcast.set_index("doc_id")["is_kept"].to_dict() == {1: 0, 2: 1, 5: 0, 7: 1}
