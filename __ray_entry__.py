@@ -99,7 +99,7 @@ def _docs(sf_dir: str):
     return read_documents(sf_dir.rstrip("/"))
 
 
-def _schema_safe(ds):
+def _schema_safe(ds, fallback: dict | None = None):
     """Dataset -> pandas, preserving the schema when the result is EMPTY.
 
     Ray's ``to_pandas`` concatenates per-block frames, so a dataset whose
@@ -109,7 +109,12 @@ def _schema_safe(ds):
     this on corpora with no duplicates. The fallback re-derives the typed
     empty frame from the Dataset schema; it only triggers on empty results
     (re-executing a pipeline that produced nothing is cheap), the
-    non-empty path stays single-execution."""
+    non-empty path stays single-execution.
+
+    ``fallback``: {name: pyarrow type} used when even ``ds.schema()`` is
+    None — Ray's groupby().aggregate() loses the schema entirely on
+    zero-row output, so AGGREGATE-terminated pipelines (simhash_neardup,
+    embedding_neardup_lsh) must declare their columns explicitly."""
     import ray.data as rd
 
     if not isinstance(ds, rd.Dataset):
@@ -117,9 +122,14 @@ def _schema_safe(ds):
     df = ds.to_pandas()
     if len(df.columns) == 0:
         sch = ds.schema()
-        df = pa.table(
-            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
-        ).to_pandas()
+        if sch is not None:
+            df = pa.table(
+                {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+            ).to_pandas()
+        elif fallback is not None:
+            df = pa.table(
+                {n: pa.array([], t) for n, t in fallback.items()}
+            ).to_pandas()
     return df
 
 
@@ -599,7 +609,11 @@ def q_batch_bm25(sf_dir: str):
 def q_simhash_neardup(sf_dir: str):
     from search_engine_ray.pipelines.dedup import simhash_neardup_pairs_ds
 
-    return _schema_safe(simhash_neardup_pairs_ds(_docs(sf_dir), max_hamming=3))
+    return _schema_safe(
+        simhash_neardup_pairs_ds(_docs(sf_dir), max_hamming=3),
+        # aggregate-terminated: Ray loses even schema() on zero rows
+        fallback={"doc_a": pa.int64(), "doc_b": pa.int64(), "hamming": pa.int64()},
+    )
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
@@ -611,7 +625,9 @@ def q_embedding_neardup_lsh(sf_dir: str):
     out = _schema_safe(
         embedding_neardup_lsh_pairs_ds(
             read_embeddings(sf_dir.rstrip("/")), threshold=0.5, n_bits=4, n_tables=32
-        )
+        ),
+        # aggregate-terminated: Ray loses even schema() on zero rows
+        fallback={"vec_a": pa.int64(), "vec_b": pa.int64(), "cosine": pa.float64()},
     )
     return out[["vec_a", "vec_b"]]
 

@@ -297,8 +297,16 @@ def _lang_term_partial(batch: pa.Table) -> pa.Table:
     toks = lower_tokens(token_lists(batch.column("text")))
     flat = toks.flatten()
     lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    # null/missing lang -> 'und' (ISO 639-2 undetermined): a None in the
+    # key array would crash np.unique's sort, and dropping rows silently
+    # would under-count; the sentinel keeps them groupable
+    # cast first: an all-null block types the column as arrow `null`,
+    # which coalesce has no (null, string) kernel for
     langs = np.repeat(
-        batch.column("lang").to_numpy(zero_copy_only=False), lens
+        pc.coalesce(batch.column("lang").cast(pa.string()), "und").to_numpy(
+            zero_copy_only=False
+        ),
+        lens,
     )
     ok = pc.greater_equal(pc.utf8_length(flat), 2).to_numpy(zero_copy_only=False)
     terms = flat.to_numpy(zero_copy_only=False)[ok]

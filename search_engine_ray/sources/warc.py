@@ -26,6 +26,8 @@ reproducible given a fixed file list, same contract as
 from __future__ import annotations
 
 import gzip
+import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -33,6 +35,15 @@ import pyarrow as pa
 import ray.data as rd
 
 _CRLF2 = b"\r\n\r\n"
+
+
+def canon_path(p: str) -> str:
+    """Canonical form for matching caller file paths against the paths Ray
+    returns from ``read_binary_files(include_paths=True)`` — Ray strips
+    the scheme ('file:///x/a' comes back as '/x/a') and normalizes."""
+    if "://" in p[:16]:
+        p = p.split("://", 1)[1]
+    return os.path.normpath(p)
 
 
 def _parse_headers(block: bytes) -> dict[bytes, bytes]:
@@ -44,14 +55,59 @@ def _parse_headers(block: bytes) -> dict[bytes, bytes]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (hex size line + CRLF per
+    chunk, 0-size terminator). Malformed framing returns what decoded so
+    far plus the remainder — never raises."""
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(body):
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            out.append(body[pos:])
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            out.append(body[pos:])
+            break
+        if size == 0:
+            break
+        out.append(body[eol + 2 : eol + 2 + size])
+        pos = eol + 2 + size + 2  # skip chunk payload + trailing CRLF
+    return b"".join(out)
+
+
 def _http_body(payload: bytes) -> bytes:
-    """Body of an HTTP response payload; raw payload when there is no
-    HTTP envelope (some writers store bare content in response records)."""
-    if payload[:5] in (b"HTTP/", b"http/"):
-        sep = payload.find(_CRLF2)
-        if sep != -1:
-            return payload[sep + 4 :]
-    return payload
+    """Body of an HTTP response payload — Transfer-Encoding: chunked is
+    de-framed and Content-Encoding: gzip/deflate decompressed (Common
+    Crawl response records store the raw wire bytes, which use both).
+    Raw payload when there is no HTTP envelope (some writers store bare
+    content in response records). Decode failures fall back to the
+    undecoded body rather than raising (the strict-envelope extract
+    downstream drops undecodable pages per-record)."""
+    if payload[:5] not in (b"HTTP/", b"http/"):
+        return payload
+    sep = payload.find(_CRLF2)
+    if sep == -1:
+        return payload
+    headers = _parse_headers(payload[:sep])
+    body = payload[sep + 4 :]
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        body = _dechunk(body)
+    enc = headers.get(b"content-encoding", b"").lower()
+    try:
+        if enc in (b"gzip", b"x-gzip"):
+            body = gzip.decompress(body)
+        elif enc == b"deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:  # raw deflate (no zlib wrapper) also occurs
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+    except Exception:  # noqa: BLE001 — keep the undecoded body
+        pass
+    return body
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -91,6 +147,7 @@ def parse_warc(data: bytes) -> list[dict]:
                 "url": url.decode("utf-8", errors="replace"),
                 "warc_ts": headers.get(b"warc-date", b"").decode("ascii", "replace"),
                 "html": body,
+                "is_conversion": rtype == b"conversion",
             }
         )
     return out
@@ -106,10 +163,14 @@ def warc_pages(
     ``wrap_conversion``: WET conversion payloads are plain text with no
     markup; wrapping them in the standard html envelope routes them
     through the build's tested extract path (byte-identical text
-    round-trip) instead of needing a parallel text branch. Response-record
-    HTML is passed through untouched.
+    round-trip) instead of needing a parallel text branch. The wrap is
+    gated on the RECORD TYPE (conversion), never content sniffing —
+    response-record bodies pass through untouched whatever they contain
+    (BOM-prefixed HTML, JSON, plain text); non-envelope bodies are then
+    dropped per-record by the strict extract, the ingestion-skip
+    semantics.
     """
-    order = {p: i for i, p in enumerate(sorted(file_paths))}
+    order = {c: i for i, c in enumerate(sorted(canon_path(p) for p in file_paths))}
 
     def extract_file(batch: pa.Table) -> pa.Table:
         urls: list[str] = []
@@ -119,10 +180,16 @@ def warc_pages(
         for path, data in zip(
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
-            base = order.get(path, 0) * rank_stride
+            fidx = order.get(canon_path(path))
+            if fidx is None:
+                # a silent 0 would collide doc_ids across files — refuse
+                raise ValueError(
+                    f"read path {path!r} matches no input file (canon mismatch)"
+                )
+            base = fidx * rank_stride
             for i, rec in enumerate(parse_warc(data)):
                 body = rec["html"]
-                if wrap_conversion and not body.lstrip()[:1] == b"<":
+                if wrap_conversion and rec["is_conversion"]:
                     body = (
                         b"<html><head><title></title></head><body>"
                         + body

@@ -65,7 +65,9 @@ def wiki_abstract_pages(
     ``rank_stride`` spaces each file's rank range so ranks stay unique
     across shards without any coordination (no shard holds more docs than
     the stride)."""
-    order = {p: i for i, p in enumerate(sorted(file_paths))}
+    from search_engine_ray.sources.warc import canon_path
+
+    order = {c: i for i, c in enumerate(sorted(canon_path(p) for p in file_paths))}
 
     def extract_file(batch: pa.Table) -> pa.Table:
         urls: list[str] = []
@@ -74,7 +76,13 @@ def wiki_abstract_pages(
         for path, data in zip(
             batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
         ):
-            base = order.get(path, 0) * rank_stride
+            fidx = order.get(canon_path(path))
+            if fidx is None:
+                # a silent 0 would collide doc_ids across files — refuse
+                raise ValueError(
+                    f"read path {path!r} matches no input file (canon mismatch)"
+                )
+            base = fidx * rank_stride
             for i, d in enumerate(parse_abstract_xml(data)):
                 urls.append(d["url"])
                 htmls.append(

@@ -519,3 +519,43 @@ def test_cluster_representatives_join_fallback_matches_broadcast(
     )
     assert bcast.equals(join) and len(bcast) == 4
     assert bcast.set_index("doc_id")["is_kept"].to_dict() == {1: 0, 2: 1, 5: 0, 7: 1}
+
+
+def test_zero_pair_queries_keep_schema(ray_session, tmp_path, monkeypatch):
+    """Aggregate-terminated near-dup queries (Ray loses even schema() on
+    zero-row aggregate output) must return typed empty frames on a corpus
+    with no duplicates — the _schema_safe fallback path."""
+    import pyarrow.parquet as pq
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # unique docs (no near-dups), orthogonal embeddings (no cos >= 0.5)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["aa bb cc dd ee ff", "gg hh ii jj kk ll"], pa.string()
+                ),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    eye = np.eye(2, 8, dtype=np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(eye.tolist(), pa.list_(pa.float32())),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    sim = E.q_simhash_neardup(str(sf))
+    assert list(sim.columns) == ["doc_a", "doc_b", "hamming"] and len(sim) == 0
+    lsh = E.q_embedding_neardup_lsh(str(sf))
+    assert list(lsh.columns) == ["vec_a", "vec_b"] and len(lsh) == 0

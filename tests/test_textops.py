@@ -1001,3 +1001,20 @@ def test_vocab_stats(docs, ray_session):
     )
     for col in ("lang", "n_tokens", "vocab", "hapax"):
         assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_lang_ops_null_lang(ray_session):
+    """Null lang groups under the 'und' sentinel instead of crashing
+    np.unique's sort on a None key."""
+    from search_engine_ray.pipelines.text import lang_top_terms_ds, vocab_stats_ds
+
+    d = rd.from_items(
+        [
+            {"text": "aa bb aa", "lang": "en"},
+            {"text": "cc dd cc", "lang": None},
+        ]
+    )
+    tt = lang_top_terms_ds(d, k=5).to_pandas()
+    assert set(tt["lang"]) == {"en", "und"}
+    vs = vocab_stats_ds(d).to_pandas()
+    assert vs.set_index("lang").loc["und", "vocab"] == 2

@@ -169,3 +169,96 @@ def test_warc_roundtrip_hypothesis(tmp_path):
         assert [r["url"] for r in got] == [r["url"] for r in recs]
 
     run()
+
+
+def test_http_body_chunked_and_gzip():
+    """Real Common Crawl response records use chunked framing and gzip
+    content encoding; both must decode to the page HTML."""
+    import gzip as _gzip
+
+    from search_engine_ray.sources.warc import _http_body
+
+    html = b"<html><head><title>X</title></head><body>hello crawl</body></html>"
+    # chunked: two chunks + terminator
+    c1, c2 = html[:10], html[10:]
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + hex(len(c1))[2:].encode() + b"\r\n" + c1 + b"\r\n"
+        + hex(len(c2))[2:].encode() + b"\r\n" + c2 + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    assert _http_body(chunked) == html
+    gzipped = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + _gzip.compress(html)
+    )
+    assert _http_body(gzipped) == html
+    both = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    gz = _gzip.compress(html)
+    both += hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    assert _http_body(both) == html
+    # corrupt gzip falls back to the undecoded body, never raises
+    bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+    assert _http_body(bad) == b"not gzip"
+
+
+def test_response_bodies_never_wrapped(ray_session, tmp_path):
+    """The html envelope wrap is gated on record TYPE: a BOM-prefixed or
+    non-HTML response body passes through untouched (then dropped by the
+    strict extract), never converted into a fake page."""
+    from search_engine_ray.sources.warc import warc_pages, write_warc
+
+    bom_html = b"\xef\xbb\xbf<html><head><title>B</title></head><body>b</body></html>"
+    f = tmp_path / "bom.warc"
+    write_warc(
+        str(f),
+        [
+            {
+                "type": "response",
+                "url": "https://e.x/bom",
+                "date": "2024-01-01T00:00:00Z",
+                "payload": bom_html,
+            },
+            {
+                "type": "response",
+                "url": "https://e.x/json",
+                "date": "2024-01-01T00:00:00Z",
+                "payload": b'{"not": "html"}',
+            },
+        ],
+    )
+    t = warc_pages([str(f)]).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert t.loc[0, "html"] == bom_html  # untouched, no double envelope
+    assert t.loc[1, "html"] == b'{"not": "html"}'
+
+
+def test_warc_pages_nonnormalized_paths(ray_session, tmp_path):
+    """Input paths that Ray normalizes before returning ('./sub/../x',
+    'file://' scheme) must still map to their stride base — a mismatch
+    must raise, never silently collide every file's ranks at base 0."""
+    from search_engine_ray.sources.warc import canon_path, warc_pages, write_warc
+
+    (tmp_path / "sub").mkdir()
+    files = []
+    for name in ("s1.warc", "s2.warc"):
+        f = tmp_path / name
+        write_warc(
+            str(f),
+            [
+                {
+                    "type": "conversion",
+                    "url": f"https://e.x/{name}",
+                    "date": "2024-01-01T00:00:00Z",
+                    "payload": b"text " + name.encode(),
+                }
+            ],
+        )
+        # non-normalized spelling of the same file: <dir>/sub/../<name>
+        files.append(str(tmp_path / "sub" / ".." / name))
+    t = warc_pages(files).to_pandas()
+    assert len(t) == 2 and t["rank"].is_unique
+    assert set(t["rank"]) == {0, 10_000_000}  # stride-spaced, not both 0
+    # scheme-stripping covers the URI form Ray hands back on some FSes
+    assert canon_path("file:///a/b/../c.warc") == "/a/c.warc"
