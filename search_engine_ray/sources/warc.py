@@ -169,6 +169,12 @@ def warc_pages(
     (BOM-prefixed HTML, JSON, plain text); non-envelope bodies are then
     dropped per-record by the strict extract, the ingestion-skip
     semantics.
+
+    Memory: each task holds ONE file decompressed (~4 GB for a standard
+    1 GB Common Crawl segment), so peak worker heap = read concurrency ×
+    decompressed size. Ship crawl archives at the standard ~1 GB shard
+    size; on small-memory workers cap the read stage's concurrency rather
+    than re-splitting files.
     """
     order = {c: i for i, c in enumerate(sorted(canon_path(p) for p in file_paths))}
 
