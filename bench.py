@@ -393,6 +393,68 @@ def run_build_only(num_cpus: int) -> dict:
     }
 
 
+def _ceil_worker(kind: str, secs: float) -> float:
+    """One ceiling-probe worker: returns work units done in ~secs.
+    kind='cpu' -> integer numpy spin on a cache-resident array (no memory
+    traffic); kind='mem' -> 100 MB numpy copies (pure bus bandwidth)."""
+    import time as _t
+
+    import numpy as np
+
+    if kind == "cpu":
+        a = np.arange(4096, dtype=np.int64)  # 32 KB: L1-resident
+        n = 0
+        end = _t.perf_counter() + secs
+        while _t.perf_counter() < end:
+            a = (a * 6364136223846793005 + 1442695040888963407) & 0x7FFFFFFF
+            n += len(a)
+        return float(n)
+    src = np.ones(12_500_000)  # 100 MB
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # untimed: fault dst pages outside the window
+    n = 0
+    end = _t.perf_counter() + secs
+    while _t.perf_counter() < end:
+        np.copyto(dst, src)
+        n += 1
+    return float(n * src.nbytes)
+
+
+def _host_ceilings(secs: float = 2.0) -> dict:
+    """Measure the SAME-EPOCH scaling ceiling of trivially-parallel work on
+    this host: run the cpu-spin and memcpy probes at 8 and 32 processes
+    and report E = (rate32/rate8)/4 for each. A Ray pipeline mixing
+    compute and memory traffic cannot scale above a blend of these two
+    numbers on ONE box (BASELINE.md quantifies the mechanism; on a real
+    4N-node cluster per-node bandwidth is constant and E_mem rises to
+    ~E_cpu). Embedded here so every scaling record carries its own
+    attainability bound."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    def one(kind: str, procs: int) -> float:
+        with ProcessPoolExecutor(max_workers=procs) as ex:
+            vals = list(ex.map(_ceil_worker, [kind] * procs, [secs] * procs))
+        return sum(vals) / secs
+
+    # the host's epoch drift is bimodal at minute scale (BASELINE.md), so
+    # mirror the main protocol: interleave (8, 32) pairs, report per-pair
+    # E and the best pair — a cross-epoch pair shows up as an outlier E
+    out = {}
+    for kind in ("cpu", "mem"):
+        pairs = []
+        raw8, raw32 = [], []
+        for _ in range(2):
+            r8 = one(kind, 8)
+            r32 = one(kind, 32)
+            raw8.append(round(r8 / 1e9, 2))
+            raw32.append(round(r32 / 1e9, 2))
+            pairs.append(round((r32 / r8) / 4.0, 3))
+        out[f"host_ceiling_{kind}_E_pairs"] = pairs
+        out[f"host_ceiling_{kind}_rate8"] = raw8
+        out[f"host_ceiling_{kind}_rate32"] = raw32
+    return out
+
+
 def run_scaling() -> dict:
     """Fresh process per parallelism level (the two-cluster-size evidence)."""
     # the host's run-to-run drift reaches 2x+ over minutes and hits the
@@ -456,6 +518,9 @@ def run_scaling() -> dict:
             "host_steal_pct_32cpu": results[32].get("host_steal_pct"),
             "host_write_mbps_8cpu": results[8].get("host_write_mbps"),
             "host_write_mbps_32cpu": results[32].get("host_write_mbps"),
+            # measured in the same epoch as the LAST rep pair: the E this
+            # host allows trivially-parallel work (see _host_ceilings)
+            **_host_ceilings(),
         },
         "sf": SF_DIR,
         "num_cpus": 32,
