@@ -305,6 +305,15 @@ def q_ngram_containment(sf_dir: str):
     )
 
 
+def q_crawl_containment(sf_dir: str):
+    """Crawl-preset containment (hot-group cap ON): equals the exact
+    variant wherever no shingle group hits the cap — shares its oracle,
+    the minhash_pairs/ngram_jaccard precedent."""
+    from search_engine_ray.pipelines.crawl import crawl_containment_pairs_ds
+
+    return _schema_safe(crawl_containment_pairs_ds(_docs(sf_dir), threshold=0.9))
+
+
 def q_lang_top_terms(sf_dir: str):
     """Grouped top-k: 5 most frequent terms per language."""
     import ray.data as rd
@@ -1312,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "crawl_containment": q_crawl_containment,
         # rows-only (no SQL oracle)
         "hll_users": q_hll_users,
         "bloom_decontaminate": q_bloom_decontaminate,
@@ -1933,6 +1943,30 @@ SELECT doc_id FROM (
         "bm25_topk": bm25,
         "ngram_jaccard": ngram,
         "ngram_containment": f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  END) AS shingle
+    FROM tok)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(ni / least(ca.n, cb.n), 4) AS containment
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE ni / least(ca.n, cb.n) >= 0.9
+""",
+        # capped variant: no group hits the 2048 cap at oracle SFs, so the
+        # output equals the exact containment pair set (same SQL) — the
+        # minhash_pairs precedent
+        "crawl_containment": f"""
 WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (

@@ -56,6 +56,8 @@ CRAWL_MAX_GROUP = 2048
 CRAWL_QUERY_SUBSTITUTES: dict[str, str] = {
     # exact all-pairs shingle Jaccard -> MinHash+LSH banding
     "ngram_jaccard": "minhash_pairs",
+    # same pair machinery, asymmetric score -> hot-group cap ON
+    "ngram_containment": "crawl_containment",
     # broadcast exact shingle decontamination -> fixed-size Bloom filter
     "decontaminate": "bloom_decontaminate",
     "clean_corpus": "crawl_clean",
@@ -127,6 +129,24 @@ def crawl_dup_clusters_ds(
         batch_format="pyarrow",
     )
     return connected_components_ds(pairs)
+
+
+def crawl_containment_pairs_ds(
+    docs: rd.Dataset,
+    threshold: float = 0.9,
+    k: int = 3,
+    max_group: int = CRAWL_MAX_GROUP,
+) -> rd.Dataset:
+    """Near-subset containment pairs with the hot-group cap ON (logged
+    drops). Same output schema as ``dedup.ngram_containment_pairs_ds``;
+    at scales where no shingle group hits the cap the output is
+    IDENTICAL to the exact variant (equivalence-tested), so it shares
+    the exact containment SQL oracle."""
+    from search_engine_ray.pipelines.dedup import ngram_containment_pairs_ds
+
+    return ngram_containment_pairs_ds(
+        docs, k=k, threshold=threshold, max_group=max_group
+    )
 
 
 def crawl_cluster_best_ds(

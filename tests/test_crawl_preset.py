@@ -212,3 +212,26 @@ def test_crawl_cluster_best_matches_exact_path(ray_session):
     )
     assert got.equals(want) and len(got) > 0
     assert (got.groupby("cluster_id")["is_kept"].sum() == 1).all()
+
+
+def test_crawl_containment_matches_exact_and_caps(ray_session):
+    """crawl_containment_pairs_ds equals the exact variant when no group
+    hits the cap, and max_group=1 drops every multi-doc shingle bucket."""
+    from search_engine_ray.pipelines.crawl import crawl_containment_pairs_ds
+    from search_engine_ray.pipelines.dedup import ngram_containment_pairs_ds
+
+    got = (
+        crawl_containment_pairs_ds(_docs_ds(), threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ngram_containment_pairs_ds(_docs_ds(), k=3, threshold=0.9)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want) and len(got) > 0
+    capped = crawl_containment_pairs_ds(_docs_ds(), threshold=0.9, max_group=1)
+    assert capped.count() == 0
