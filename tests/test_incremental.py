@@ -338,3 +338,61 @@ def test_interleaved_rank_generations_unique_and_compact_equivalent(
         for r in s_post.search_bm25("w0 w1 w2", k=30, mode="or")
     ]
     assert pre == post
+
+
+def test_cli_lifecycle_build_add_compact_stats_bm25(ray_session, tmp_path, capsys):
+    """The reference lifecycle (engine.ts:43-99 repeated adds + query)
+    driven entirely through the CLI entry point: build -> add -> compact
+    -> stats -> bm25."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.cli import main
+
+    def pages_file(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "html": pa.array(
+                        [
+                            f"<html><head><title>{r[1]}</title></head>"
+                            f"<body>{r[2]}</body></html>".encode()
+                            for r in rows
+                        ],
+                        pa.binary(),
+                    ),
+                    "rank": pa.array(range(len(rows)), pa.int64()),
+                }
+            ),
+            str(path),
+        )
+
+    p1 = tmp_path / "p1.parquet"
+    p2 = tmp_path / "p2.parquet"
+    pages_file(p1, [("http://a", "A", "alpha philosophy tokens"),
+                    ("http://b", "B", "beta different words")])
+    pages_file(p2, [("http://c", "C", "gamma philosophy appended"),
+                    ("http://a", "DUP", "already indexed url")])
+    idx = str(tmp_path / "idx")
+
+    assert main(["build", "--input", str(p1), "--out", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_docs"] == 2
+
+    assert main(["add", "--index", idx, "--input", str(p2)]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_docs_added"] == 1  # duplicate url skipped
+
+    assert main(["compact", "--index", idx]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_docs"] == 3
+
+    assert main(["stats", "--index", idx]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["generations"] and rec["total_bytes"] > 0
+
+    assert main(["bm25", "--index", idx, "--query", "philosophy", "-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "http://a" in out and "http://c" in out and "http://b" not in out
