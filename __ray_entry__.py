@@ -130,6 +130,13 @@ def _schema_safe(ds, fallback: dict | None = None):
             df = pa.table(
                 {n: pa.array([], t) for n, t in fallback.items()}
             ).to_pandas()
+        else:
+            # fail loudly AT THE SOURCE: a column-less frame would surface
+            # as a confusing schema mismatch in the driver's comparison
+            raise ValueError(
+                "aggregate-terminated pipeline lost its schema on a zero-row "
+                "result: declare a fallback={name: pa.type} in the wrapper"
+            )
     return df
 
 
@@ -1372,6 +1379,27 @@ scores AS (
 SELECT doc_id, round(s, 6) AS score
 FROM scores ORDER BY s DESC, doc_id LIMIT 10
 """
+    containment = f"""
+WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1),
+                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                  END) AS shingle
+    FROM tok)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(ni / least(ca.n, cb.n), 4) AS containment
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE ni / least(ca.n, cb.n) >= 0.9
+"""
     ngram = f"""
 WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
 sh AS (
@@ -1942,51 +1970,11 @@ SELECT doc_id FROM (
   ORDER BY doc_id LIMIT 100)""",
         "bm25_topk": bm25,
         "ngram_jaccard": ngram,
-        "ngram_containment": f"""
-WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-                  ELSE list_transform(range(1, len(ts) - 1),
-                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-                  END) AS shingle
-    FROM tok)),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b, round(ni / least(ca.n, cb.n), 4) AS containment
-FROM inter
-JOIN cnt ca ON doc_a = ca.doc_id
-JOIN cnt cb ON doc_b = cb.doc_id
-WHERE ni / least(ca.n, cb.n) >= 0.9
-""",
+        "ngram_containment": containment,
         # capped variant: no group hits the 2048 cap at oracle SFs, so the
         # output equals the exact containment pair set (same SQL) — the
         # minhash_pairs precedent
-        "crawl_containment": f"""
-WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
-                  ELSE list_transform(range(1, len(ts) - 1),
-                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-                  END) AS shingle
-    FROM tok)),
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b, round(ni / least(ca.n, cb.n), 4) AS containment
-FROM inter
-JOIN cnt ca ON doc_a = ca.doc_id
-JOIN cnt cb ON doc_b = cb.doc_id
-WHERE ni / least(ca.n, cb.n) >= 0.9
-""",
+        "crawl_containment": containment,
         "lang_top_terms": f"""
 WITH c AS (
   SELECT lang, term, count(*)::BIGINT AS n FROM (

@@ -177,6 +177,9 @@ def warc_pages(
     than re-splitting files.
     """
     order = {c: i for i, c in enumerate(sorted(canon_path(p) for p in file_paths))}
+    if len(order) != len(file_paths):
+        # two spellings of one file would share a stride base -> dup doc_ids
+        raise ValueError("file_paths contains duplicate files (after canon)")
 
     def extract_file(batch: pa.Table) -> pa.Table:
         urls: list[str] = []

@@ -68,6 +68,9 @@ def wiki_abstract_pages(
     from search_engine_ray.sources.warc import canon_path
 
     order = {c: i for i, c in enumerate(sorted(canon_path(p) for p in file_paths))}
+    if len(order) != len(file_paths):
+        # two spellings of one file would share a stride base -> dup doc_ids
+        raise ValueError("file_paths contains duplicate files (after canon)")
 
     def extract_file(batch: pa.Table) -> pa.Table:
         urls: list[str] = []

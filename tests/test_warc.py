@@ -262,3 +262,23 @@ def test_warc_pages_nonnormalized_paths(ray_session, tmp_path):
     assert set(t["rank"]) == {0, 10_000_000}  # stride-spaced, not both 0
     # scheme-stripping covers the URI form Ray hands back on some FSes
     assert canon_path("file:///a/b/../c.warc") == "/a/c.warc"
+
+
+def test_duplicate_file_spellings_rejected(tmp_path):
+    """Two spellings of one file would share a stride base (dup doc_ids);
+    both sources refuse instead."""
+    import pytest as _pytest
+
+    from search_engine_ray.sources.warc import warc_pages, write_warc
+    from search_engine_ray.sources.wiki_xml import wiki_abstract_pages
+
+    f = tmp_path / "a.warc"
+    write_warc(str(f), [])
+    (tmp_path / "sub").mkdir()
+    alias = str(tmp_path / "sub" / ".." / "a.warc")
+    with _pytest.raises(ValueError, match="duplicate files"):
+        warc_pages([str(f), alias])
+    x = tmp_path / "a.xml"
+    x.write_bytes(b"<feed></feed>")
+    with _pytest.raises(ValueError, match="duplicate files"):
+        wiki_abstract_pages([str(x), str(tmp_path / "sub" / ".." / "a.xml")])
