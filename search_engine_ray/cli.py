@@ -255,8 +255,22 @@ def cmd_stats(args: argparse.Namespace) -> int:
 def cmd_pipeline(args: argparse.Namespace) -> int:
     """Run any named pipeline from __ray_entry__.queries() over a table
     directory and write the result as partitioned Parquet — the resumable
-    batch-output path (many part files, never one giant file)."""
+    batch-output path (many part files, never one giant file). A finished
+    output directory carries a _DONE marker (pipeline name + sf_dir +
+    rows); re-running with the same identity skips the work — the
+    per-shard skip a driver loop over inputs relies on. ``--force``
+    recomputes."""
     import ray
+
+    from search_engine_ray.state import fsio
+
+    marker = fsio.join(args.out, "_DONE.json")
+    if not getattr(args, "force", False) and fsio.exists(marker):
+        rec = json.loads(fsio.read_bytes(marker))
+        if rec.get("requested") == args.name and rec.get("sf_dir") == args.sf_dir:
+            rec["skipped"] = True
+            print(json.dumps(rec))
+            return 0
 
     owns_ray = _init_ray(args.num_cpus)
     import importlib
@@ -288,19 +302,23 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         res = rd.from_pandas(res)
     elif isinstance(res, pa_.Table):
         res = rd.from_arrow(res)
+    if fsio.isdir(args.out):
+        # recompute (stale/mismatched/forced): write_parquet appends part
+        # files, so a dirty directory would double-count rows
+        fsio.rmtree(args.out)
     res.write_parquet(args.out)
     n = rd.read_parquet(args.out).count()
-    print(
-        json.dumps(
-            {
-                "pipeline": name,
-                "requested": args.name,
-                "rows": int(n),
-                "wall_sec": round(time.perf_counter() - t0, 2),
-                "out": args.out,
-            }
-        )
-    )
+    rec = {
+        "pipeline": name,
+        "requested": args.name,
+        "sf_dir": args.sf_dir,
+        "rows": int(n),
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "out": args.out,
+    }
+    # marker written LAST: a crashed run leaves no marker and re-runs
+    fsio.write_bytes(marker, json.dumps(rec).encode())
+    print(json.dumps(rec))
     if owns_ray:
         ray.shutdown()
     return 0
@@ -376,6 +394,11 @@ def main(argv: list[str] | None = None) -> int:
         help="crawl (default): substitute scale-safe variants for "
         "quadratic/broadcast-heavy exact operators; exact: run the "
         "requested operator verbatim (oracle parity, small corpora)",
+    )
+    r.add_argument(
+        "--force",
+        action="store_true",
+        help="recompute even if the output carries a matching _DONE marker",
     )
     r.set_defaults(fn=cmd_pipeline)
 

@@ -102,3 +102,37 @@ def test_cli_pipeline_writes_parquet(ray_session, tmp_path):
     assert set(t.column_names) == {"doc_id", "n_tokens"}
     rc = main(["pipeline", "not_a_pipeline", "--out", out])
     assert rc == 2
+
+
+def test_cli_pipeline_resume_marker(ray_session, tmp_path, capsys):
+    """A finished `pipeline --out DIR` run leaves a _DONE marker; re-running
+    with the same identity skips, --force recomputes (clean directory),
+    and a different identity recomputes instead of serving stale rows."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.cli import main
+
+    out = str(tmp_path / "q")
+    argv = ["pipeline", "token_count", "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["rows"] == 500 and "skipped" not in first
+
+    assert main(argv) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["skipped"] is True and second["rows"] == 500
+
+    assert main(argv + ["--force"]) == 0
+    forced = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "skipped" not in forced and forced["rows"] == 500
+    # no double-counted part files, marker ignored by the parquet reader
+    assert pq.read_table(out).num_rows == 500
+
+    # different query into the same dir: identity mismatch -> recompute
+    assert main(["pipeline", "term_df", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    other = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "skipped" not in other and other["pipeline"] == "term_df"
