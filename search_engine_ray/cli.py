@@ -264,19 +264,9 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
 
     from search_engine_ray.state import fsio
 
-    marker = fsio.join(args.out, "_DONE.json")
-    if not getattr(args, "force", False) and fsio.exists(marker):
-        rec = json.loads(fsio.read_bytes(marker))
-        if rec.get("requested") == args.name and rec.get("sf_dir") == args.sf_dir:
-            rec["skipped"] = True
-            print(json.dumps(rec))
-            return 0
-
-    owns_ray = _init_ray(args.num_cpus)
-    import importlib
-
-    entry = importlib.import_module("__ray_entry__")
-    qs = entry.queries()
+    # resolve the preset substitution BEFORE the marker check: the marker
+    # identity must be the pipeline that actually ran, or a --preset exact
+    # run would wrongly skip on a crawl-preset marker (and vice versa)
     name = args.name
     if getattr(args, "preset", "crawl") == "crawl":
         from search_engine_ray.pipelines.crawl import CRAWL_QUERY_SUBSTITUTES
@@ -289,6 +279,20 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             name = sub
+
+    marker = fsio.join(args.out, "_DONE.json")
+    if not getattr(args, "force", False) and fsio.exists(marker):
+        rec = json.loads(fsio.read_bytes(marker))
+        if rec.get("pipeline") == name and rec.get("sf_dir") == args.sf_dir:
+            rec["skipped"] = True
+            print(json.dumps(rec))
+            return 0
+
+    owns_ray = _init_ray(args.num_cpus)
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
     if name not in qs:
         print(f"unknown pipeline {name!r}; available: {sorted(qs)}")
         return 2

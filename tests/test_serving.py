@@ -136,3 +136,26 @@ def test_cli_pipeline_resume_marker(ray_session, tmp_path, capsys):
                  "--out", out]) == 0
     other = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "skipped" not in other and other["pipeline"] == "term_df"
+
+
+def test_cli_pipeline_marker_preset_identity(ray_session, tmp_path, capsys):
+    """A crawl-preset marker must NOT satisfy a --preset exact run of the
+    same requested name (different resolved pipeline)."""
+    import json
+
+    from search_engine_ray.cli import main
+
+    out = str(tmp_path / "q2")
+    base = ["pipeline", "ngram_containment", "--sf-dir",
+            "/root/testdata/sf0.001", "--out", out]
+    assert main(base) == 0  # crawl preset -> crawl_containment
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["pipeline"] == "crawl_containment"
+
+    assert main(base + ["--preset", "exact"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["pipeline"] == "ngram_containment" and "skipped" not in rec
+
+    assert main(base + ["--preset", "exact"]) == 0  # now it may skip
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["skipped"] is True and rec["pipeline"] == "ngram_containment"
