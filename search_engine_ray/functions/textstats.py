@@ -64,6 +64,34 @@ def md5_fingerprints_arrow(arr: pa.Array | pa.ChunkedArray) -> list[str]:
     ]
 
 
+def md5_digests_arrow(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Raw 16-byte md5 digest per string as an (n, 16) uint8 array — the
+    binary twin of ``md5_fingerprints_arrow`` (same buffer walk, same
+    hash), for call sites that SHUFFLE on the fingerprint: two uint64
+    halves sort/group far faster than 32-char hex strings, and the hex
+    form is exactly reconstructible (hexlify) where an oracle pins it."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 16), np.uint8)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    mv = memoryview(arr.buffers()[2])
+    md5 = hashlib.md5
+    return np.frombuffer(
+        b"".join(
+            md5(mv[s:e]).digest()
+            for s, e in zip(off[:-1].tolist(), off[1:].tolist())
+        ),
+        np.uint8,
+    ).reshape(n, 16)
+
+
 def md5_id_u32(ids: np.ndarray) -> np.ndarray:
     """Per-id md5-uniform as uint32: ``int(md5(str(int(id))).hexdigest()[:8],
     16)`` for every id, byte-identical to the per-row hashlib expression the

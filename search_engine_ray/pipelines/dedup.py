@@ -97,23 +97,58 @@ def _coalesced(rows: rd.Dataset, est_rows: int | None) -> rd.Dataset:
 
 
 def exact_dedup_ds(docs: rd.Dataset) -> rd.Dataset:
-    """Winners of exact-text dedup: min doc_id per distinct text (D2)."""
+    """Winners of exact-text dedup: min doc_id per distinct text (D2).
+
+    The shuffle keys are the md5 digest's two uint64 halves, not the
+    32-char hex string — int keys sort/group several times faster through
+    the all-to-all — and the oracle-pinned hex ``fp`` is reconstructed
+    exactly (hexlify of the same digest bytes) in a stateless map after
+    the aggregate."""
+    import binascii
+
+    from search_engine_ray.functions.textstats import md5_digests_arrow
 
     def fp(batch: pa.Table) -> pa.Table:
+        d = md5_digests_arrow(batch.column("text"))
+        h = d.view(">u8")  # (n, 2) big-endian halves
+        # int64 bit-views, not uint64: Ray's sort-aggregate objects-encodes
+        # unsigned key columns; signed keys group identically (any total
+        # order works for adjacency)
         return pa.table(
             {
-                "fp": pa.array(
-                    md5_fingerprints_arrow(batch.column("text")), pa.string()
-                ),
+                "h1": pa.array(h[:, 0].astype(np.uint64).view(np.int64), pa.int64()),
+                "h2": pa.array(h[:, 1].astype(np.uint64).view(np.int64), pa.int64()),
                 "doc_id": batch.column("doc_id"),
             }
         )
 
-    return (
+    agg = (
         docs.map_batches(fp, batch_format="pyarrow")
-        .groupby("fp")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="keep_doc_id"))
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        buf = np.empty((n, 16), np.uint8)
+        for col, sl in (("h1", slice(0, 8)), ("h2", slice(8, 16))):
+            be = (
+                batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+                .astype(">u8")
+            )
+            buf[:, sl] = be.view(np.uint8).reshape(n, 8)
+        hexes = np.frombuffer(binascii.hexlify(buf.tobytes()), dtype="S32")
+        return pa.table(
+            {
+                "fp": pa.array(hexes).cast(pa.string()),
+                "keep_doc_id": batch.column("keep_doc_id"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
