@@ -436,6 +436,16 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences_ds(read_documents(sf_dir.rstrip("/")), budget_tokens=2048)
 
 
+def q_shard_export(sf_dir: str):
+    """Deterministic global shuffle-and-shard layout (md5-pinned shard +
+    within-shard rank via a segmented distributed prefix scan)."""
+    from search_engine_ray.pipelines.text import read_documents, shard_export_ds
+
+    return shard_export_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id"]), n_shards=16
+    )
+
+
 def q_media_resize(sf_dir: str):
     """Actor-pool image resize plumbing (pixel work stubbed — no image
     libs in this container). Deterministic synthetic media; rows-only."""
@@ -1280,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers": q_idle_customers,
         # --- oracle-bearing, first driver check this round (r3 verdict #2)
         "pack_sequences": q_pack_sequences,
+        "shard_export": q_shard_export,  # NEW r4: shuffled shard layout
         "revenue_rollup": q_revenue_rollup,
         "order_nations": q_order_nations,
         "type_median": q_type_median,
@@ -2184,6 +2195,18 @@ SELECT doc_id, n_tokens,
        CAST(cum % 2048 AS BIGINT) AS bin_offset
 FROM c
 """,
+        # shard = first 8 md5 hex chars of the decimal doc_id as u32, mod 16;
+        # pos = rank of (h, doc_id) within the shard — DuckDB reproduces the
+        # Ray side's md5_id_u32 exactly (same digest, same hex-prefix parse)
+        "shard_export": """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, (h % 16)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1)::BIGINT
+         AS pos
+FROM t""",
         "idle_customers": """
 SELECT c_custkey, c_mktsegment FROM customer
 ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o

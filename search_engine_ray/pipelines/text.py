@@ -1402,6 +1402,87 @@ def pack_sequences_ds(docs: rd.Dataset, budget_tokens: int = 2048) -> rd.Dataset
     )
 
 
+def shard_export_ds(
+    docs: rd.Dataset, n_shards: int = 16, out_dir: str | None = None
+) -> rd.Dataset:
+    """Deterministic global shuffle-and-shard layout — the last-mile step
+    of a training-data pipeline: shard = md5-uniform(doc_id) mod n_shards,
+    pos = rank of (md5, doc_id) within the shard, i.e. every shard holds a
+    pseudorandom 1/n_shards slice of the corpus in pseudorandom order, and
+    the (shard, pos) assignment is byte-identical on any cluster shape
+    (md5-pinned, so the SQL oracle reproduces it exactly).
+
+    This is the SEGMENTED variant of pack_sequences' distributed ordered
+    prefix scan: (doc_id, h, shard) keys — never the text payload — are
+    range-sorted by (shard, h, doc_id); each sorted block reduces to one
+    n_shards-long count vector; the driver exclusive-scans those vectors
+    column-wise (n_blocks x n_shards ints, bytes — a shard split across
+    block boundaries gets its base carried over); one remote task per block
+    assigns pos = per-shard base + vectorized run-length local rank. With
+    ``out_dir`` the layout is written as hive-partitioned parquet
+    (``shard=K/`` directories) — the resumable-output shape: a re-run can
+    skip finished shard partitions, and exporting the payload itself is the
+    documented composition (bucketed join of this layout onto the docs by
+    doc_id, then the same partitioned write)."""
+    import ray
+
+    from search_engine_ray.functions.textstats import md5_id_u32
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = md5_id_u32(ids).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "shard": pa.array(h % n_shards, pa.int64()),
+            }
+        )
+
+    ordered = (
+        docs.map_batches(keys, batch_format="pyarrow")
+        .sort(["shard", "h", "doc_id"])
+        .materialize()
+    )
+    refs = ordered.to_arrow_refs()  # range-sorted block order is preserved
+
+    @ray.remote
+    def _shard_counts(t: pa.Table) -> np.ndarray:
+        sh = t.column("shard").to_numpy(zero_copy_only=False)
+        return np.bincount(sh, minlength=n_shards).astype(np.int64)
+
+    @ray.remote
+    def _assign(t: pa.Table, base: np.ndarray) -> pa.Table:
+        sh = t.column("shard").to_numpy(zero_copy_only=False)
+        n = len(sh)
+        starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]
+        local = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, n])
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": t.column("shard"),
+                "pos": pa.array(base[sh] + local, pa.int64()),
+            }
+        )
+
+    counts = ray.get([_shard_counts.remote(r) for r in refs])
+    if counts:
+        mat = np.vstack(counts)
+        bases = np.vstack(
+            [np.zeros(n_shards, np.int64), np.cumsum(mat, axis=0)[:-1]]
+        )
+    else:
+        bases = np.zeros((0, n_shards), np.int64)
+    out = rd.from_arrow_refs(
+        [_assign.remote(r, b) for r, b in zip(refs, bases)]
+    )
+    if out_dir is not None:
+        out.write_parquet(out_dir, partition_cols=["shard"])
+    return out
+
+
 def weighted_sample_ds(
     docs: rd.Dataset, scale: int = 150, method: str = "md5"
 ) -> rd.Dataset:

@@ -1018,3 +1018,41 @@ def test_lang_ops_null_lang(ray_session):
     assert set(tt["lang"]) == {"en", "und"}
     vs = vocab_stats_ds(d).to_pandas()
     assert vs.set_index("lang").loc["und", "vocab"] == 2
+
+
+def test_shard_export_segmented_scan(ray_session, tmp_path):
+    """Segmented prefix scan == single-process per-shard rank, on many
+    blocks (shards split across block boundaries); hive-partitioned write."""
+    import hashlib
+
+    import pandas as pd
+
+    from search_engine_ray.pipelines.text import read_documents, shard_export_ds
+
+    many_blocks = read_documents(SF, columns=["doc_id"]).repartition(11)
+    out_dir = str(tmp_path / "shards")
+    got = (
+        shard_export_ds(many_blocks, n_shards=8, out_dir=out_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = got["doc_id"].to_numpy()
+    h = np.array(
+        [int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) for i in ids],
+        dtype=np.int64,
+    )
+    assert got["shard"].tolist() == (h % 8).tolist()
+    # per-shard: positions are exactly 0..count-1 in (h, doc_id) order
+    ref = pd.DataFrame({"doc_id": ids, "h": h, "shard": h % 8})
+    ref = ref.sort_values(["shard", "h", "doc_id"]).reset_index(drop=True)
+    ref["pos"] = ref.groupby("shard").cumcount()
+    merged = got.merge(ref[["doc_id", "pos"]], on="doc_id", suffixes=("", "_ref"))
+    assert merged["pos"].tolist() == merged["pos_ref"].tolist()
+    # the hive-partitioned layout landed: one shard=K dir per non-empty shard
+    import os
+
+    parts = sorted(d for d in os.listdir(out_dir) if d.startswith("shard="))
+    assert parts == [f"shard={k}" for k in sorted(got["shard"].unique())]
+    back = rd.read_parquet(out_dir).to_pandas()
+    assert len(back) == len(got)
