@@ -467,6 +467,71 @@ def q_bloom_decontaminate(sf_dir: str):
     return bloom_decontaminate_ds(_docs(sf_dir))
 
 
+def q_logbin_quantiles(sf_dir: str):
+    """Log-histogram quantile sketch (HDR binning) over documents.n_chars
+    per lang, cross-checked against the EXACT k-th smallest computed by an
+    independent distributed plan (per-(lang, value) count shuffle). The
+    sketch's structural guarantee — its chosen bin equals the bin of the
+    exact quantile, hence relative error <= 1/16 — is deterministic, so
+    the oracle pins within_bound = 1 for every (lang, q) row."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.sketches import (
+        _logbin_index,
+        logbin_quantile_sketch_ds,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir.rstrip('/')}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    est = logbin_quantile_sketch_ds(docs, "lang", "n_chars").to_pandas()
+
+    # independent exact plan: counts per (lang, value) — bounded by the
+    # number of DISTINCT lengths per lang, never a full sort — then the
+    # k-th smallest from the per-lang value histogram
+    def vc(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = batch.column("lang").cast(pa.string())
+        tbl = pa.table(
+            {"lang": key, "v": batch.column("n_chars").cast(pa.int64())}
+        )
+        return tbl
+
+    counts = (
+        docs.map_batches(vc, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .count()
+        .to_pandas()
+    )
+    import numpy as np
+
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(np.int64)
+        cum = g["count()"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            k = max(int(np.ceil(q * n)), 1)
+            exact = vals[np.searchsorted(cum, k, side="left")]
+            rows.append((lang, int(round(q * 100)), int(exact)))
+    exact_df = pd.DataFrame(rows, columns=["lang", "q_pct", "exact"])
+    m = est.merge(exact_df, on=["lang", "q_pct"])
+    eb = _logbin_index(m["exact"].to_numpy(np.int64), 4)
+    m["within_bound"] = (
+        (m["bin"].to_numpy(np.int64) == eb)
+        & (m["est"].to_numpy() <= m["exact"].to_numpy())
+    ).astype("int64")
+    return (
+        m[["lang", "q_pct", "within_bound"]]
+        .sort_values(["lang", "q_pct"])
+        .reset_index(drop=True)
+    )
+
+
 def q_hll_users(sf_dir: str):
     """Approximate distinct users per event_type (HyperLogLog, p=12).
     No SQL oracle — the estimate is deliberately approximate; accuracy
@@ -1309,8 +1374,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         # ---------------- below the driver's 50-entry window ----------------
+        # (shard_export's insertion rotates semdedup — rows-only by design —
+        # just out; the window now holds 50 oracle-bearing entries)
+        "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
+        "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
         # three driver-green rounds each (r1–r3); oracles still exercised
         # in-window via minhash_pairs (ngram_jaccard's SQL verbatim) and the
         # r4 supersets lang_top_terms / vocab_stats
@@ -1847,6 +1915,14 @@ ORDER BY term
             "SELECT event_type, 1::BIGINT AS within_bound FROM events"
             " GROUP BY event_type ORDER BY event_type"
         ),
+        # the log-histogram sketch's bin ALWAYS equals the bin of the exact
+        # k-th smallest (bin counts are exact; binning is monotonic), so
+        # within_bound = 1 is a deterministic claim, not a probabilistic one
+        "logbin_quantiles": """
+SELECT lang, q_pct, 1::BIGINT AS within_bound
+FROM (SELECT DISTINCT lang FROM documents)
+CROSS JOIN (SELECT unnest([10, 25, 50, 75, 90, 99])::BIGINT AS q_pct)
+ORDER BY lang, q_pct""",
         # Bloom flag == exact flag: zero false negatives by construction,
         # FP ~1e-12 at this sizing — deterministically equal here
         "bloom_flag": f"""

@@ -233,3 +233,136 @@ def cm_estimate(grid: np.ndarray, terms: pa.Array) -> np.ndarray:
     idx = _cm_row_hashes(terms, depth, width)
     ests = np.stack([grid[d][idx[d]] for d in range(depth)])
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch (HDR-histogram binning, public technique:
+# Tene's HdrHistogram / DDSketch family) — the mergeable QUANTILE
+# counterpart to HLL (cardinality) and Count-Min (frequency): per-batch
+# partial histograms over exponent-plus-linear-subdivision bins merge by
+# elementwise SUM, and any quantile of non-negative integers is answered
+# with relative error <= 1/bins_per_octave DETERMINISTICALLY (the bound is
+# structural, not probabilistic: bin membership counts are exact, so the
+# sketch's chosen bin always equals the bin of the exact k-th smallest
+# value). Exact quantiles need a global sort or a per-distinct-value
+# shuffle; the sketch ships one fixed ~8 KB row per (group, batch).
+# ---------------------------------------------------------------------------
+
+
+def _logbin_index(v: np.ndarray, log2_bpo: int) -> np.ndarray:
+    """Bin index for non-negative int64 values, pure integer ops (exact,
+    deterministic, monotonic in v): v=0 -> bin 0; v>=1 -> 1 + e*bpo + sub
+    where e = floor(log2 v) and sub = floor((v - 2^e) * bpo / 2^e) via
+    shifts (bpo = 2^log2_bpo). Every bin spans a value range of relative
+    width <= 1/bpo of its lower edge."""
+    v = v.astype(np.uint64)
+    out = np.zeros(len(v), np.int64)
+    pos = v > 0
+    if not pos.any():
+        return out
+    w = v[pos]
+    e = 63 - _clz64(w)  # floor(log2), exact
+    d = w - (np.uint64(1) << e.astype(np.uint64))
+    sh = e - log2_bpo
+    sub = np.where(
+        sh >= 0,
+        (d >> np.maximum(sh, 0).astype(np.uint64)).astype(np.int64),
+        (d << np.maximum(-sh, 0).astype(np.uint64)).astype(np.int64),
+    )
+    out[pos] = 1 + e * (1 << log2_bpo) + sub
+    return out
+
+
+def _logbin_edge(bins: np.ndarray, log2_bpo: int) -> np.ndarray:
+    """Lower value edge of each bin as float64 (exact below 2^53): the
+    sketch's quantile estimate. edge <= true < edge * (1 + 1/bpo)."""
+    bpo = 1 << log2_bpo
+    b = np.asarray(bins, np.int64) - 1
+    e = np.maximum(b, 0) // bpo
+    sub = np.maximum(b, 0) % bpo
+    base = np.power(2.0, e.astype(np.float64))
+    return np.where(b < 0, 0.0, base * (1.0 + sub.astype(np.float64) / bpo))
+
+
+def logbin_quantile_sketch_ds(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    log2_bpo: int = 4,
+) -> rd.Dataset:
+    """(key, q_pct, bin, est) — per-key quantile estimates of a
+    non-negative integer column with relative error <= 1/2^log2_bpo,
+    rank definition k = ceil(q * n) (the k-th smallest, 1-indexed).
+
+    Per batch, one fixed-size int64 histogram per key present (vectorized
+    dictionary-encode + np.add.at); the groupby(key) moves one ~8 KB row
+    per (key, batch) — never a value — and merges by elementwise sum,
+    fully associative (batching/retry invariant). est is the chosen bin's
+    lower edge, so est <= exact always and bin(exact) == bin holds
+    EXACTLY (pinned by the driver query's distributed cross-check)."""
+    bpo = 1 << log2_bpo
+    n_bins = 1 + 64 * bpo
+    qs = list(quantiles)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_keys = len(enc.dictionary)
+        if not len(vals) or not n_keys:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "hist": pa.array([], pa.large_binary()),
+                }
+            )
+        bins = _logbin_index(np.asarray(vals, np.int64), log2_bpo)
+        hist = np.zeros(n_keys * n_bins, dtype=np.int64)
+        np.add.at(hist, codes * n_bins + bins, 1)
+        return pa.table(
+            {
+                key_col: enc.dictionary,
+                "hist": pa.array(
+                    [
+                        hist[i * n_bins : (i + 1) * n_bins].tobytes()
+                        for i in range(n_keys)
+                    ],
+                    pa.large_binary(),
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        rows = group.column("hist").to_pylist()
+        hist = (
+            np.frombuffer(b"".join(rows), dtype=np.int64)
+            .reshape(len(rows), n_bins)
+            .sum(axis=0)
+        )
+        cum = np.cumsum(hist)
+        n = int(cum[-1])
+        ks = np.maximum(np.ceil(np.array(qs) * n).astype(np.int64), 1)
+        chosen = np.searchsorted(cum, ks, side="left").astype(np.int64)
+        key_rep = pa.concat_arrays(
+            [group.column(key_col).slice(0, 1).combine_chunks()] * len(qs)
+        )
+        return pa.table(
+            {
+                key_col: key_rep,
+                "q_pct": pa.array(
+                    (np.array(qs) * 100).round().astype(np.int64), pa.int64()
+                ),
+                "bin": pa.array(chosen, pa.int64()),
+                "est": pa.array(_logbin_edge(chosen, log2_bpo), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -110,3 +110,75 @@ def test_count_min_properties(ray_session):
     tv = np.array([true[v] for v in vocab])
     assert (est >= tv).all()          # CM never underestimates
     assert (est - tv <= 4).all()      # 50 terms in 4096 buckets: ~no collisions
+
+
+def test_logbin_binning_properties():
+    """Binning is monotonic, exact at powers of two, and every value sits
+    within 1/bpo relative width above its bin's lower edge — incl. the
+    uint64 extremes the shift paths must handle."""
+    from search_engine_ray.pipelines.sketches import _logbin_edge, _logbin_index
+
+    v = np.unique(
+        np.concatenate(
+            [
+                np.arange(0, 5000, dtype=np.int64),
+                2 ** np.arange(1, 63, dtype=np.int64),
+                2 ** np.arange(4, 63, dtype=np.int64) + 12345,
+                np.array([2**63 - 1], np.int64),
+            ]
+        )
+    )
+    b = _logbin_index(v, 4)
+    assert (np.diff(b) >= 0).all()
+    e = _logbin_edge(b, 4)
+    pos = v > 0
+    assert (e[pos] <= v[pos]).all()
+    assert (v[pos] < e[pos] * (1 + 1 / 16) + 1).all()
+    assert b[v == 0][0] == 0 and e[v == 0][0] == 0.0
+
+
+def test_logbin_quantile_sketch_matches_exact_bins(ray_session):
+    """Sketch bin == bin of the exact k-th smallest, per key, on a skewed
+    multi-block dataset; est is the bin lower edge (<= exact); result is
+    batching-invariant."""
+    from search_engine_ray.pipelines.sketches import (
+        _logbin_edge,
+        _logbin_index,
+        logbin_quantile_sketch_ds,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.zipf(1.6, 4000).astype(np.int64),  # heavy tail
+            np.zeros(50, np.int64),  # zero bin
+            np.full(100, 10**9, np.int64),  # far outliers
+        ]
+    )
+    keys = np.where(np.arange(len(vals)) % 3 == 0, "a", "b")
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    qs = (0.1, 0.5, 0.9, 0.99)
+
+    outs = []
+    for n_blocks in (1, 17):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        df = (
+            logbin_quantile_sketch_ds(ds, "k", "v", quantiles=qs)
+            .to_pandas()
+            .sort_values(["k", "q_pct"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+
+    got = outs[0]
+    for key in ("a", "b"):
+        kv = np.sort(vals[keys == key])
+        for q in qs:
+            k_rank = max(int(np.ceil(q * len(kv))), 1)
+            exact = kv[k_rank - 1]
+            row = got[(got["k"] == key) & (got["q_pct"] == int(q * 100))]
+            assert int(row["bin"].iloc[0]) == int(_logbin_index(np.array([exact]), 4)[0])
+            assert float(row["est"].iloc[0]) <= exact
+            if exact > 0:
+                assert exact < float(row["est"].iloc[0]) * (1 + 1 / 16) + 1
