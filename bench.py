@@ -281,6 +281,8 @@ def _training_data_ops(sf_dir: str) -> dict:
         "vocab_stats",
         "tfidf_topk",
         "hll_users",
+        "shard_export",
+        "logbin_quantiles",
     ):
         import ray.data as rd
 
