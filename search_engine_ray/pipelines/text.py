@@ -1376,14 +1376,28 @@ def pack_sequences_ds(docs: rd.Dataset, budget_tokens: int = 2048) -> rd.Dataset
     )
     refs = ordered.to_arrow_refs()  # range-sorted block order is preserved
 
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "bin_id": pa.array([], pa.int64()),
+            "bin_offset": pa.array([], pa.int64()),
+        }
+    )
+
     @ray.remote
     def _block_total(t: pa.Table) -> int:
+        # sort+materialize can emit zero-row blocks with an EMPTY schema
+        if t.num_rows == 0:
+            return 0
         col = t.column("n_tokens")
         s = pc.sum(col).as_py()
         return int(s or 0)
 
     @ray.remote
     def _assign(t: pa.Table, offset: int) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
         n = t.column("n_tokens").to_numpy(zero_copy_only=False)
         cum = offset + np.cumsum(n) - n
         return pa.table(
@@ -1446,13 +1460,27 @@ def shard_export_ds(
     )
     refs = ordered.to_arrow_refs()  # range-sorted block order is preserved
 
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+
     @ray.remote
     def _shard_counts(t: pa.Table) -> np.ndarray:
+        # sort+materialize can emit zero-row blocks with an EMPTY schema
+        # (no columns at all) — count them as all-zeros
+        if t.num_rows == 0:
+            return np.zeros(n_shards, np.int64)
         sh = t.column("shard").to_numpy(zero_copy_only=False)
         return np.bincount(sh, minlength=n_shards).astype(np.int64)
 
     @ray.remote
     def _assign(t: pa.Table, base: np.ndarray) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY
         sh = t.column("shard").to_numpy(zero_copy_only=False)
         n = len(sh)
         starts = np.r_[0, np.flatnonzero(sh[1:] != sh[:-1]) + 1]

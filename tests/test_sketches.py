@@ -182,3 +182,33 @@ def test_logbin_quantile_sketch_matches_exact_bins(ray_session):
             assert float(row["est"].iloc[0]) <= exact
             if exact > 0:
                 assert exact < float(row["est"].iloc[0]) * (1 + 1 / 16) + 1
+
+
+def test_logbin_index_property():
+    """Property: for random uint63 values, binning is order-preserving and
+    the edge bound est <= v < est * (1 + 1/bpo) holds at every log2_bpo."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_ray.pipelines.sketches import _logbin_edge, _logbin_index
+
+    # values capped at 2^53: above that the TEST's float comparison rounds
+    # (int64 -> float64), not the binning itself — the uint64 extremes are
+    # pinned exactly in test_logbin_binning_properties
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**53 - 1), min_size=1, max_size=50),
+        st.integers(min_value=0, max_value=6),
+    )
+    def check(vals, log2_bpo):
+        v = np.array(sorted(vals), np.int64)
+        b = _logbin_index(v, log2_bpo)
+        assert (np.diff(b) >= 0).all()
+        e = _logbin_edge(b, log2_bpo)
+        pos = v > 0
+        assert (e[pos] <= v[pos]).all()
+        # +1 absorbs float rounding of the edge at the uint64 extremes
+        assert (v[pos] < e[pos] * (1 + 1 / (1 << log2_bpo)) + 1).all()
+        assert (b[v == 0] == 0).all()
+
+    check()

@@ -1056,3 +1056,64 @@ def test_shard_export_segmented_scan(ray_session, tmp_path):
     assert parts == [f"shard={k}" for k in sorted(got["shard"].unique())]
     back = rd.read_parquet(out_dir).to_pandas()
     assert len(back) == len(got)
+
+
+def test_shard_export_property(ray_session):
+    """Property: for random id sets / shard counts / block counts, every
+    shard's positions are a dense 0..count-1 permutation ordered by
+    (md5-u32, doc_id), and assignment is block-count invariant."""
+    import hashlib
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_ray.pipelines.text import shard_export_ds
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**12),
+            min_size=1,
+            max_size=120,
+            unique=True,
+        ),
+        st.sampled_from([1, 2, 7]),
+        st.sampled_from([1, 5]),
+    )
+    def check(ids, n_shards, n_blocks):
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64())})
+        ).repartition(n_blocks)
+        got = (
+            shard_export_ds(ds, n_shards=n_shards)
+            .to_pandas()
+            .sort_values(["shard", "pos"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ids)
+        h = {
+            i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids
+        }
+        for sh, g in got.groupby("shard"):
+            assert g["pos"].tolist() == list(range(len(g)))
+            keys = [(h[i], i) for i in g["doc_id"]]
+            assert keys == sorted(keys)
+            assert all(h[i] % n_shards == sh for i in g["doc_id"])
+
+    check()
+
+
+def test_pack_sequences_sparse_blocks(ray_session):
+    """Regression: 1 doc across many partitions — sort+materialize emits
+    schema-less empty blocks that the per-block tasks must tolerate."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import pack_sequences_ds
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([7], pa.int64()), "text": pa.array(["one two three"])})
+    ).repartition(6)
+    got = pack_sequences_ds(ds, budget_tokens=8).to_pandas()
+    assert got["doc_id"].tolist() == [7]
+    assert got["bin_id"].tolist() == [0] and got["bin_offset"].tolist() == [0]
