@@ -564,7 +564,11 @@ def _broadcast_verify_pairs(
     ``_BROADCAST_VERIFY_DOCS`` (caller falls back to the joins); driver
     state is bounded by that cap times the per-doc set size. Output is
     bit-identical to the join path (same intersect math, same rounding)."""
-    cand_tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
+    # drop zero-row blocks: they can carry an EMPTY schema (skipped
+    # map_batches) that would fail the concat's schema check
+    cand_tbl = pa.concat_tables(
+        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    )
     a_all = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
     b_all = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
     real = a_all != _SENTINEL
@@ -594,12 +598,19 @@ def _broadcast_verify_pairs(
         )
         return pa.table({"doc_id": sub.column("doc_id"), "shingles": sets})
 
+    # drop zero-row blocks (possible EMPTY schema — skipped map_batches);
+    # >= 1 non-empty block is guaranteed: this path only runs when the
+    # candidate pairs reference at least one doc present in ``docs``
     sets_tbl = pa.concat_tables(
-        ray.get(
-            docs.map_batches(sets_for, batch_format="pyarrow")
-            .materialize()  # to_arrow_refs on a lazy plan runs it twice
-            .to_arrow_refs()
-        )
+        [
+            t
+            for t in ray.get(
+                docs.map_batches(sets_for, batch_format="pyarrow")
+                .materialize()  # to_arrow_refs on a lazy plan runs it twice
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
     )
     sd = sets_tbl.column("doc_id").to_numpy(zero_copy_only=False)
     blobs = sets_tbl.column("shingles")
