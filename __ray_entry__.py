@@ -492,13 +492,12 @@ def q_logbin_quantiles(sf_dir: str):
     # number of DISTINCT lengths per lang, never a full sort — then the
     # k-th smallest from the per-lang value histogram
     def vc(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        key = batch.column("lang").cast(pa.string())
-        tbl = pa.table(
-            {"lang": key, "v": batch.column("n_chars").cast(pa.int64())}
+        return pa.table(
+            {
+                "lang": batch.column("lang").cast(pa.string()),
+                "v": batch.column("n_chars").cast(pa.int64()),
+            }
         )
-        return tbl
 
     counts = (
         docs.map_batches(vc, batch_format="pyarrow")
@@ -506,8 +505,6 @@ def q_logbin_quantiles(sf_dir: str):
         .count()
         .to_pandas()
     )
-    import numpy as np
-
     rows = []
     for lang, g in counts.groupby("lang"):
         g = g.sort_values("v")

@@ -564,11 +564,9 @@ def _broadcast_verify_pairs(
     ``_BROADCAST_VERIFY_DOCS`` (caller falls back to the joins); driver
     state is bounded by that cap times the per-doc set size. Output is
     bit-identical to the join path (same intersect math, same rounding)."""
-    # drop zero-row blocks: they can carry an EMPTY schema (skipped
-    # map_batches) that would fail the concat's schema check
-    cand_tbl = pa.concat_tables(
-        [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    )
+    # cand is _pin_blocks output: every block non-empty and schema-cast,
+    # so the concat needs no empty-block guard
+    cand_tbl = pa.concat_tables(ray.get(cand.to_arrow_refs()))
     a_all = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
     b_all = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
     real = a_all != _SENTINEL
@@ -599,22 +597,24 @@ def _broadcast_verify_pairs(
         return pa.table({"doc_id": sub.column("doc_id"), "shingles": sets})
 
     # drop zero-row blocks (possible EMPTY schema — skipped map_batches);
-    # >= 1 non-empty block is guaranteed: this path only runs when the
-    # candidate pairs reference at least one doc present in ``docs``
-    sets_tbl = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                docs.map_batches(sets_for, batch_format="pyarrow")
-                .materialize()  # to_arrow_refs on a lazy plan runs it twice
-                .to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-    )
-    sd = sets_tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    blobs = sets_tbl.column("shingles")
-    mapping = {int(sd[i]): blobs[i].as_py() for i in range(len(sd))}
+    # with zero REAL candidates (sentinel-only cand) every block is
+    # 0-row, so the concat must be guarded, not assumed non-empty
+    set_tables = [
+        t
+        for t in ray.get(
+            docs.map_batches(sets_for, batch_format="pyarrow")
+            .materialize()  # to_arrow_refs on a lazy plan runs it twice
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if set_tables:
+        sets_tbl = pa.concat_tables(set_tables)
+        sd = sets_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        blobs = sets_tbl.column("shingles")
+        mapping = {int(sd[i]): blobs[i].as_py() for i in range(len(sd))}
+    else:
+        mapping = {}
     sets_ref = ray.put(mapping)
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -80,9 +80,11 @@ def hll_distinct_ds(
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n_keys = len(enc.dictionary)
         if not len(vals) or not n_keys:
+            # typed empty: keep the INPUT key type so empty blocks concat
+            # cleanly with populated ones for non-string keys too
             return pa.table(
                 {
-                    key_col: pa.array([], pa.string()),
+                    key_col: pa.array([], keys.type),
                     "regs": pa.array([], pa.large_binary()),
                 }
             )
@@ -306,20 +308,33 @@ def logbin_quantile_sketch_ds(
     qs = list(quantiles)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # rows with a null key or null value are excluded (SQL aggregate
+        # convention) — NaN-laden dictionary codes would otherwise cast to
+        # garbage int64 and corrupt the histogram silently
         keys = batch.column(key_col)
+        vals_col = batch.column(val_col)
+        if keys.null_count or vals_col.null_count:
+            import pyarrow.compute as _pc
+
+            ok = _pc.and_(_pc.is_valid(keys), _pc.is_valid(vals_col))
+            batch = batch.filter(ok)
+            keys = batch.column(key_col)
+            vals_col = batch.column(val_col)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+        vals = vals_col.to_numpy(zero_copy_only=False)
         enc = keys.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n_keys = len(enc.dictionary)
         if not len(vals) or not n_keys:
+            # typed empty: the key column keeps the INPUT type so blocks
+            # from all-null batches concat cleanly with populated ones
             return pa.table(
                 {
-                    key_col: pa.array([], pa.string()),
+                    key_col: pa.array([], keys.type),
                     "hist": pa.array([], pa.large_binary()),
                 }
             )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         bins = _logbin_index(np.asarray(vals, np.int64), log2_bpo)
         hist = np.zeros(n_keys * n_bins, dtype=np.int64)
         np.add.at(hist, codes * n_bins + bins, 1)

@@ -559,3 +559,7 @@ def test_zero_pair_queries_keep_schema(ray_session, tmp_path, monkeypatch):
     assert list(sim.columns) == ["doc_a", "doc_b", "hamming"] and len(sim) == 0
     lsh = E.q_embedding_neardup_lsh(str(sf))
     assert list(lsh.columns) == ["vec_a", "vec_b"] and len(lsh) == 0
+    # regression: sentinel-only candidate set -> every shingle-set block is
+    # 0-row; the broadcast-verify concat must tolerate the all-empty case
+    mh = E.q_minhash_pairs(str(sf))
+    assert len(mh) == 0
