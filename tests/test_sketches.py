@@ -212,3 +212,28 @@ def test_logbin_index_property():
         assert (b[v == 0] == 0).all()
 
     check()
+
+
+def test_logbin_quantile_sketch_null_rows_excluded(ray_session):
+    """Null keys / null values are excluded (SQL aggregate convention),
+    and an int64 key column works (typed empty fallback keeps key type)."""
+    from search_engine_ray.pipelines.sketches import logbin_quantile_sketch_ds
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, None, 2, 2], pa.int64()),
+            "v": pa.array([4, 8, None, 100, 16, 32], pa.int64()),
+        }
+    )
+    got = (
+        logbin_quantile_sketch_ds(
+            rd.from_arrow(tbl).repartition(4), "k", "v", quantiles=(0.5, 1.0)
+        )
+        .to_pandas()
+        .sort_values(["k", "q_pct"])
+        .reset_index(drop=True)
+    )
+    # k=1 sees {4, 8} (null v dropped): median=4, max=8; k=2 sees {16, 32};
+    # the null-key row (v=100) appears nowhere
+    assert got["k"].tolist() == [1, 1, 2, 2]
+    assert got["est"].tolist() == [4.0, 8.0, 16.0, 32.0]
