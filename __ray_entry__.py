@@ -284,6 +284,55 @@ def q_add_compact(sf_dir: str):
     return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
 
 
+def q_delete_compact(sf_dir: str):
+    """Soft-delete lifecycle (build → delete_urls tombstones → compact) as
+    a driver query — the Lucene liveDocs analogue the reference's grow-only
+    index lacks. Build over ALL documents, tombstone every doc_id % 7 == 0
+    by url, run the conjunctive search against the tombstone-filtered view,
+    compact (physical removal + exact stats rebuild), re-run it against the
+    compacted index, assert both views agree, and return the result. The
+    oracle is search_and's SQL over the corpus minus the deleted docs."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import (
+        build_index,
+        compact,
+        delete_urls,
+    )
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.state.segments import generation_dirs, tombstone_ids
+
+    sf_dir = sf_dir.rstrip("/")
+    out = _idx_dir(sf_dir) + "_del"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_index(
+        docs.map_batches(_docs_to_pages, batch_format="pyarrow"),
+        out, config, doc_id_mode="rank", resume=False,
+    )
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    )
+    del_urls = [f"doc://{i}" for i in ids.to_pylist() if i % 7 == 0]
+    n = delete_urls(out, del_urls)
+    assert n == len(del_urls)
+
+    tomb_view = {
+        r.doc_id for r in SegmentSearcher(out, config).search("table query", max_count=100)
+    }
+    compact(out, config)
+    assert len(generation_dirs(out)) == 1 and tombstone_ids(out).size == 0
+    rows = SegmentSearcher(out, config).search("table query", max_count=100)
+    assert {r.doc_id for r in rows} == tomb_view  # tombstone view == compacted
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
 def q_bm25_topk(sf_dir: str):
     s = _docs_searcher(sf_dir)
     rows = s.search_bm25("table query", k=10, mode="and")
@@ -1327,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wand_or_topk": q_wand_or_topk,
         "batch_bm25": q_batch_bm25,
         "add_compact": q_add_compact,  # NEW r4: incremental lifecycle
+        "delete_compact": q_delete_compact,  # NEW r4: soft-delete lifecycle
         # --- dedup / similarity / text-analysis core
         "minhash_pairs": q_minhash_pairs,
         "ngram_containment": q_ngram_containment,  # NEW r4
@@ -2049,6 +2099,16 @@ SELECT doc_id FROM (
   SELECT doc_id FROM (
     SELECT DISTINCT doc_id, term FROM (
       SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
+        # soft-delete lifecycle: tombstoned docs (doc_id % 7 == 0) must be
+        # gone from the conjunctive result, pre- AND post-compaction
+        "delete_compact": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents WHERE doc_id % 7 <> 0)
     WHERE term IN ('table', 'query'))
   GROUP BY doc_id HAVING count(*) = 2
   ORDER BY doc_id LIMIT 100)""",

@@ -186,6 +186,33 @@ def cmd_add(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Soft-delete pages by url (tombstones; compact applies them)."""
+    import ray
+
+    from search_engine_ray.pipelines.build import delete_urls
+
+    owns_ray = _init_ray(args.num_cpus)
+    urls = list(args.url or [])
+    if args.urls_file:
+        with open(args.urls_file) as fh:
+            urls.extend(u.strip() for u in fh if u.strip())
+    t0 = time.perf_counter()
+    n = delete_urls(args.index, urls, strict=not args.skip_missing)
+    print(
+        json.dumps(
+            {
+                "n_deleted": n,
+                "wall_sec": round(time.perf_counter() - t0, 2),
+                "index": args.index,
+            }
+        )
+    )
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     """Fold all generations into one (Lucene-style segment merge)."""
     import ray
@@ -378,6 +405,14 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--on-duplicate", choices=["error", "skip"], default="skip")
     a.add_argument("--num-cpus", type=int, default=0)
     a.set_defaults(fn=cmd_add)
+
+    dl = sub.add_parser("delete", help="tombstone pages by url (soft delete)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--url", action="append", help="repeatable")
+    dl.add_argument("--urls-file", help="newline-separated url list")
+    dl.add_argument("--skip-missing", action="store_true")
+    dl.add_argument("--num-cpus", type=int, default=0)
+    dl.set_defaults(fn=cmd_delete)
 
     c = sub.add_parser("compact", help="merge all generations into one")
     c.add_argument("--index", required=True)

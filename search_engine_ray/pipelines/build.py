@@ -1584,7 +1584,139 @@ def add_generation(
     )
 
 
-def _make_decode_reemit(config: EngineConfig, hot_ref):
+def delete_urls(
+    out_dir: str,
+    urls,
+    *,
+    strict: bool = True,
+) -> int:
+    """Soft-delete pages by url: append a TOMBSTONE file (doc_id, url)
+    under ``<out_dir>/tombstones/`` — the Lucene liveDocs analogue the
+    reference lacks (its single mutable index can only grow,
+    engine.ts:43-99). Readers (``SegmentReader``) filter tombstoned docs
+    out of postings and doc fetches immediately; ``compact`` applies the
+    tombstones physically and clears them.
+
+    ``urls`` is an iterable of url strings or a Ray Dataset with a ``url``
+    column. The delete set is assumed to fit in driver memory (deletes are
+    a trickle next to the corpus); a crawl-scale bulk delete would route
+    through the same disk-bucket shuffle as url dedup. Resolution is a
+    narrow distributed (doc_id, url) column scan with the delete set
+    broadcast once via ``ray.put``.
+
+    ``strict=True`` raises if any url was never indexed; re-deleting an
+    already-tombstoned url is idempotent either way. Returns the number of
+    NEWLY tombstoned docs."""
+    from search_engine_ray.state.segments import (
+        generation_dirs,
+        read_tombstones,
+        tombstones_dir,
+    )
+
+    gens = generation_dirs(out_dir)
+    if not gens:
+        raise ValueError(f"no index at {out_dir}")
+    if isinstance(urls, rd.Dataset):
+        want = set(urls.unique("url"))
+    else:
+        want = set(urls)
+    if not want:
+        return 0
+
+    prior = read_tombstones(out_dir)
+    prior_urls = set(prior.column("url").to_pylist())
+    live_want = want - prior_urls
+
+    found_ids: np.ndarray
+    found_urls: list[str]
+    if live_want:
+        docs_files = [f for g in gens for f in parquet_files(fsio.join(g, "docs"))]
+        want_ref = ray.put(frozenset(live_want))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                batch.column("url"),
+                value_set=pa.array(sorted(ray.get(want_ref)), pa.string()),
+            )
+            return batch.filter(mask)
+
+        _p, _fs = fsio.resolve_data_paths(docs_files)
+        hits = (
+            rd.read_parquet(_p, filesystem=_fs, columns=["doc_id", "url"])
+            .map_batches(pick, batch_format="pyarrow")
+            .take_all()  # bounded by the delete-set size
+        )
+        found_ids = np.array([r["doc_id"] for r in hits], dtype=np.int64)
+        found_urls = [r["url"] for r in hits]
+    else:
+        found_ids = np.zeros(0, np.int64)
+        found_urls = []
+
+    if strict:
+        missing = live_want - set(found_urls)
+        # urls already tombstoned count as found (idempotent re-delete)
+        if missing:
+            raise ValueError(
+                f"{len(missing)} url(s) not in index, e.g. {sorted(missing)[:3]}"
+            )
+    if not found_ids.size:
+        return 0
+
+    td = tombstones_dir(out_dir)
+    fsio.makedirs(td)
+    existing = [f for f in fsio.listdir(td) if f.startswith("del-")]
+    next_id = (
+        max((int(f.split("-")[1].split(".")[0]) for f in existing), default=0) + 1
+    )
+    order = np.argsort(found_ids, kind="stable")
+    fsio.write_parquet_table(
+        pa.table(
+            {
+                "doc_id": pa.array(found_ids[order], pa.int64()),
+                "url": pa.array([found_urls[i] for i in order], pa.string()),
+            }
+        ),
+        fsio.join(td, f"del-{next_id:04d}.parquet"),
+    )
+    return int(found_ids.size)
+
+
+@ray.remote
+def _docs_file_apply_tombstones(
+    src: str, dst: str, deleted: np.ndarray | None
+) -> tuple[int, int]:
+    """Compaction docs stage with tombstones: hard-link the part file when
+    it holds no deleted docs, else rewrite it filtered (doc_id sort order
+    is preserved — filtering is order-stable). Returns the file's
+    post-filter (n_docs, sum_dl) so compact can rebuild EXACT corpus
+    stats. Callers pass the tombstone array as an ObjectRef (put once,
+    auto-dereferenced per task)."""
+    ids_dl = fsio.read_parquet_table([src], columns=["doc_id", "dl"])
+    ids = ids_dl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = ids_dl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+    if deleted is not None and deleted.size and ids.size:
+        pos = np.searchsorted(deleted, ids)
+        pos[pos == len(deleted)] = 0
+        hit = deleted[pos] == ids
+    else:
+        hit = np.zeros(len(ids), dtype=bool)
+    if not hit.any():
+        if "://" in src or "://" in dst:
+            fsio.copy_file(src, dst)
+        else:
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        return int(ids.size), int(dls.sum())
+    keep = ~hit
+    if keep.any():
+        t = fsio.read_parquet_table([src])
+        fsio.write_parquet_table(t.filter(pa.array(keep)), dst)
+    return int(keep.sum()), int(dls[keep].sum())
+
+
+def _make_decode_reemit(config: EngineConfig, hot_ref, deleted_ref=None):
     """Segment rows -> emit-schema postings rows (compaction's map stage).
 
     Decodes each stored (term, salt) run and RE-SALTS uniformly from the
@@ -1605,6 +1737,7 @@ def _make_decode_reemit(config: EngineConfig, hot_ref):
 
         limit_arrow_threads()
         hot = ray.get(hot_ref) if hot_ref is not None else frozenset()
+        deleted = ray.get(deleted_ref) if deleted_ref is not None else None
         terms = batch.column("term").to_pylist()
         des = batch.column("doc_ids_enc").to_pylist()
         tes = batch.column("tfs_enc").to_pylist()
@@ -1618,6 +1751,16 @@ def _make_decode_reemit(config: EngineConfig, hot_ref):
             ids = decode_doc_ids(de).astype(np.int64)
             tfs = decode_tfs(te).astype(np.int32)
             dls = decode_tfs(le).astype(np.int32)
+            if deleted is not None and deleted.size and ids.size:
+                # apply tombstones before re-salting (sorted-run order is
+                # preserved; a fully-deleted run simply vanishes)
+                pos = np.searchsorted(deleted, ids)
+                pos[pos == len(deleted)] = 0
+                keep = deleted[pos] != ids
+                if not keep.all():
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if not ids.size:
+                        continue
             if shift > 0 and term in hot:
                 salts = ids >> shift
                 cuts = np.flatnonzero(np.diff(salts)) + 1
@@ -1686,12 +1829,24 @@ def compact(
     movement); segment rows are decoded and re-emitted as postings runs
     (distributed map over segment files), re-salted uniformly, then pushed
     through the SAME disk-shuffle + bucket-merge stage as the batch build,
-    with block-max metadata rebuilt from GLOBAL corpus stats."""
-    from search_engine_ray.state.segments import generation_dirs, read_manifest
+    with block-max metadata rebuilt from GLOBAL corpus stats.
+
+    Tombstones (``delete_urls``) are applied physically here: deleted docs
+    are dropped from both the doc store and every postings run, corpus
+    stats are rebuilt EXACTLY over the survivors (the result is
+    bit-identical to a fresh build without the deleted pages), and the
+    tombstone files are cleared."""
+    from search_engine_ray.state.segments import (
+        generation_dirs,
+        read_manifest,
+        tombstone_ids,
+        tombstones_dir,
+    )
 
     config = config or EngineConfig()
     gens = generation_dirs(out_dir)
-    if len(gens) <= 1:
+    deleted = tombstone_ids(out_dir)
+    if len(gens) <= 1 and not deleted.size:
         m = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
         return BuildResult(
             out_dir=out_dir,
@@ -1709,34 +1864,51 @@ def compact(
             cpus = 4
         target_blocks = max(8, cpus * 2)
 
-    # global stats across generations (weighted by n_docs)
-    manifests = [read_manifest(os.path.join(g, "manifest.json")) or {} for g in gens]
-    n_docs = sum(int(m.get("n_docs", 0)) for m in manifests)
-    sum_dl = sum(
-        int(m.get("n_docs", 0)) * float(m.get("avgdl", 0.0)) for m in manifests
-    )
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
-
     from search_engine_ray.state import fsio
 
     tmp = os.path.join(out_dir, ".compact-tmp")
     fsio.rmtree(tmp)
     fsio.makedirs(os.path.join(tmp, "docs"))
 
-    # docs: hard-link every generation's part files (fall back to an fs
-    # copy on URI backends / across filesystems). doc_ids are globally
-    # unique and per-file min/max pruning doesn't need global sort order.
-    for gi, g in enumerate(gens):
-        for f in parquet_files(os.path.join(g, "docs")):
-            dst = os.path.join(tmp, "docs", f"g{gi:04d}-{os.path.basename(f)}")
-            if "://" in f:
-                fsio.copy_file(f, dst)
-            else:
-                try:
-                    os.link(f, dst)
-                except OSError:
-                    shutil.copy2(f, dst)
+    manifests = [read_manifest(os.path.join(g, "manifest.json")) or {} for g in gens]
+    deleted_ref = ray.put(deleted) if deleted.size else None
+
+    if deleted_ref is None:
+        # docs: hard-link every generation's part files (fall back to an fs
+        # copy on URI backends / across filesystems). doc_ids are globally
+        # unique and per-file min/max pruning doesn't need global sort order.
+        for gi, g in enumerate(gens):
+            for f in parquet_files(os.path.join(g, "docs")):
+                dst = os.path.join(tmp, "docs", f"g{gi:04d}-{os.path.basename(f)}")
+                if "://" in f:
+                    fsio.copy_file(f, dst)
+                else:
+                    try:
+                        os.link(f, dst)
+                    except OSError:
+                        shutil.copy2(f, dst)
+        # global stats across generations (weighted by n_docs)
+        n_docs = sum(int(m.get("n_docs", 0)) for m in manifests)
+        sum_dl = sum(
+            int(m.get("n_docs", 0)) * float(m.get("avgdl", 0.0)) for m in manifests
+        )
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    else:
+        # tombstones present: one task per part file links clean files and
+        # rewrites dirty ones filtered; each returns post-filter
+        # (n_docs, sum_dl) so stats are rebuilt EXACTLY over survivors
+        futs = []
+        for gi, g in enumerate(gens):
+            for f in parquet_files(os.path.join(g, "docs")):
+                dst = os.path.join(tmp, "docs", f"g{gi:04d}-{os.path.basename(f)}")
+                futs.append(
+                    _docs_file_apply_tombstones.remote(f, dst, deleted_ref)
+                )
+        parts = ray.get(futs)
+        n_docs = int(sum(n for n, _ in parts))
+        sum_dl = int(sum(s for _, s in parts))
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
     timings["link_docs"] = time.perf_counter() - t0
 
     seg_files = [
@@ -1781,7 +1953,7 @@ def compact(
         columns=["term", "doc_ids_enc", "tfs_enc", "dls_enc"],
         override_num_blocks=target_blocks,
     ).map_batches(
-        _make_decode_reemit(emit_config, hot_ref),
+        _make_decode_reemit(emit_config, hot_ref, deleted_ref),
         batch_format="pyarrow",
         num_cpus=heavy_cpus,
     )
@@ -1803,6 +1975,7 @@ def compact(
         "avgdl": avgdl,
         "n_segment_rows": n_rows,
         "skipped": skipped,
+        "applied_tombstones": int(deleted.size),
         "compacted_from": [os.path.basename(g.rstrip("/")) or "root" for g in gens],
         "config": {
             **base_cfg,
@@ -1821,7 +1994,9 @@ def compact(
         {"fingerprint": fingerprint, "complete": True, "stage": "docs"},
     )
 
-    # swap: tear down every old generation, then promote the new one.
+    # swap: tear down every old generation (and the now-applied
+    # tombstones), then promote the new one.
+    fsio.rmtree(tombstones_dir(out_dir))
     for g in gens:
         if g.rstrip("/") == out_dir.rstrip("/"):
             for name in ("docs", "segments", "term_dict"):

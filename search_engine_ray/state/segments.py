@@ -457,6 +457,45 @@ class _SubIndex:
         )
 
 
+def tombstones_dir(out_dir: str) -> str:
+    return fsio.join(out_dir, "tombstones")
+
+
+def read_tombstones(out_dir: str) -> pa.Table:
+    """Union of every tombstone file (doc_id:int64, url:string), deduped.
+
+    Tombstones are the index's soft-delete record (Lucene liveDocs
+    analogue): ``build.delete_urls`` appends ``del-*.parquet`` files under
+    ``<out_dir>/tombstones/``; readers filter postings/doc fetches against
+    them; ``build.compact`` applies and clears them. Returns an empty
+    two-column table when none exist."""
+    td = tombstones_dir(out_dir)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "url": pa.array([], pa.string())}
+    )
+    if not fsio.isdir(td):
+        return empty
+    files = parquet_files(td)
+    if not files:
+        return empty
+    t = fsio.read_parquet_table(files, columns=["doc_id", "url"])
+    if t.num_rows == 0:
+        return empty
+    # dedupe on doc_id (idempotent double-delete) and return sorted
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    keep = np.ones(len(order), dtype=bool)
+    sorted_ids = ids[order]
+    keep[1:] = sorted_ids[1:] != sorted_ids[:-1]
+    return t.take(pa.array(order[keep], pa.int64()))
+
+
+def tombstone_ids(out_dir: str) -> np.ndarray:
+    """Sorted int64 array of tombstoned doc_ids (empty when none)."""
+    t = read_tombstones(out_dir)
+    return t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def generation_dirs(out_dir: str) -> list[str]:
     """Generations of an index: the root (if built) then gen-NNNN dirs.
     ``out_dir`` may be a local path or a pyarrow.fs URI."""
@@ -479,7 +518,15 @@ class SegmentReader:
     generations (build.add_generation) the per-term runs from each
     generation are merged on read — doc_ids are globally unique, so merge =
     concat + argsort — and block-max metadata is rebuilt from GLOBAL corpus
-    stats (Lucene-style per-segment search with global statistics)."""
+    stats (Lucene-style per-segment search with global statistics).
+
+    Soft deletes: tombstones (``build.delete_urls``) are loaded once at
+    open and filtered out of every postings run and doc fetch. Corpus
+    stats (n_docs/avgdl) deliberately KEEP deleted docs until ``compact``
+    — the Lucene maxDoc convention — so block-max bounds stored on disk
+    stay valid upper bounds; per-term df IS recomputed post-filter, and
+    any term that lost postings gets its block metadata rebuilt (a smaller
+    df raises idf, which would otherwise let WAND prune true top-k docs)."""
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
@@ -497,10 +544,58 @@ class SegmentReader:
         base["n_docs"] = n_total
         base["avgdl"] = (sum_dl / n_total) if n_total else 0.0
         self.manifest = base
+        ts = read_tombstones(out_dir)
+        self._deleted = (
+            ts.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        self._deleted_urls = set(ts.column("url").to_pylist())
+
+    def _filter_deleted(self, postings: dict[str, dict]) -> dict[str, dict]:
+        """Drop tombstoned doc_ids from per-term runs; rebuild block-max
+        metadata for affected terms (df shrank ⇒ idf grew ⇒ stored bounds
+        would under-bound). Filtering preserves the runs' sort order."""
+        dele = self._deleted
+        if not dele.size:
+            return postings
+        cfg = self.manifest.get("config", {})
+        k1 = float(cfg.get("bm25_k1", 1.2))
+        b = float(cfg.get("bm25_b", 0.75))
+        block_size = int(cfg.get("block_size", 128))
+        n_docs = int(self.manifest.get("n_docs", 0))
+        avgdl = float(self.manifest.get("avgdl", 0.0)) or 1.0
+        out: dict[str, dict] = {}
+        for term, p in postings.items():
+            ids = p["doc_ids"]
+            pos = np.searchsorted(dele, ids)
+            pos[pos == len(dele)] = 0
+            hit = dele[pos] == ids
+            if not hit.any():
+                out[term] = p
+                continue
+            keep = ~hit
+            ids = ids[keep]
+            if not ids.size:
+                continue  # term's every posting was deleted
+            tfs = p["tfs"][keep]
+            dls = p["dls"][keep]
+            df = int(len(ids))
+            bl, bb = build_block_meta(
+                ids, tfs, dls, df, n_docs, avgdl, k1, b, block_size
+            )
+            out[term] = {
+                "term": term,
+                "doc_ids": ids,
+                "tfs": tfs,
+                "dls": dls,
+                "block_last": bl,
+                "block_bound": bb,
+                "df": df,
+            }
+        return out
 
     def lookup(self, terms: list[str]) -> dict[str, dict]:
         if len(self._subs) == 1:
-            return self._subs[0].lookup(terms)
+            return self._filter_deleted(self._subs[0].lookup(terms))
         cfg = self.manifest.get("config", {})
         k1 = float(cfg.get("bm25_k1", 1.2))
         b = float(cfg.get("bm25_b", 0.75))
@@ -541,10 +636,15 @@ class SegmentReader:
                 "block_bound": bb,
                 "df": df,
             }
-        return out
+        return self._filter_deleted(out)
 
     def fetch_docs(self, doc_ids: list[int]) -> dict[int, DocRecord]:
         out: dict[int, DocRecord] = {}
+        if self._deleted.size:
+            live = np.asarray(list(doc_ids), dtype=np.int64)
+            pos = np.searchsorted(self._deleted, live)
+            pos[pos == len(self._deleted)] = 0
+            doc_ids = [int(d) for d, h in zip(live, self._deleted[pos] == live) if not h]
         remaining = set(doc_ids)
         for sub in self._subs:
             if not remaining:
@@ -558,9 +658,14 @@ class SegmentReader:
         urls: set[str] = set()
         for sub in self._subs:
             urls.update(sub.urls())
-        return urls
+        # a deleted url may be re-added as a new doc (tombstones win over
+        # the stale docs row, so it is NOT a duplicate)
+        return urls - self._deleted_urls
 
     def all_doc_ids(self) -> set[int]:
+        # NOTE: tombstoned ids stay in this set on purpose — they remain
+        # RESERVED until compact (a new doc reusing a tombstoned id would
+        # be filtered out by the reader's delete mask).
         ids: set[int] = set()
         for sub in self._subs:
             if sub._docs_files:
