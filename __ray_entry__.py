@@ -146,6 +146,16 @@ def q_token_count(sf_dir: str):
     return token_count_ds(_docs(sf_dir))
 
 
+def q_text_normalize(sf_dir: str):
+    """Unicode normalization (NFC + lower + ASCII-whitespace collapse +
+    trim) over documents.text — the canonical first cleaning stage of a
+    training-data pipeline, vectorized Arrow kernels with a non-ASCII-only
+    Python NFC fallback (see pipelines/text.py normalize_text_ds)."""
+    from search_engine_ray.pipelines.text import normalize_text_ds
+
+    return normalize_text_ds(_docs(sf_dir))
+
+
 def q_token_count_bpe(sf_dir: str):
     from search_engine_ray.pipelines.text import bpe_token_count_ds
 
@@ -1365,6 +1375,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-exercised by in-window twins (minhash_pairs shares
     # ngram_jaccard's SQL verbatim; lang_top_terms/vocab_stats are strict
     # supersets of top_terms/term_df semantics).
+    #
+    # r4 fourth session: delete_compact (soft-delete lifecycle, new
+    # engine feature) enters the window after add_compact, which rotates
+    # embedding_neardup_lsh to position 51 — acceptable because the exact
+    # variant (embedding_neardup) plus both ANN recall-bound gates
+    # (ann_lsh_recall, ann_ivf_recall) stay in-window, and the LSH variant
+    # remains hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
     return {
         # --- core build/search (green r1–r3, kept in-window)
         "postings_pairs": q_postings_pairs,
@@ -1430,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window via minhash_pairs (ngram_jaccard's SQL verbatim) and the
         # r4 supersets lang_top_terms / vocab_stats
         "token_count": q_token_count,
+        "text_normalize": q_text_normalize,  # NEW r4: unicode normalization
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1888,6 +1906,11 @@ FROM pass GROUP BY md5(text)
 """
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        # parity contract documented at pipelines/text.py normalize_text_ds
+        "text_normalize": r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+FROM documents""",
         "repetition": repetition,
         "clean_corpus": clean_corpus,
         # Bloom decontamination: zero false negatives, FP ~1e-12 at this

@@ -70,6 +70,52 @@ def bpe_token_count_ds(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_text_ds(docs: rd.Dataset, form: str = "NFC") -> rd.Dataset:
+    """Unicode text normalization — the canonical first cleaning stage of
+    an LLM training-data pipeline: NFC-normalize (composed/decomposed
+    accent variants unify, so downstream exact-dedup fingerprints stop
+    missing byte-different equal strings), lowercase, collapse every
+    ASCII-whitespace run to one space, trim. Four zero-copy Arrow kernels
+    per batch (utf8_normalize / utf8_lower / replace_substring_regex /
+    utf8_trim) — no per-row Python.
+
+    Parity contract (pinned by the SQL oracle): DuckDB
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))``
+    — both sides use RE2, whose ``\\s`` is ASCII-only, and a plain
+    space-trim, so Unicode spacing chars (NBSP etc.) pass through
+    untouched on BOTH sides.
+
+    Arrow caveat: this pyarrow release's ``pc.utf8_normalize`` emits
+    DECOMPOSED output for every form (verified: NFC('\\xe9') →
+    'e\\u0301'), so composition falls back to Python ``unicodedata`` —
+    but ONLY for rows detected non-ASCII via a vectorized
+    codepoints==bytes check, then scattered back with
+    ``replace_with_mask``; pure-ASCII rows (the bulk of a lang-filtered
+    crawl) never leave Arrow."""
+    import unicodedata as _ud
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, characters=" ")
+        non_ascii = pc.and_kleene(
+            pc.not_equal(pc.utf8_length(t), pc.binary_length(t)),
+            pc.is_valid(t),
+        )
+        if pc.any(non_ascii).as_py():
+            mask = non_ascii.to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(mask)
+            vals = t.take(pa.array(idx, pa.int64())).to_pylist()
+            fixed = pa.array([_ud.normalize(form, s) for s in vals], pa.string())
+            t = pc.replace_with_mask(t, non_ascii, fixed)
+        return pa.table({"doc_id": batch.column("doc_id"), "text": t})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def quality_ds(docs: rd.Dataset) -> rd.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         text = batch.column("text")

@@ -1117,3 +1117,52 @@ def test_pack_sequences_sparse_blocks(ray_session):
     got = pack_sequences_ds(ds, budget_tokens=8).to_pandas()
     assert got["doc_id"].tolist() == [7]
     assert got["bin_id"].tolist() == [0] and got["bin_offset"].tolist() == [0]
+
+
+def test_normalize_text_matches_sql(docs):
+    from search_engine_ray.pipelines.text import normalize_text_ds
+
+    got = (
+        normalize_text_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _sql(
+        "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"
+        " '\\s+', ' ', 'g')) AS text FROM documents ORDER BY doc_id"
+    )
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_normalize_text_unicode_cases(ray_session):
+    import unicodedata as ud
+
+    import duckdb
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import normalize_text_ds
+
+    nfc = lambda s: ud.normalize("NFC", s)
+    nfd = lambda s: ud.normalize("NFD", s)
+    cases = [
+        (nfd("Caf\u00e9  DU  Monde"), nfc("caf\u00e9 du monde")),  # NFD->NFC
+        ("  \tTabs\nand\r\nnewlines  ", "tabs and newlines"),
+        (nfc("\u00c9COLE"), nfc("\u00e9cole")),  # composed stays composed
+        ("no\u00a0break", "no\u00a0break"),  # NBSP is NOT \\s (RE2 ASCII)
+        ("", ""),
+        ("   ", ""),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(cases)), pa.int64()),
+            "text": pa.array([c[0] for c in cases], pa.string()),
+        }
+    )
+    got = normalize_text_ds(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert got["text"].tolist() == [c[1] for c in cases]
+    # parity with DuckDB on the same unicode inputs
+    con = duckdb.connect()
+    con.register("u", t)
+    want = con.sql(
+        "SELECT trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+        " AS text FROM u ORDER BY doc_id"
+    ).df()
+    assert got["text"].tolist() == want["text"].tolist()
