@@ -244,7 +244,11 @@ def cmd_stats(args: argparse.Namespace) -> int:
     (docs / segments / term_dict, per generation) plus manifest headline
     stats. Pure metadata — no Ray session, works on any fsio backend."""
     from search_engine_ray.state import fsio
-    from search_engine_ray.state.segments import generation_dirs
+    from search_engine_ray.state.segments import (
+        generation_dirs,
+        read_tombstones,
+        tombstones_dir,
+    )
 
     def dir_bytes(d: str) -> int:
         if not fsio.isdir(d):
@@ -275,6 +279,9 @@ def cmd_stats(args: argparse.Namespace) -> int:
     out["total_bytes"] = sum(
         sum(g["bytes"].values()) for g in out["generations"]
     )
+    # pending soft deletes (applied + cleared by `compact`)
+    out["n_tombstones"] = int(read_tombstones(args.index).num_rows)
+    out["tombstone_bytes"] = dir_bytes(tombstones_dir(args.index))
     print(json.dumps(out))
     return 0
 

@@ -396,3 +396,25 @@ def test_cli_lifecycle_build_add_compact_stats_bm25(ray_session, tmp_path, capsy
     assert main(["bm25", "--index", idx, "--query", "philosophy", "-k", "5"]) == 0
     out = capsys.readouterr().out
     assert "http://a" in out and "http://c" in out and "http://b" not in out
+
+    # delete -> stats shows the pending tombstone -> query excludes the doc
+    assert main(["delete", "--index", idx, "--url", "http://a"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_deleted"] == 1
+
+    assert main(["stats", "--index", idx]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_tombstones"] == 1 and rec["tombstone_bytes"] > 0
+
+    assert main(["bm25", "--index", idx, "--query", "philosophy", "-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "http://c" in out and "http://a" not in out
+
+    # compact applies the tombstone physically and clears it
+    assert main(["compact", "--index", idx]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_docs"] == 2
+
+    assert main(["stats", "--index", idx]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_tombstones"] == 0
