@@ -1252,6 +1252,55 @@ def q_crawl_clean(sf_dir: str):
     )
 
 
+def q_clean_index_search(sf_dir: str):
+    """End-to-end training-data + serving composition in ONE driver row:
+    crawl-preset cleaning (lang gate, quality gates, Bloom decontamination,
+    hash subsample, exact dedup) → inverted-index build over ONLY the
+    surviving docs → conjunctive search. This is the pipeline a user of the
+    reference would actually run on a crawl; correctness of the row implies
+    the clean stage's keep set, the build, and the query path all agree
+    with the SQL oracle simultaneously. The kept-id broadcast here is a
+    driver-query convenience (bounded at oracle SFs); the production path
+    writes the kept corpus as partitioned parquet (`cli pipeline`) and
+    builds from that."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.crawl import crawl_clean_corpus_ds
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.pipelines.text import read_documents
+
+    sf_dir = sf_dir.rstrip("/")
+    out = _idx_dir(sf_dir) + "_ci"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig()
+
+    kept = crawl_clean_corpus_ds(
+        read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    )
+    import numpy as np
+
+    kept_ids = np.array(sorted(kept.unique("doc_id")), np.int64)
+    ids_ref = ray.put(kept_ids)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(ids_ref))
+        return _docs_to_pages(batch.filter(pa.array(keep)))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_index(
+        docs.map_batches(keep_only, batch_format="pyarrow"),
+        out, config, doc_id_mode="rank", resume=False,
+    )
+    rows = SegmentSearcher(out, config).search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
 def q_unigram_lm(sf_dir: str):
     from search_engine_ray.pipelines.text import unigram_lm_ds
 
@@ -1376,12 +1425,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ngram_jaccard's SQL verbatim; lang_top_terms/vocab_stats are strict
     # supersets of top_terms/term_df semantics).
     #
-    # r4 fourth session: delete_compact (soft-delete lifecycle, new
-    # engine feature) enters the window after add_compact, which rotates
-    # embedding_neardup_lsh to position 51 — acceptable because the exact
-    # variant (embedding_neardup) plus both ANN recall-bound gates
-    # (ann_lsh_recall, ann_ivf_recall) stay in-window, and the LSH variant
-    # remains hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
+    # r4 fourth session: two lifecycle/composition queries enter the
+    # window — delete_compact (soft-delete lifecycle, new engine feature,
+    # after add_compact) and clean_index_search (end-to-end clean → build
+    # over survivors → search, after crawl_clean). That rotates
+    # ann_ivf_recall and embedding_neardup_lsh to positions 51/52 —
+    # acceptable because four probabilistic-bound gates stay in-window
+    # (ann_lsh_recall, cm_heavy_hitters, hll_error, bloom_flag), the
+    # exact embedding_neardup stays in-window, and both rotated queries
+    # remain hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
     return {
         # --- core build/search (green r1–r3, kept in-window)
         "postings_pairs": q_postings_pairs,
@@ -1409,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "clean_corpus": q_clean_corpus,
         "crawl_clean": q_crawl_clean,
+        "clean_index_search": q_clean_index_search,  # NEW r4: end-to-end
         "decontaminate": q_decontaminate,
         # --- windows / relational core
         "sessionize": q_sessionize,
@@ -1875,8 +1928,9 @@ SELECT t.doc_id, coalesce(g.n_shingles, 0)::BIGINT AS n_shingles,
        coalesce(g.n_contaminated, 0)::BIGINT AS n_contaminated
 FROM t LEFT JOIN g USING (doc_id)
 """
-    clean_corpus = f"""
-WITH t AS (SELECT doc_id, text, lang, {tok} AS ts FROM documents),
+    # shared CTE chain: clean_corpus consumes it directly; clean_index_search
+    # composes it with the conjunctive-search oracle over the kept docs
+    clean_ctes = f"""t AS (SELECT doc_id, text, lang, {tok} AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(range(1, len(ts) - 1),
                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
@@ -1900,9 +1954,23 @@ feat AS (SELECT t.doc_id, t.text, len(ts)::BIGINT AS n_tokens,
 pass AS (SELECT doc_id, text, n_tokens FROM feat
          WHERE n_tokens BETWEEN 20 AND 1000
            AND n_short * 5 <= n_tokens
-           AND top_cnt * 5 <= n_bigrams)
+           AND top_cnt * 5 <= n_bigrams)"""
+    clean_corpus = f"""
+WITH {clean_ctes}
 SELECT min(doc_id)::BIGINT AS doc_id, min(n_tokens)::BIGINT AS n_tokens
 FROM pass GROUP BY md5(text)
+"""
+    clean_index_search = f"""
+WITH {clean_ctes},
+kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY md5(text))
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM kept))
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)
 """
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
@@ -1916,6 +1984,9 @@ FROM documents""",
         # Bloom decontamination: zero false negatives, FP ~1e-12 at this
         # eval-set size — deterministically equal to the exact recipe here
         "crawl_clean": clean_corpus,
+        # end-to-end: clean (kept set) -> index build over survivors ->
+        # conjunctive search; composes the two oracles above
+        "clean_index_search": clean_index_search,
         "skip_consecutive": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source, lag(source) OVER (ORDER BY doc_id) AS prev
