@@ -1942,6 +1942,9 @@ def compact(
             rd.read_parquet(_sp, filesystem=_sfs, columns=["term", "salt"])
             .map_batches(salted_terms, batch_format="pyarrow")
             .unique("term")
+            # unique() yields None when no generation salted anything
+            # (tiny corpora, or everything tombstoned)
+            or []
         )
         hot_ref = ray.put(hot)
     timings["hot_terms"] = time.perf_counter() - t_hot

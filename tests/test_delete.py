@@ -164,3 +164,16 @@ def test_compact_applies_tombstones(corpora, tmp_path):
         got = [(r.doc_id, round(r.score, 9)) for r in sv.search_bm25(q, k=10, mode=mode)]
         want = [(r.doc_id, round(r.score, 9)) for r in sr.search_bm25(q, k=10, mode=mode)]
         assert got == want, (q, mode)
+
+
+def test_delete_all_then_compact(ray_session, tmp_path):
+    table = synth_zipf_table(60, n_tokens=15, vocab=100)
+    out = str(tmp_path / "all")
+    build_index(rd.from_arrow(table), out, CONFIG, doc_id_mode="rank", resume=False)
+    assert delete_urls(out, table.column("url").to_pylist()) == 60
+    s = SegmentSearcher(out, CONFIG)
+    assert s.search_bm25("w0 w1", k=10, mode="or") == []
+    compact(out, CONFIG)
+    r = SegmentReader(out)
+    assert r.manifest["n_docs"] == 0
+    assert SegmentSearcher(out, CONFIG).search_bm25("w0", k=10, mode="or") == []
