@@ -110,6 +110,22 @@ def test_search_excludes_deleted_docs(corpora):
     hits = s.search("w0 w1", max_count=100)
     assert hits
     assert not {r.url for r in hits} & set(del_urls)
+    # phrase path (positions come from fetched docs, which filter deletes)
+    ph = s.search('"w0 w1"', max_count=100)
+    assert not {r.url for r in ph} & set(del_urls)
+
+
+def test_delete_urls_dataset_input(ray_session, tmp_path):
+    table = synth_zipf_table(60, n_tokens=15, vocab=100)
+    out = str(tmp_path / "dsin")
+    build_index(rd.from_arrow(table), out, CONFIG, doc_id_mode="rank", resume=False)
+    import pyarrow as pa
+
+    dele = rd.from_arrow(
+        pa.table({"url": pa.array(table.column("url").to_pylist()[:7], pa.string())})
+    )
+    assert delete_urls(out, dele) == 7
+    assert len(SegmentReader(out)._deleted) == 7
 
 
 def test_delete_missing_url_policies(corpora):
