@@ -1631,13 +1631,10 @@ def delete_urls(
     found_urls: list[str]
     if live_want:
         docs_files = [f for g in gens for f in parquet_files(fsio.join(g, "docs"))]
-        want_ref = ray.put(frozenset(live_want))
+        want_ref = ray.put(pa.array(sorted(live_want), pa.string()))
 
         def pick(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(
-                batch.column("url"),
-                value_set=pa.array(sorted(ray.get(want_ref)), pa.string()),
-            )
+            mask = pc.is_in(batch.column("url"), value_set=ray.get(want_ref))
             return batch.filter(mask)
 
         _p, _fs = fsio.resolve_data_paths(docs_files)
