@@ -156,6 +156,17 @@ def q_text_normalize(sf_dir: str):
     return normalize_text_ds(_docs(sf_dir))
 
 
+def q_normalize_dedup(sf_dir: str):
+    """normalize → exact-dedup composition: fingerprint the NORMALIZED
+    text (NFC + lower + whitespace collapse), keep min doc_id per group —
+    the standard pipeline order that catches case/whitespace/encoding
+    near-identical pages plain exact dedup misses."""
+    from search_engine_ray.pipelines.dedup import exact_dedup_ds
+    from search_engine_ray.pipelines.text import normalize_text_ds
+
+    return exact_dedup_ds(normalize_text_ds(_docs(sf_dir)))
+
+
 def q_token_count_bpe(sf_dir: str):
     from search_engine_ray.pipelines.text import bpe_token_count_ds
 
@@ -1501,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 supersets lang_top_terms / vocab_stats
         "token_count": q_token_count,
         "text_normalize": q_text_normalize,  # NEW r4: unicode normalization
+        "normalize_dedup": q_normalize_dedup,  # NEW r4: normalize -> dedup
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2177,6 +2189,12 @@ SELECT DISTINCT term, doc_id FROM (
   SELECT doc_id, unnest({tok}) AS term FROM documents)
 WHERE length(term) >= 2""",
         "exact_dedup": "SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)",
+        # normalize -> exact dedup composition (fingerprint the normalized text)
+        "normalize_dedup": r"""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+           FROM documents)
+SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id FROM n GROUP BY md5(text)""",
         "url_dedup": "SELECT 'doc://' || CAST(doc_id // 3 AS VARCHAR) AS url, min(doc_id) AS keep_doc_id FROM documents GROUP BY 1",
         "search_and": f"""
 SELECT doc_id FROM (
