@@ -267,7 +267,9 @@ def manifest_valid(path: str, fingerprint: str | None) -> bool:
 
 
 def load_doc_store(out_dir: str) -> DocStore:
-    """Eager doc-store load across generations (conformance / small)."""
+    """Eager doc-store load across generations (conformance / small).
+    Tombstoned docs are skipped, mirroring SegmentReader's delete mask."""
+    dele = set(tombstone_ids(out_dir).tolist())
     store = DocStore()
     for gen in generation_dirs(out_dir) or [out_dir]:
         t = fsio.read_parquet_table(parquet_files(os.path.join(gen, "docs")))
@@ -277,12 +279,15 @@ def load_doc_store(out_dir: str) -> DocStore:
             t.column("url").to_pylist(),
             t.column("tokens").to_pylist(),
         ):
-            store.put(int(d), DocRecord(title=ti, url=u, words=tok))
+            if int(d) not in dele:
+                store.put(int(d), DocRecord(title=ti, url=u, words=tok))
     return store
 
 
 def load_inverted_index(out_dir: str) -> InvertedIndex:
-    """Eager decode of all segments (all generations) into memory."""
+    """Eager decode of all segments (all generations) into memory.
+    Tombstoned docs are filtered, mirroring SegmentReader's delete mask."""
+    dele = tombstone_ids(out_dir)
     runs: dict[str, list[tuple[bytes, bytes]]] = {}
     for gen in generation_dirs(out_dir) or [out_dir]:
         t = fsio.read_parquet_table(
@@ -301,7 +306,16 @@ def load_inverted_index(out_dir: str) -> InvertedIndex:
         tfs = np.concatenate([decode_tfs(te) for _, te in rs])
         # cross-generation runs interleave; doc_ids are globally unique
         order = np.argsort(ids, kind="stable")
-        idx.set_postings(term, ids[order], tfs[order])
+        ids, tfs = ids[order], tfs[order]
+        if dele.size:
+            ids64 = ids.astype(np.int64, copy=False)  # avoid mixed-dtype promotion
+            pos = np.searchsorted(dele, ids64)
+            pos[pos == len(dele)] = 0
+            keep = dele[pos] != ids64
+            ids, tfs = ids[keep], tfs[keep]
+            if not ids.size:
+                continue
+        idx.set_postings(term, ids, tfs)
     return idx
 
 

@@ -193,3 +193,27 @@ def test_delete_all_then_compact(ray_session, tmp_path):
     r = SegmentReader(out)
     assert r.manifest["n_docs"] == 0
     assert SegmentSearcher(out, CONFIG).search_bm25("w0", k=10, mode="or") == []
+
+
+def test_eager_loaders_respect_tombstones(ray_session, tmp_path):
+    from search_engine_ray.pipelines.build import make_searcher
+    from search_engine_ray.state.segments import load_doc_store, load_inverted_index
+
+    table = synth_zipf_table(60, n_tokens=15, vocab=100)
+    out = str(tmp_path / "eager")
+    build_index(rd.from_arrow(table), out, CONFIG, doc_id_mode="rank", resume=False)
+    ranks = table.column("rank").to_numpy(zero_copy_only=False)
+    urls = table.column("url").to_pylist()
+    assert delete_urls(out, urls[:10]) == 10
+    dele = set(int(r) for r in ranks[:10])
+
+    store = load_doc_store(out)
+    assert all(d not in store for d in dele)
+    idx = load_inverted_index(out)
+    for term in ("w0", "w1", "w2"):
+        p = idx.get(term)
+        if p is not None:
+            assert not (set(int(i) for i in p[0]) & dele), term
+    s = make_searcher(out, CONFIG)
+    hits = s.search_bm25("w0 w1", k=60)
+    assert not ({r.doc_id for r in hits} & dele)
