@@ -250,6 +250,48 @@ def _query_latencies(synth: dict) -> dict:
     }
 
 
+def _batch_serving_qps(synth: dict, n_queries: int = 2000) -> dict:
+    """Batch-serving THROUGHPUT (queries/sec) through the Ray Data actor
+    pool (pipelines/serving.batch_search_bm25_ds): the index opens once
+    per actor, term/doc LRUs amortize across each actor's queries. The
+    latency section above measures one warm searcher; this measures the
+    parallel path a query frontend would drive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.serving import batch_search_bm25_ds
+    from search_engine_ray.sources.synth import HOT_TERM
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in rng.integers(0, 1500, size=(n_queries, 2)).flat]
+    qs = [
+        f"{vocab[2*i]} {vocab[2*i+1]}" if i % 5 else f"{HOT_TERM} {vocab[2*i]}"
+        for i in range(n_queries)
+    ]
+    # from_arrow yields ONE block — split it or the actor pool serializes
+    # every query through a single actor (measured: 1 task, 4 idle actors)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(range(n_queries), pa.int64()),
+                "query": pa.array(qs, pa.string()),
+            }
+        )
+    ).repartition(max(8, NUM_CPUS))
+    t0 = time.perf_counter()
+    n_rows = batch_search_bm25_ds(
+        ds, synth["out"], synth["config"], k=10, mode="or",
+        concurrency=8, batch_size=32,
+    ).count()
+    wall = time.perf_counter() - t0
+    return {
+        "batch_bm25_qps": round(n_queries / wall, 1),
+        "batch_bm25_wall_sec": round(wall, 3),
+        "batch_bm25_result_rows": int(n_rows),
+    }
+
+
 def _build_documents_sf(sf_dir: str) -> dict:
     """Index build over the driver's documents table (pages-adapted)."""
     import __ray_entry__ as e
@@ -283,6 +325,9 @@ def _training_data_ops(sf_dir: str) -> dict:
         "hll_users",
         "shard_export",
         "logbin_quantiles",
+        "text_normalize",
+        "normalize_dedup",
+        "clean_index_search",
     ):
         import ray.data as rd
 
@@ -354,11 +399,13 @@ def run_default() -> dict:
         sf_build = _build_documents_sf(SF_DIR)
         td_ops = _training_data_ops(SF_DIR)
         qlat = _query_latencies(synth)
+        qps = _batch_serving_qps(synth)
         ref50k = _ref50k_queries()
     finally:
         ray.shutdown()
     queries = dict(qlat["per_query"])
     queries.update(td_ops)
+    queries.update(qps)
     queries.update(ref50k)
     queries.update(markers)
     queries["build_synth_walls"] = [round(w, 3) for w in build_walls]

@@ -73,6 +73,15 @@ from search_engine_ray.state.segments import (
 
 DOCS_COLUMNS = ["doc_id", "url", "title", "tokens", "dl"]
 
+#: Doc-store parquet row-group size. Docs are doc_id-sorted, so the row
+#: group is the POINT-READ pruning unit: a top-k doc fetch with
+#: filters=[("doc_id","in",ids)] decodes only the groups whose min/max
+#: straddle a wanted id. One-group files (the pyarrow default for our
+#: ~16k-row parts) made every fetch decode whole files incl. the tokens
+#: column — measured 1.2 s per query at a 500k-doc store; 2048-row groups
+#: cut the fetch to the ~k groups that actually match.
+DOCS_ROW_GROUP_ROWS = 2048
+
 
 @dataclass
 class BuildResult:
@@ -1011,7 +1020,9 @@ def _build_index_fused(
         # uuid — the map-side shuffle write is idempotent.
         stem = f"b{pc.min(doc_tbl.column('doc_id')).as_py():014d}"
         _fsio.write_parquet_table(
-            doc_tbl, _fsio.join(docs_dir, f"part-{stem}.parquet")
+            doc_tbl,
+            _fsio.join(docs_dir, f"part-{stem}.parquet"),
+            row_group_size=DOCS_ROW_GROUP_ROWS,
         )
         dl_sum = pc.sum(doc_tbl.column("dl")).as_py() or 0
         ray.get(stats_acc.add.remote(doc_tbl.num_rows, int(dl_sum)))
@@ -1220,7 +1231,7 @@ def build_index(
         # binary-file-storage.ts:132-165). Input is already coalesced to
         # target_blocks, which also sets the sort partition count.
         ds = ds.sort("doc_id")
-        ds.write_parquet(docs_dir)
+        ds.write_parquet(docs_dir, row_group_size=DOCS_ROW_GROUP_ROWS)
         # write_parquet is the stage barrier: all filter tasks have run, so
         # the counter totals are final.
         skip_counts = ray.get(counters.get.remote())
@@ -1709,7 +1720,9 @@ def _docs_file_apply_tombstones(
     keep = ~hit
     if keep.any():
         t = fsio.read_parquet_table([src])
-        fsio.write_parquet_table(t.filter(pa.array(keep)), dst)
+        fsio.write_parquet_table(
+            t.filter(pa.array(keep)), dst, row_group_size=DOCS_ROW_GROUP_ROWS
+        )
     return int(keep.sum()), int(dls[keep].sum())
 
 
