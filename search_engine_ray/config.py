@@ -38,6 +38,12 @@ class EngineConfig:
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
     # Postings codec / segment layout
+    # doc_ids compression: "varint" (delta + LEB128, the default) or "ef"
+    # (Elias-Fano / quasi-succinct — ~2-4x smaller doc_ids on dense lists;
+    # see state/codec.py). tfs/dls are always varint (not monotone). The
+    # codec is recorded in the manifest and must be uniform across an
+    # index's generations (add_generation inherits it).
+    postings_codec: str = "varint"
     block_size: int = 128  # postings per block-max block
     # hash buckets for the merge shuffle (reduce tasks). None = data-
     # proportional: ~merge_bucket_target_bytes of encoded postings per

@@ -43,6 +43,7 @@ import os
 import posixpath
 import shutil
 import time
+import dataclasses
 from dataclasses import dataclass
 
 import numpy as np
@@ -1104,6 +1105,7 @@ def _build_index_fused(
                 "bm25_k1": config.bm25_k1,
                 "bm25_b": config.bm25_b,
                 "block_size": config.block_size,
+                "postings_codec": config.postings_codec,
                 "salt_shift": config.salt_shift,
                 "merge_buckets": n_buckets,
             },
@@ -1392,6 +1394,7 @@ def build_index(
                     "bm25_k1": config.bm25_k1,
                     "bm25_b": config.bm25_b,
                     "block_size": config.block_size,
+                    "postings_codec": config.postings_codec,
                     "salt_shift": config.salt_shift,
                     "merge_buckets": n_buckets,
                 },
@@ -1435,12 +1438,29 @@ def add_generation(
     - Readers (SegmentReader / loaders) merge generations on read with
       global corpus statistics.
     """
-    from search_engine_ray.state.segments import SegmentReader, generation_dirs
+    from search_engine_ray.state.segments import (
+        SegmentReader,
+        generation_dirs,
+        read_manifest,
+    )
 
+    cfg_given = config is not None
     config = config or EngineConfig()
     existing = generation_dirs(out_dir)
     if not existing:
         raise ValueError(f"no existing index at {out_dir}; use build_index first")
+    # postings codec must stay uniform across generations (readers and
+    # compact dispatch per generation manifest; the API keeps them equal)
+    base_mf = read_manifest(os.path.join(existing[0], "manifest.json")) or {}
+    base_codec = (base_mf.get("config") or {}).get("postings_codec", "varint")
+    if not cfg_given:
+        config = dataclasses.replace(config, postings_codec=base_codec)
+    elif config.postings_codec != base_codec:
+        raise ValueError(
+            f"postings_codec {config.postings_codec!r} differs from the "
+            f"existing index's {base_codec!r}; compact with the new codec "
+            "to transcode instead"
+        )
     reader = SegmentReader(out_dir)
     existing_urls = reader.all_urls()
 
@@ -1726,7 +1746,9 @@ def _docs_file_apply_tombstones(
     return int(keep.sum()), int(dls[keep].sum())
 
 
-def _make_decode_reemit(config: EngineConfig, hot_ref, deleted_ref=None):
+def _make_decode_reemit(
+    config: EngineConfig, hot_ref, deleted_ref=None, src_codec: str = "varint"
+):
     """Segment rows -> emit-schema postings rows (compaction's map stage).
 
     Decodes each stored (term, salt) run and RE-SALTS uniformly from the
@@ -1737,7 +1759,7 @@ def _make_decode_reemit(config: EngineConfig, hot_ref, deleted_ref=None):
     ascending invariant. salt is monotone in doc_id, so recomputed runs are
     disjoint and ordered regardless of which generation they came from."""
     from search_engine_ray.stages.postings import _hash_utf8_array
-    from search_engine_ray.state.codec import decode_doc_ids, decode_tfs
+    from search_engine_ray.state.codec import decode_doc_ids_any, decode_tfs
 
     nb = config.merge_buckets
     shift = config.salt_shift
@@ -1758,7 +1780,7 @@ def _make_decode_reemit(config: EngineConfig, hot_ref, deleted_ref=None):
         tf_parts: list[np.ndarray] = []
         dl_parts: list[np.ndarray] = []
         for term, de, te, le in zip(terms, des, tes, les):
-            ids = decode_doc_ids(de).astype(np.int64)
+            ids = decode_doc_ids_any(de, src_codec).astype(np.int64)
             tfs = decode_tfs(te).astype(np.int32)
             dls = decode_tfs(le).astype(np.int32)
             if deleted is not None and deleted.size and ids.size:
@@ -1853,6 +1875,7 @@ def compact(
         tombstones_dir,
     )
 
+    cfg_given = config is not None
     config = config or EngineConfig()
     gens = generation_dirs(out_dir)
     deleted = tombstone_ids(out_dir)
@@ -1881,6 +1904,18 @@ def compact(
     fsio.makedirs(os.path.join(tmp, "docs"))
 
     manifests = [read_manifest(os.path.join(g, "manifest.json")) or {} for g in gens]
+    src_codecs = {
+        (m.get("config") or {}).get("postings_codec", "varint") for m in manifests
+    }
+    if len(src_codecs) > 1:
+        raise ValueError(
+            f"generations use mixed postings codecs {sorted(src_codecs)}; "
+            "this cannot happen through the add_generation API"
+        )
+    src_codec = next(iter(src_codecs), "varint")
+    if not cfg_given:
+        # preserve the index's codec; an explicit config may transcode
+        config = dataclasses.replace(config, postings_codec=src_codec)
     deleted_ref = ray.put(deleted) if deleted.size else None
 
     if deleted_ref is None:
@@ -1966,7 +2001,7 @@ def compact(
         columns=["term", "doc_ids_enc", "tfs_enc", "dls_enc"],
         override_num_blocks=target_blocks,
     ).map_batches(
-        _make_decode_reemit(emit_config, hot_ref, deleted_ref),
+        _make_decode_reemit(emit_config, hot_ref, deleted_ref, src_codec),
         batch_format="pyarrow",
         num_cpus=heavy_cpus,
     )
@@ -1996,6 +2031,7 @@ def compact(
             "bm25_k1": config.bm25_k1,
             "bm25_b": config.bm25_b,
             "block_size": config.block_size,
+            "postings_codec": config.postings_codec,
             "salt_shift": config.salt_shift,
             "merge_buckets": n_buckets,
         },

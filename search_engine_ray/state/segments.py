@@ -34,9 +34,9 @@ from search_engine_ray.functions.scoring import bm25_term_upper_bound
 from search_engine_ray.state import fsio
 from search_engine_ray.state.codec import (
     block_boundaries,
-    decode_doc_ids,
+    decode_doc_ids_any,
     decode_tfs,
-    encode_doc_ids,
+    ef_encode_multi,
     encode_tfs,
     encode_varints_with_offsets,
 )
@@ -153,7 +153,19 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
         if (deltas[non_start] <= 0).any():
             raise ValueError("duplicate or unsorted doc_ids within a term group")
 
-        enc_doc, off_doc = encode_varints_with_offsets(deltas.astype(np.uint64))
+        if config.postings_codec == "ef":
+            # Elias-Fano over the ABSOLUTE sorted doc_ids (EF is already a
+            # gap-free monotone codec; deltas are a varint-ism). Offsets come
+            # back per GROUP, unlike the per-VALUE varint offsets.
+            enc_doc, grp_off_doc = ef_encode_multi(
+                d.astype(np.uint64), starts, ends
+            )
+            off_doc = None
+        else:
+            enc_doc, off_doc = encode_varints_with_offsets(
+                deltas.astype(np.uint64)
+            )
+            grp_off_doc = None
         enc_tf, off_tf = encode_varints_with_offsets(tf.astype(np.uint64))
         enc_dl, off_dl = encode_varints_with_offsets(dl.astype(np.uint64))
 
@@ -182,8 +194,12 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
         # ---- zero-copy per-group binary slices via Arrow offset buffers ---
         # large_binary (int64 offsets): a hash bucket's encoded postings can
         # exceed 2^31 bytes at crawl scale; int32 offsets would wrap silently.
-        def bin_col(enc: bytes, off: np.ndarray) -> pa.Array:
-            group_off = off[np.append(starts, len(d))].astype(np.int64)
+        def bin_col(
+            enc: bytes, off: np.ndarray | None, grp_off: np.ndarray | None = None
+        ) -> pa.Array:
+            if grp_off is None:
+                grp_off = off[np.append(starts, len(d))]
+            group_off = grp_off.astype(np.int64)
             return pa.Array.from_buffers(
                 pa.large_binary(),
                 n_groups,
@@ -196,7 +212,7 @@ def make_bucket_merge_encode(stats: CorpusStats, config: EngineConfig):
                 "term": pa.array(terms_np[rep], pa.string()),
                 "salt": pa.array(salts_np[rep].astype(np.int64), pa.int64()),
                 "df_run": pa.array(df_runs, pa.int32()),
-                "doc_ids_enc": bin_col(enc_doc, off_doc),
+                "doc_ids_enc": bin_col(enc_doc, off_doc, grp_off_doc),
                 "tfs_enc": bin_col(enc_tf, off_tf),
                 "dls_enc": bin_col(enc_dl, off_dl),
                 "block_last": pa.ListArray.from_arrays(
@@ -288,8 +304,10 @@ def load_inverted_index(out_dir: str) -> InvertedIndex:
     """Eager decode of all segments (all generations) into memory.
     Tombstoned docs are filtered, mirroring SegmentReader's delete mask."""
     dele = tombstone_ids(out_dir)
-    runs: dict[str, list[tuple[bytes, bytes]]] = {}
+    runs: dict[str, list[tuple[bytes, bytes, str]]] = {}
     for gen in generation_dirs(out_dir) or [out_dir]:
+        mf = read_manifest(os.path.join(gen, "manifest.json")) or {}
+        codec = (mf.get("config") or {}).get("postings_codec", "varint")
         t = fsio.read_parquet_table(
             parquet_files(os.path.join(gen, "segments")),
             columns=["term", "salt", "doc_ids_enc", "tfs_enc"],
@@ -299,11 +317,11 @@ def load_inverted_index(out_dir: str) -> InvertedIndex:
             t.column("doc_ids_enc").to_pylist(),
             t.column("tfs_enc").to_pylist(),
         ):
-            runs.setdefault(term, []).append((de, te))
+            runs.setdefault(term, []).append((de, te, codec))
     idx = InvertedIndex()
     for term, rs in runs.items():
-        ids = np.concatenate([decode_doc_ids(de) for de, _ in rs])
-        tfs = np.concatenate([decode_tfs(te) for _, te in rs])
+        ids = np.concatenate([decode_doc_ids_any(de, cdc) for de, _, cdc in rs])
+        tfs = np.concatenate([decode_tfs(te) for _, te, _ in rs])
         # cross-generation runs interleave; doc_ids are globally unique
         order = np.argsort(ids, kind="stable")
         ids, tfs = ids[order], tfs[order]
@@ -352,6 +370,9 @@ class _SubIndex:
         self._seg_path = os.path.join(out_dir, "segments")
         self._docs_path = os.path.join(out_dir, "docs")
         self.manifest = read_manifest(os.path.join(out_dir, "manifest.json")) or {}
+        self.postings_codec = (self.manifest.get("config") or {}).get(
+            "postings_codec", "varint"
+        )
         self._seg_files = parquet_files(self._seg_path)
         self._docs_files = parquet_files(self._docs_path)
         # term -> [segment file path] sidecar, emitted by the merge tasks
@@ -406,7 +427,12 @@ class _SubIndex:
         for term, rows in by_term.items():
             rows.sort(key=lambda i: t.column("salt")[i].as_py())
             ids = np.concatenate(
-                [decode_doc_ids(t.column("doc_ids_enc")[i].as_py()) for i in rows]
+                [
+                    decode_doc_ids_any(
+                        t.column("doc_ids_enc")[i].as_py(), self.postings_codec
+                    )
+                    for i in rows
+                ]
             )
             tfs = np.concatenate(
                 [decode_tfs(t.column("tfs_enc")[i].as_py()) for i in rows]
