@@ -1036,14 +1036,19 @@ def _doc_term_tf_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndar
 def tfidf_topk_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
     """Per-doc top-k terms by TF-IDF (tf * ln(N/df)), ties broken by term.
 
-    Scale shape: (doc_id, term, tf) rows are doc-local (one vectorized
-    batch pass, no shuffle); df is the combiner-aggregated term_df_ds;
-    joining df onto the tf rows is a reduce-side hash join — both sides
-    bucketed on hash(term) with string-equality resolution inside the
-    bucket (the vocabulary at crawl scale is far too large to broadcast);
-    the per-doc top-k is one more bucketed shuffle on doc_id with a
-    vectorized run-length selection. Three shuffles total, no driver state,
-    no whole-vocab materialization anywhere."""
+    Scale shape: (doc_id, term, tf) rows are doc-local (ONE vectorized
+    tokenize pass, no shuffle); the rows are then bucketed on hash(term),
+    and df is computed INSIDE the term bucket — tf rows are distinct per
+    (doc, term) with the same tokenization as ``term_df_ds`` (lower,
+    len >= 2, per-doc distinct), so df(term) is simply the term's row
+    count in its bucket. That removes the second corpus tokenize pass,
+    the df partial-aggregation shuffle, and the map-side df rows of the
+    old reduce-side join (the vocabulary at crawl scale is far too large
+    to broadcast either way); the per-doc top-k is one more bucketed
+    shuffle on doc_id with a vectorized run-length selection. Two
+    shuffles total, no driver state, no whole-vocab materialization
+    anywhere. Skew exposure is unchanged vs the join formulation: any
+    per-term df needs the term's rows co-located, hot or not."""
     from search_engine_ray.pipelines.dedup import _bucketer, _n_pair_buckets
 
     n_docs = docs.count()
@@ -1066,43 +1071,38 @@ def tfidf_topk_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
                 "doc_id": pa.array(d, pa.int64()),
                 "term": pa.array(t, pa.string()),
                 "tf": pa.array(f, pa.int64()),
-                "df": pa.array(np.zeros(len(d), np.int64), pa.int64()),
-                "_side": pa.array(np.zeros(len(d), np.int8), pa.int8()),
                 "_bkt": pa.array(_term_buckets(t), pa.int64()),
             }
         )
 
-    def df_rows(batch: pa.Table) -> pa.Table:
-        t = batch.column("term").to_numpy(zero_copy_only=False)
-        n = len(t)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "term": batch.column("term"),
-                "tf": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "df": batch.column("df").cast(pa.int64()),
-                "_side": pa.array(np.ones(n, np.int8), pa.int8()),
-                "_bkt": pa.array(_term_buckets(t), pa.int64()),
-            }
-        )
-
-    def join_df(group: pa.Table) -> pa.Table:
-        side = group.column("_side").to_numpy(zero_copy_only=False)
+    def score(group: pa.Table) -> pa.Table:
+        # df in-bucket: rows are distinct per (doc, term), so df(term) is
+        # the term's row count across the whole bucket
         terms = group.column("term").to_numpy(zero_copy_only=False)
-        is_map = side == 1
-        mt = terms[is_map]
-        mdf = group.column("df").to_numpy(zero_copy_only=False)[is_map]
-        o = np.argsort(mt)
-        mt, mdf = mt[o], mdf[o]
-        rt = terms[~is_map]
-        d = group.column("doc_id").to_numpy(zero_copy_only=False)[~is_map]
-        f = group.column("tf").to_numpy(zero_copy_only=False)[~is_map]
-        idx = np.searchsorted(mt, rt)  # every row term exists in the df side
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        f = group.column("tf").to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        t = terms[order]
+        n = len(t)
+        if not n:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        new = np.concatenate(([True], t[1:] != t[:-1]))
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, n))
+        df = np.repeat(runs, runs)  # df aligned to the sorted rows
         return pa.table(
             {
-                "doc_id": pa.array(d, pa.int64()),
-                "term": pa.array(rt, pa.string()),
-                "tfidf": pa.array(f * np.log(n_docs / mdf[idx]), pa.float64()),
+                "doc_id": pa.array(d[order], pa.int64()),
+                "term": pa.array(t, pa.string()),
+                "tfidf": pa.array(
+                    f[order] * np.log(n_docs / df), pa.float64()
+                ),
             }
         )
 
@@ -1126,15 +1126,13 @@ def tfidf_topk_ds(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
             }
         )
 
-    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow")
-    df_ds = term_df_ds(docs).map_batches(df_rows, batch_format="pyarrow")
-    joined = (
-        tf_ds.union(df_ds)
+    scored = (
+        docs.map_batches(tf_rows, batch_format="pyarrow")
         .groupby("_bkt")
-        .map_groups(join_df, batch_format="pyarrow")
+        .map_groups(score, batch_format="pyarrow")
     )
     return (
-        joined.map_batches(_bucketer("doc_id", n_buckets), batch_format="pyarrow")
+        scored.map_batches(_bucketer("doc_id", n_buckets), batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(topk, batch_format="pyarrow")
     )
