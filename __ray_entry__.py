@@ -537,6 +537,17 @@ def q_bloom_decontaminate(sf_dir: str):
     return bloom_decontaminate_ds(_docs(sf_dir))
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR hashed n-gram importance weights (Xie et al., NeurIPS 2023):
+    per-doc log importance weight of a corpus-internal target distribution
+    (doc_id % 97 < 3, the decontaminate eval-set pattern) vs the source,
+    over md5-hashed unigram+bigram buckets. Bounded (4096-bucket) count
+    shuffle + broadcast diff vector; two corpus passes."""
+    from search_engine_ray.pipelines.text import dsir_weights_ds, read_documents
+
+    return dsir_weights_ds(read_documents(sf_dir))
+
+
 def q_logbin_quantiles(sf_dir: str):
     """Log-histogram quantile sketch (HDR binning) over documents.n_chars
     per lang, cross-checked against the EXACT k-th smallest computed by an
@@ -1507,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # just out; the window now holds 50 oracle-bearing entries)
         "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
+        "dsir_weights": q_dsir_weights,  # NEW r4: DSIR importance weights
         # three driver-green rounds each (r1–r3); oracles still exercised
         # in-window via minhash_pairs (ngram_jaccard's SQL verbatim) and the
         # r4 supersets lang_top_terms / vocab_stats
@@ -2076,6 +2088,27 @@ SELECT lang, q_pct, 1::BIGINT AS within_bound
 FROM (SELECT DISTINCT lang FROM documents)
 CROSS JOIN (SELECT unnest([10, 25, 50, 75, 90, 99])::BIGINT AS q_pct)
 ORDER BY lang, q_pct""",
+        # DSIR: md5-bucketed unigram+bigram importance weights; the Ray
+        # side is bit-identical (same md5 prefix -> bucket map, float64
+        # log-prob sums rounded to 6 dp)
+        "dsir_weights": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS g FROM t),
+bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+       FROM t, unnest(range(1, len(ts))) AS u(i)),
+g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+gb AS (SELECT doc_id, (('0x' || substr(md5(g),1,8))::BIGINT % 4096) AS b FROM g),
+cnt AS (SELECT b, count(*)::DOUBLE AS cs,
+               sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::DOUBLE AS ct
+        FROM gb GROUP BY b),
+tot AS (SELECT sum(cs) AS ts_, sum(ct) AS tt_ FROM cnt),
+lp AS (SELECT b, ln((ct + 0.5)/(tt_ + 0.5*4096)) - ln((cs + 0.5)/(ts_ + 0.5*4096)) AS d
+       FROM cnt, tot),
+w AS (SELECT gb.doc_id, sum(lp.d) AS logw FROM gb JOIN lp USING (b) GROUP BY gb.doc_id)
+SELECT dd.doc_id, round(coalesce(w.logw, 0.0), 6) AS logw
+FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id
+ORDER BY dd.doc_id
+""",
         # Bloom flag == exact flag: zero false negatives by construction,
         # FP ~1e-12 at this sizing — deterministically equal here
         "bloom_flag": f"""

@@ -1602,6 +1602,136 @@ def weighted_sample_ds(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def _dsir_gram_buckets(
+    batch: pa.Table, n_buckets: int, variant: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, bucket) for every word unigram AND bigram of the batch.
+
+    ``variant="md5"``: bucket = int(md5(gram)[:8 hex], 16) % n_buckets —
+    matches DuckDB ``('0x' || substr(md5(g),1,8))::BIGINT % B`` exactly, so
+    the whole operator is SQL-oracle-checkable; md5 runs once per DISTINCT
+    gram of the batch (dictionary trick), but is still per-unique-string
+    Python — the conformance variant. ``variant="fast"``: vectorized
+    64-bit utf8 hash (the crawl-scale default shape; different member
+    buckets, same statistics)."""
+    import hashlib as _hashlib
+
+    toks = token_lists(batch.column("text"))
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    # bigrams: join two shifted views, valid where both ends share a doc
+    if n >= 2:
+        views = [flat.slice(i, n - 1) for i in range(2)]
+        bigrams = pc.binary_join_element_wise(*views, " ")
+        bok = parents[1:] == parents[:-1]
+        grams = pa.concat_arrays([flat, bigrams.filter(pa.array(bok))])
+        par = np.concatenate([parents, parents[:-1][bok]])
+    else:
+        grams = flat
+        par = parents
+    if variant == "fast":
+        from search_engine_ray.stages.postings import _hash_utf8_array
+
+        h = _hash_utf8_array(grams)
+        bkt = (h % np.uint64(n_buckets)).astype(np.int64)
+    else:
+        gl = grams.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(gl, return_inverse=True)
+        hu = np.array(
+            [int(_hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in uniq],
+            dtype=np.int64,
+        )
+        bkt = (hu % n_buckets)[inv]
+    return par, bkt
+
+
+def dsir_weights_ds(
+    docs: rd.Dataset,
+    n_buckets: int = 4096,
+    lam: float = 0.5,
+    eval_mod: int = 97,
+    target_residues: int = 3,
+    variant: str = "md5",
+) -> rd.Dataset:
+    """DSIR hashed n-gram importance weights (Xie et al., NeurIPS 2023:
+    "Data Selection for Language Models via Importance Resampling").
+
+    Features = word unigrams + bigrams hashed into ``n_buckets``; the
+    target distribution is fit on the corpus-internal deterministic
+    subset doc_id % eval_mod < target_residues (the decontaminate
+    eval-set pattern — no external data), the source on all docs. Per
+    doc, logw = sum over gram occurrences of
+    ln p_target(bucket) - ln p_source(bucket) with add-``lam`` smoothing.
+    Compose with ``weighted_sample_ds``-style seeded selection (or Gumbel
+    top-k) to actually resample.
+
+    Scale shape: pass 1 emits per-batch PARTIAL (bucket, src_n, tgt_n)
+    count rows (<= n_buckets rows per batch via np.add.at into bounded
+    vectors) -> one small groupby-sum -> a <= n_buckets-row take_all
+    (bounded materialization, 32 KB at the default) -> the log-prob DIFF
+    vector broadcast once via ray.put; pass 2 is one stateless
+    vectorized map (np.bincount of diff[bucket] per doc). Two corpus
+    passes, one bounded shuffle, nothing per-doc on the driver."""
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        par, bkt = _dsir_gram_buckets(batch, n_buckets, variant)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.zeros(n_buckets, np.int64)
+        tgt = np.zeros(n_buckets, np.int64)
+        np.add.at(src, bkt, 1)
+        if len(par):
+            is_t = (ids[par] % eval_mod) < target_residues
+            np.add.at(tgt, bkt[is_t], 1)
+        nz = np.flatnonzero(src)
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "src_n": pa.array(src[nz], pa.int64()),
+                "tgt_n": pa.array(tgt[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("src_n", alias_name="cs"), Sum("tgt_n", alias_name="ct"))
+    )
+    rows = agg.take_all()  # bounded: <= n_buckets rows
+    cs = np.full(n_buckets, 0.0)
+    ct = np.full(n_buckets, 0.0)
+    for r in rows:
+        cs[r["b"]] = float(r["cs"])
+        ct[r["b"]] = float(r["ct"])
+    ts, tt = cs.sum(), ct.sum()
+    diff = np.log((ct + lam) / (tt + lam * n_buckets)) - np.log(
+        (cs + lam) / (ts + lam * n_buckets)
+    )
+    diff_ref = ray.put(diff)
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = ray.get(diff_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        par, bkt = _dsir_gram_buckets(batch, n_buckets, variant)
+        logw = np.zeros(len(ids), np.float64)
+        if len(par):
+            logw = np.bincount(par, weights=d[bkt], minlength=len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "logw": pa.array(np.round(logw, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def normalize_urls(urls: pa.Array) -> pa.Array:
     """Vectorized URL canonicalization — the dedup-key prep every crawl
     pipeline runs before url dedup:

@@ -1166,3 +1166,77 @@ def test_normalize_text_unicode_cases(ray_session):
         " AS text FROM u ORDER BY doc_id"
     ).df()
     assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_dsir_weights_matches_sql(docs):
+    # DSIR (Xie et al. 2023): md5-bucketed unigram+bigram importance
+    # weights, bit-identical to the DuckDB oracle (same bucket map, same
+    # float64 log-prob sums, 6-dp rounding)
+    from search_engine_ray.pipelines.text import dsir_weights_ds
+
+    got = (
+        dsir_weights_ds(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        uni AS (SELECT doc_id, unnest(ts) AS g FROM t),
+        bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+               FROM t, unnest(range(1, len(ts))) AS u(i)),
+        g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+        gb AS (SELECT doc_id,
+                      (('0x' || substr(md5(g),1,8))::BIGINT % 4096) AS b FROM g),
+        cnt AS (SELECT b, count(*)::DOUBLE AS cs,
+                       sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::DOUBLE AS ct
+                FROM gb GROUP BY b),
+        tot AS (SELECT sum(cs) AS ts_, sum(ct) AS tt_ FROM cnt),
+        lp AS (SELECT b, ln((ct + 0.5)/(tt_ + 0.5*4096))
+                        - ln((cs + 0.5)/(ts_ + 0.5*4096)) AS d
+               FROM cnt, tot),
+        w AS (SELECT gb.doc_id, sum(lp.d) AS logw
+              FROM gb JOIN lp USING (b) GROUP BY gb.doc_id)
+        SELECT dd.doc_id, round(coalesce(w.logw, 0.0), 6) AS logw
+        FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id
+        ORDER BY dd.doc_id
+        """
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["logw"].tolist() == want["logw"].tolist()
+    # target docs should on average score higher than non-target docs
+    is_t = got["doc_id"] % 97 < 3
+    assert got.loc[is_t, "logw"].mean() > got.loc[~is_t, "logw"].mean()
+
+
+def test_dsir_weights_fast_variant(docs):
+    # crawl-scale variant: vectorized 64-bit hash buckets — different
+    # member buckets, same shape/statistics (target mean above source)
+    from search_engine_ray.pipelines.text import dsir_weights_ds
+
+    got = dsir_weights_ds(docs, variant="fast").to_pandas()
+    assert len(got) == 500 and set(got.columns) == {"doc_id", "logw"}
+    is_t = got["doc_id"] % 97 < 3
+    assert got.loc[is_t, "logw"].mean() > got.loc[~is_t, "logw"].mean()
+
+
+def test_dsir_weights_degenerate_docs(ray_session):
+    # empty and single-token docs: no bigrams / no grams at all
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import dsir_weights_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", "solo", "two words"], pa.string()),
+            }
+        )
+    )
+    got = dsir_weights_ds(docs).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["logw"].iloc[0] == 0.0  # no grams -> weight 0
