@@ -548,6 +548,18 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights_ds(read_documents(sf_dir))
 
 
+def q_dsir_resample(sf_dir: str):
+    """DSIR importance RESAMPLING (Xie et al. 2023 §2.2): Gumbel top-k
+    selection over the dsir_weights log-weights — key = logw/T -
+    ln(-ln(u)) with a per-doc deterministic md5 uniform u, take the k
+    largest. Per-batch partial top-k then one <=k*n_blocks-row merge;
+    payload text never shuffles. The md5 uniform makes the whole
+    weights->selection pipeline SQL-reproducible."""
+    from search_engine_ray.pipelines.text import dsir_resample_ds, read_documents
+
+    return dsir_resample_ds(read_documents(sf_dir), k=100)
+
+
 def q_logbin_quantiles(sf_dir: str):
     """Log-histogram quantile sketch (HDR binning) over documents.n_chars
     per lang, cross-checked against the EXACT k-th smallest computed by an
@@ -1519,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
         "dsir_weights": q_dsir_weights,  # NEW r4: DSIR importance weights
+        "dsir_resample": q_dsir_resample,  # NEW r4: Gumbel top-k selection
         # three driver-green rounds each (r1–r3); oracles still exercised
         # in-window via minhash_pairs (ngram_jaccard's SQL verbatim) and the
         # r4 supersets lang_top_terms / vocab_stats
@@ -1996,6 +2009,24 @@ SELECT doc_id FROM (
   GROUP BY doc_id HAVING count(*) = 2
   ORDER BY doc_id LIMIT 100)
 """
+    dsir_weights = f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS g FROM t),
+bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+       FROM t, unnest(range(1, len(ts))) AS u(i)),
+g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+gb AS (SELECT doc_id, (('0x' || substr(md5(g),1,8))::BIGINT % 4096) AS b FROM g),
+cnt AS (SELECT b, count(*)::DOUBLE AS cs,
+               sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::DOUBLE AS ct
+        FROM gb GROUP BY b),
+tot AS (SELECT sum(cs) AS ts_, sum(ct) AS tt_ FROM cnt),
+lp AS (SELECT b, ln((ct + 0.5)/(tt_ + 0.5*4096)) - ln((cs + 0.5)/(ts_ + 0.5*4096)) AS d
+       FROM cnt, tot),
+w AS (SELECT gb.doc_id, sum(lp.d) AS logw FROM gb JOIN lp USING (b) GROUP BY gb.doc_id)
+SELECT dd.doc_id, round(coalesce(w.logw, 0.0), 6) AS logw
+FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id
+ORDER BY dd.doc_id
+"""
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
         # parity contract documented at pipelines/text.py normalize_text_ds
@@ -2091,23 +2122,19 @@ ORDER BY lang, q_pct""",
         # DSIR: md5-bucketed unigram+bigram importance weights; the Ray
         # side is bit-identical (same md5 prefix -> bucket map, float64
         # log-prob sums rounded to 6 dp)
-        "dsir_weights": f"""
-WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
-uni AS (SELECT doc_id, unnest(ts) AS g FROM t),
-bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
-       FROM t, unnest(range(1, len(ts))) AS u(i)),
-g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
-gb AS (SELECT doc_id, (('0x' || substr(md5(g),1,8))::BIGINT % 4096) AS b FROM g),
-cnt AS (SELECT b, count(*)::DOUBLE AS cs,
-               sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::DOUBLE AS ct
-        FROM gb GROUP BY b),
-tot AS (SELECT sum(cs) AS ts_, sum(ct) AS tt_ FROM cnt),
-lp AS (SELECT b, ln((ct + 0.5)/(tt_ + 0.5*4096)) - ln((cs + 0.5)/(ts_ + 0.5*4096)) AS d
-       FROM cnt, tot),
-w AS (SELECT gb.doc_id, sum(lp.d) AS logw FROM gb JOIN lp USING (b) GROUP BY gb.doc_id)
-SELECT dd.doc_id, round(coalesce(w.logw, 0.0), 6) AS logw
-FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id
-ORDER BY dd.doc_id
+        "dsir_weights": dsir_weights,
+        # Gumbel top-k over the weights: key = logw - ln(-ln(u)) with the
+        # per-doc md5 uniform u; selection on the UNROUNDED key, output key
+        # rounded 6dp (ulp-level libm differences sit far below both the
+        # rounding grid and the continuous-key selection boundary)
+        "dsir_resample": f"""
+WITH wt AS ({dsir_weights}),
+keyed AS (SELECT doc_id, logw,
+                 logw - ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                 % 1000000) + 0.5) / 1000000.0)) AS key
+          FROM wt)
+SELECT doc_id, logw, round(key, 6) AS key
+FROM keyed ORDER BY key DESC, doc_id LIMIT 100
 """,
         # Bloom flag == exact flag: zero false negatives by construction,
         # FP ~1e-12 at this sizing — deterministically equal here

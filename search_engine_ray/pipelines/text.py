@@ -1732,6 +1732,97 @@ def dsir_weights_ds(
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def dsir_resample_ds(
+    docs: rd.Dataset,
+    k: int = 100,
+    temperature: float = 1.0,
+    n_buckets: int = 4096,
+    lam: float = 0.5,
+    eval_mod: int = 97,
+    target_residues: int = 3,
+    variant: str = "md5",
+) -> rd.Dataset:
+    """DSIR importance RESAMPLING (Xie et al. 2023 §2.2) — the selection
+    step over :func:`dsir_weights_ds`: draw ``k`` docs without replacement
+    with probability proportional to ``exp(logw / temperature)`` via the
+    Gumbel top-k trick (Vieira 2014): key = logw/T - ln(-ln(u)) with a
+    per-doc deterministic uniform u, take the k largest keys.
+
+    ``variant="md5"``: u = (md5_u32(str(doc_id)) % 1e6 + 0.5) / 1e6 —
+    reproducible in SQL, so the full weights->resample pipeline is
+    oracle-checkable. ``variant="fast"``: splitmix64(doc_id), vectorized.
+
+    Scale shape: the weights pass is dsir_weights_ds (bounded n_buckets
+    count shuffle, broadcast diff vector); selection is a per-batch
+    partial top-k (argpartition) then ONE <= k*n_blocks-row merge task
+    (repartition(1)) — no global sort, payload text never moves."""
+
+    weights = dsir_weights_ds(
+        docs, n_buckets, lam, eval_mod, target_residues, variant
+    )
+
+    def keyed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lw = batch.column("logw").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "logw": pa.array([], pa.float64()),
+                    "key": pa.array([], pa.float64()),
+                }
+            )
+        if variant == "fast":
+            from search_engine_ray.pipelines.sketches import _splitmix64
+
+            m = (
+                _splitmix64(ids.astype(np.uint64)) % np.uint64(1_000_000)
+            ).astype(np.float64)
+        else:
+            import hashlib as _hashlib
+
+            m = np.array(
+                [
+                    int(
+                        _hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16
+                    )
+                    % 1_000_000
+                    for i in ids
+                ],
+                dtype=np.float64,
+            )
+        u = (m + 0.5) / 1_000_000.0
+        key = lw / temperature - np.log(-np.log(u))
+        kk = min(k, len(ids))
+        top = np.argpartition(-key, kk - 1)[:kk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[top], pa.int64()),
+                "logw": pa.array(lw[top], pa.float64()),
+                "key": pa.array(key[top], pa.float64()),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lw = batch.column("logw").to_numpy(zero_copy_only=False)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "logw": pa.array(lw[order], pa.float64()),
+                "key": pa.array(np.round(key[order], 6), pa.float64()),
+            }
+        )
+
+    return (
+        weights.map_batches(keyed_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def normalize_urls(urls: pa.Array) -> pa.Array:
     """Vectorized URL canonicalization — the dedup-key prep every crawl
     pipeline runs before url dedup:

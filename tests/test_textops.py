@@ -1240,3 +1240,75 @@ def test_dsir_weights_degenerate_docs(ray_session):
     got = dsir_weights_ds(docs).to_pandas().sort_values("doc_id")
     assert got["doc_id"].tolist() == [0, 1, 2]
     assert got["logw"].iloc[0] == 0.0  # no grams -> weight 0
+
+
+_DSIR_W_SQL = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text,' '), x -> x <> '') AS ts
+           FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS g FROM t),
+bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+       FROM t, unnest(range(1, len(ts))) AS u(i)),
+g AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+gb AS (SELECT doc_id,
+              (('0x' || substr(md5(g),1,8))::BIGINT % 4096) AS b FROM g),
+cnt AS (SELECT b, count(*)::DOUBLE AS cs,
+               sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::DOUBLE AS ct
+        FROM gb GROUP BY b),
+tot AS (SELECT sum(cs) AS ts_, sum(ct) AS tt_ FROM cnt),
+lp AS (SELECT b, ln((ct + 0.5)/(tt_ + 0.5*4096))
+                - ln((cs + 0.5)/(ts_ + 0.5*4096)) AS d
+       FROM cnt, tot),
+w AS (SELECT gb.doc_id, sum(lp.d) AS logw
+      FROM gb JOIN lp USING (b) GROUP BY gb.doc_id)
+SELECT dd.doc_id, round(coalesce(w.logw, 0.0), 6) AS logw
+FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id
+"""
+
+
+def test_dsir_resample_matches_sql(docs):
+    # Gumbel top-k selection over the DSIR weights: deterministic md5
+    # uniform per doc, key = logw - ln(-ln(u)), top-k by key desc. Row
+    # ORDER and all three columns must match the SQL oracle.
+    from search_engine_ray.pipelines.text import dsir_resample_ds
+
+    got = dsir_resample_ds(docs, k=25).to_pandas()
+    want = _sql(
+        f"""
+        WITH wt AS ({_DSIR_W_SQL}),
+        keyed AS (SELECT doc_id, logw,
+                         logw - ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                         % 1000000) + 0.5) / 1000000.0)) AS key
+                  FROM wt)
+        SELECT doc_id, logw, round(key, 6) AS key
+        FROM keyed ORDER BY key DESC, doc_id LIMIT 25
+        """
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["logw"].tolist() == want["logw"].tolist()
+    assert got["key"].tolist() == want["key"].tolist()
+
+
+def test_dsir_resample_temperature_and_k(docs):
+    # T -> 0 makes selection approach pure argmax of logw; k > n returns
+    # every doc exactly once (sampling WITHOUT replacement)
+    from search_engine_ray.pipelines.text import dsir_resample_ds
+
+    cold = dsir_resample_ds(docs, k=10, temperature=1e-9).to_pandas()
+    w = _sql(f"SELECT * FROM ({_DSIR_W_SQL}) ORDER BY logw DESC, doc_id LIMIT 10")
+    assert cold["doc_id"].tolist() == w["doc_id"].tolist()
+
+    allrows = dsir_resample_ds(docs, k=10**6).to_pandas()
+    assert len(allrows) == 500
+    assert allrows["doc_id"].is_unique
+    # output ordered by key descending
+    assert (allrows["key"].to_numpy()[:-1] >= allrows["key"].to_numpy()[1:]).all()
+
+
+def test_dsir_resample_fast_variant(docs):
+    # crawl-scale variant: splitmix64 uniforms, no per-row hashlib
+    from search_engine_ray.pipelines.text import dsir_resample_ds
+
+    got = dsir_resample_ds(docs, k=50, variant="fast").to_pandas()
+    assert len(got) == 50 and got["doc_id"].is_unique
+    assert (got["key"].to_numpy()[:-1] >= got["key"].to_numpy()[1:]).all()
