@@ -760,6 +760,16 @@ def q_search_phrase(sf_dir: str):
     return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
 
 
+def q_search_near(sf_dir: str):
+    """Proximity search ("table" and "scan" within 4 words, any order) off
+    the positional index — the Lucene slop-query analogue generalizing the
+    reference's exact-phrase adjacency (engine.ts:250-284). Result is a
+    strict subset of search_and and a superset of search_phrase."""
+    s = _docs_searcher(sf_dir)
+    ids = s.search_near("table scan", slop=4, max_count=100)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 # fixed query set for the distributed batch-serving entry (terms known to
 # exist in the documents corpus; AND mode, k=10 each)
 _BATCH_QUERIES = [
@@ -1468,6 +1478,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (ann_lsh_recall, cm_heavy_hitters, hll_error, bloom_flag), the
     # exact embedding_neardup stays in-window, and both rotated queries
     # remain hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
+    #
+    # r4 fifth session: search_near (proximity/slop search — new engine
+    # surface on the positional index) enters the window after
+    # search_phrase; cooccur_pmi (driver-green r1–r3, text-stats family
+    # still covered in-window by tfidf_topk) rotates to position 51 and
+    # stays hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
     return {
         # --- core build/search (green r1–r3, kept in-window)
         "postings_pairs": q_postings_pairs,
@@ -1476,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_and": q_search_and,
         "bm25_topk": q_bm25_topk,
         "search_phrase": q_search_phrase,
+        "search_near": q_search_near,  # NEW r4: proximity (slop) search
         "wand_or_topk": q_wand_or_topk,
         "batch_bm25": q_batch_bm25,
         "add_compact": q_add_compact,  # NEW r4: incremental lifecycle
@@ -1490,7 +1507,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "dedup_spans": q_dedup_spans,
         "tfidf_topk": q_tfidf_topk,
-        "cooccur_pmi": q_cooccur_pmi,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "clean_corpus": q_clean_corpus,
@@ -1528,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- below the driver's 50-entry window ----------------
         # (shard_export's insertion rotates semdedup — rows-only by design —
         # just out; the window now holds 50 oracle-bearing entries)
+        "cooccur_pmi": q_cooccur_pmi,  # three driver-green rounds (r1–r3)
         "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
         "dsir_weights": q_dsir_weights,  # NEW r4: DSIR importance weights
@@ -2285,6 +2302,19 @@ SELECT doc_id FROM (
   GROUP BY doc_id HAVING count(*) = 2
   ORDER BY doc_id LIMIT 100)""",
         "bm25_topk": bm25,
+        # proximity: both terms within 4 positions, any order (1-based SQL
+        # positions — position DIFFERENCES are base-invariant)
+        "search_near": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+pos AS (SELECT doc_id, i AS p, ts[i] AS term
+        FROM t, unnest(range(1, len(ts) + 1)) AS u(i)),
+a AS (SELECT doc_id, p FROM pos WHERE term = 'table'),
+b AS (SELECT doc_id, p FROM pos WHERE term = 'scan')
+SELECT doc_id FROM (
+  SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id)
+  WHERE abs(a.p - b.p) <= 4)
+ORDER BY doc_id LIMIT 100
+""",
         "ngram_jaccard": ngram,
         "ngram_containment": containment,
         # capped variant: no group hits the 2048 cap at oracle SFs, so the

@@ -93,4 +93,32 @@ def is_adjacent_words(words: Iterable[str], page_index: dict[str, list[int]]) ->
     return is_word_indices_adjacent(indices)
 
 
+def min_window_span(index_arrs: Sequence[Sequence[int]]) -> float:
+    """Minimal ``max - min`` over one position picked from each ascending
+    list — the classic k-pointer sweep behind proximity ("within n words,
+    any order") search. Returns ``math.inf`` if any list is empty.
+
+    O(total positions) per document: at each step the pointer holding the
+    global minimum advances (any cover window starting at that minimum has
+    already been measured)."""
+    k = len(index_arrs)
+    if k == 0 or any(len(a) == 0 for a in index_arrs):
+        return math.inf
+    if k == 1:
+        return 0.0
+    ptrs = [0] * k
+    cur = [a[0] for a in index_arrs]
+    best = math.inf
+    while True:
+        lo = min(cur)
+        best = min(best, max(cur) - lo)
+        if best == 0:
+            return 0.0
+        i = cur.index(lo)
+        ptrs[i] += 1
+        if ptrs[i] >= len(index_arrs[i]):
+            return best
+        cur[i] = index_arrs[i][ptrs[i]]
+
+
 NAN = math.nan

@@ -17,7 +17,11 @@ from collections import OrderedDict
 import numpy as np
 
 from search_engine_ray.config import EngineConfig
-from search_engine_ray.functions.intersect import intersect, is_adjacent_words
+from search_engine_ray.functions.intersect import (
+    intersect,
+    is_adjacent_words,
+    min_window_span,
+)
 from search_engine_ray.functions.scoring import compat_score, order_candidates
 from search_engine_ray.functions.snippets import construct_introduction
 from search_engine_ray.pipelines.query import SearchResult, _unique
@@ -121,6 +125,46 @@ class SegmentSearcher:
                     score=scores[d],
                 )
             )
+        return out
+
+    # -- proximity search ------------------------------------------------------
+
+    def search_near(
+        self, text: str, slop: int = 2, max_count: int = 100
+    ) -> list[int]:
+        """Proximity search: docs where ALL query terms co-occur within a
+        window of ``slop`` words, in ANY order (Lucene ``term1 term2``~slop
+        analogue; slop=0 over two terms means adjacent either way). The
+        reference engine stops at exact in-order phrases (engine.ts:250-284);
+        this generalizes the same positional index.
+
+        Cost shape: postings-only conjunctive candidate intersection
+        (vectorized np.intersect1d over the pruned per-term point reads),
+        then positional verification per candidate from the doc store in
+        bounded fetch chunks — the same candidate-bounded access pattern as
+        the compat phrase gate. Returns ascending doc_ids (deterministic,
+        oracle-comparable); wrap with ``_rank_bm25``-style scoring for
+        ranked output."""
+        words, _ = to_words(text)
+        terms = sorted({w.lower() for w in words if not self.config.is_stop_word(w)})
+        if not terms:
+            return []
+        postings = self._lookup(terms)
+        if len(postings) < len(terms):
+            return []  # some term absent from the index -> no conjunction
+        cand = postings[terms[0]]["doc_ids"]
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, postings[t]["doc_ids"], assume_unique=True)
+        out: list[int] = []
+        CHUNK = 512  # bounds doc-store fetch + LRU pressure per step
+        for lo in range(0, len(cand), CHUNK):
+            pages = self._get_docs([int(d) for d in cand[lo : lo + CHUNK]])
+            for d in sorted(pages):
+                idx = pages[d].index
+                if min_window_span([idx.get(t, []) for t in terms]) <= slop:
+                    out.append(d)
+                    if len(out) >= max_count:
+                        return out
         return out
 
     # -- BM25 top-k -----------------------------------------------------------

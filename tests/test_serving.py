@@ -47,6 +47,92 @@ def test_bm25_modes(ray_session, tmp_path):
     assert [r.url.rsplit("/", 1)[-1] for r in hits] == ["Saturn"]
 
 
+def test_min_window_span_units():
+    import math
+
+    from search_engine_ray.functions.intersect import min_window_span
+
+    assert min_window_span([]) == math.inf
+    assert min_window_span([[1, 5], []]) == math.inf
+    assert min_window_span([[3, 9]]) == 0.0
+    assert min_window_span([[0, 10], [4]]) == 4  # any order: 4-0
+    assert min_window_span([[10], [4]]) == 6  # reversed order counts too
+    # classic 3-list sweep: best cover is (9, 10, 11)
+    assert min_window_span([[1, 9], [4, 10, 20], [11]]) == 2
+    assert min_window_span([[5], [5], [5]]) == 0.0
+
+
+def test_search_near_matches_sql(ray_session, tmp_path):
+    """Proximity (slop) search must equal the positions-join SQL on the
+    real documents table, and nest between phrase and AND semantics."""
+    import duckdb
+    import pyarrow as pa
+
+    from search_engine_ray.config import EngineConfig
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "near_idx")
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{i}" for i in ids], pa.string()),
+                "html": pa.array(
+                    [
+                        f"<html><head><title></title></head><body>{t}</body></html>".encode()
+                        for t in texts
+                    ],
+                    pa.binary(),
+                ),
+                "rank": pa.array(ids, pa.int64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    build_index(
+        docs.map_batches(to_pages, batch_format="pyarrow"),
+        out, EngineConfig(), doc_id_mode="rank", resume=False,
+    )
+    seg = SegmentSearcher(out, EngineConfig())
+    got = seg.search_near("table scan", slop=4, max_count=100)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(
+        """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        pos AS (SELECT doc_id, i AS p, ts[i] AS term
+                FROM t, unnest(range(1, len(ts) + 1)) AS u(i)),
+        a AS (SELECT doc_id, p FROM pos WHERE term = 'table'),
+        b AS (SELECT doc_id, p FROM pos WHERE term = 'scan')
+        SELECT doc_id FROM (
+          SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id)
+          WHERE abs(a.p - b.p) <= 4)
+        ORDER BY doc_id LIMIT 100
+        """
+    ).df()
+    assert got == want["doc_id"].tolist()
+
+    # semantics nest: phrase ("table scan" adjacent in order) ⊆ near ⊆ AND.
+    # The compat search's intersect caps candidates at 100 (reference
+    # semantics), so compare within its covered doc_id range only.
+    phrase_ids = sorted(r.doc_id for r in seg.search('"table scan"', max_count=10**6))
+    and_ids = sorted(r.doc_id for r in seg.search("table scan", max_count=10**6))
+    near_all = seg.search_near("table scan", slop=4, max_count=10**6)
+    assert set(phrase_ids) <= set(near_all)
+    hi = max(and_ids)
+    assert {d for d in near_all if d <= hi} <= set(and_ids)
+    # slop=1 over two terms == adjacent in EITHER order, so still ⊇ phrase
+    near1 = seg.search_near("table scan", slop=1, max_count=10**6)
+    assert set(phrase_ids) <= set(near1) <= set(near_all)
+    # unknown term -> empty
+    assert seg.search_near("table zzznotaword", slop=4) == []
+
+
 def test_batch_search_matches_single(ray_session, tmp_path):
     """The actor-pool batch-serving pipeline must return exactly the
     single-searcher results for every query."""
