@@ -712,6 +712,24 @@ def q_ann_cosine_topk(sf_dir: str):
     return out[["query_id", "vec_id"]]  # scores dropped: cross-engine float hash
 
 
+def q_knn_join(sf_dir: str):
+    """kNN JOIN / kNN graph: every vec_id % 97 == 0 embedding joined to its
+    10 nearest corpus neighbors by cosine (self-match excluded) — the
+    table-vs-table generalization of ann_cosine_topk (broadcast bounded
+    query side, streamed corpus, per-batch vectorized partial top-k)."""
+    from search_engine_ray.pipelines.similarity import knn_join_ds, read_embeddings
+
+    def probe_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    emb = read_embeddings(sf_dir.rstrip("/"))
+    out = knn_join_ds(
+        emb, emb.map_batches(probe_side, batch_format="pyarrow"), k=10
+    ).to_pandas()
+    return out[["query_id", "vec_id"]]  # scores dropped: cross-engine float hash
+
+
 def q_embedding_neardup(sf_dir: str):
     from search_engine_ray.pipelines.dedup import embedding_neardup_pairs_ds
     from search_engine_ray.pipelines.similarity import read_embeddings
@@ -1484,6 +1502,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # search_phrase; cooccur_pmi (driver-green r1–r3, text-stats family
     # still covered in-window by tfidf_topk) rotates to position 51 and
     # stays hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
+    # knn_join (table-vs-table kNN graph) replaces embedding_neardup
+    # (driver-green r1–r3; the embedding family stays covered in-window by
+    # ann_cosine_topk + knn_join, and its oracle stays exercised by the
+    # below-window lsh twin) — both rotated queries re-checked green.
     return {
         # --- core build/search (green r1–r3, kept in-window)
         "postings_pairs": q_postings_pairs,
@@ -1508,7 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "tfidf_topk": q_tfidf_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_neardup": q_embedding_neardup,
+        "knn_join": q_knn_join,  # NEW r4: table-vs-table kNN graph
         "clean_corpus": q_clean_corpus,
         "crawl_clean": q_crawl_clean,
         "clean_index_search": q_clean_index_search,  # NEW r4: end-to-end
@@ -1545,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (shard_export's insertion rotates semdedup — rows-only by design —
         # just out; the window now holds 50 oracle-bearing entries)
         "cooccur_pmi": q_cooccur_pmi,  # three driver-green rounds (r1–r3)
+        "embedding_neardup": q_embedding_neardup,  # three driver-green rounds
         "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
         "dsir_weights": q_dsir_weights,  # NEW r4: DSIR importance weights
@@ -2345,6 +2368,19 @@ FROM c GROUP BY lang ORDER BY lang""",
         "cooccur_pmi": cooccur,
         "dedup_spans": dedup_spans,
         "ann_cosine_topk": ann,
+        # kNN join: selection on the unrounded cosine (ties measure-zero on
+        # the synthetic vectors); scores dropped from the output like ann
+        "knn_join": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 97 = 0),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM s)
+SELECT query_id, vec_id FROM r WHERE rk <= 10 ORDER BY query_id, rk
+""",
         "embedding_neardup": neardup,
         # LSH bucketing at 4 bits x 32 tables misses a cos>=0.5 pair with
         # p < 1e-3 and within-bucket verification is exact cosine; seeded

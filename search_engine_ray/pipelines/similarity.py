@@ -289,3 +289,67 @@ def lsh_cosine_topk_ds(
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def knn_join_ds(
+    embeddings: rd.Dataset,
+    queries: rd.Dataset,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """kNN JOIN: for EACH row of ``queries`` (vec_id, embedding), the top-k
+    cosine neighbors in ``embeddings`` — the table-vs-table form of
+    :func:`brute_force_cosine_topk_ds` and the primitive behind kNN graphs
+    (SemDeDup neighborhoods, kNN-LM retrieval, label propagation).
+
+    Scale shape: the QUERY side must be the bounded side (a probe set, an
+    eval set, a filtered subset) — it is materialized once on the driver
+    and broadcast via ``ray.put`` (the small-side-broadcast join rule); the
+    corpus side streams, scored one zero-copy Arrow batch at a time with a
+    fully vectorized all-queries argpartition, and only k*n_batches rows
+    per query reach the final per-query top-k. For a corpus-sized left
+    side, bucket both sides with IVF (``train_ivf_centroids`` +
+    ``ivf_assign_ds``) and run per-list joins instead — same combiner.
+
+    ``exclude_self`` drops corpus rows whose vec_id equals the query's
+    (the self-match every kNN-graph use case discards)."""
+    rows = queries.select_columns(["vec_id", "embedding"]).take_all()
+    if not rows:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qm = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    q_ref = ray.put((qids, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qmat = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        sims = _normalize(m) @ qmat.T  # (n_vec, n_query)
+        if exclude_self:
+            sims = np.where(ids[:, None] == qi[None, :], -np.inf, sims)
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_query)
+        vec = ids[top].T.ravel()  # query-major
+        sim = np.take_along_axis(sims, top, axis=0).T.ravel()
+        qcol = np.repeat(qi, kk)
+        keep = np.isfinite(sim)  # masked self-matches that slipped into top
+        return pa.table(
+            {
+                "query_id": pa.array(qcol[keep], pa.int64()),
+                "vec_id": pa.array(vec[keep], pa.int64()),
+                "cosine": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_make_final_topk(k), batch_format="pyarrow")
+    )

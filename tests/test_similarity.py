@@ -198,3 +198,69 @@ def test_ppm_codec_roundtrip_and_pixel_true_resize(ray_session):
         tw, th = int(out.loc[i, "width"]), int(out.loc[i, "height"])
         assert got.shape == (th, tw, 3)
         assert (got == resize_nearest(orig, tw, th)).all()
+
+
+def test_knn_join_matches_duckdb(emb):
+    """Table-vs-table kNN join: every vec_id % 97 == 0 probe row gets its
+    exact top-10 cosine neighbors (self excluded), matching the SQL
+    window-function oracle row for row."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.similarity import knn_join_ds
+
+    def probe_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    got = knn_join_ds(
+        emb, emb.map_batches(probe_side, batch_format="pyarrow"), k=10
+    ).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = con.sql(
+        """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 97 = 0),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT query_id, vec_id, c,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, vec_id) AS rk
+              FROM s)
+        SELECT query_id, vec_id, round(c, 4) AS cosine
+        FROM r WHERE rk <= 10 ORDER BY query_id, rk
+        """
+    ).df()
+    assert got["query_id"].tolist() == want["query_id"].tolist()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cosine"].tolist() == want["cosine"].tolist()
+    # self-matches excluded
+    assert not (got["query_id"] == got["vec_id"]).any()
+
+
+def test_knn_join_self_inclusion_and_empty(emb, ray_session):
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.similarity import knn_join_ds
+
+    def one_probe(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids == 0))
+
+    probes = emb.map_batches(one_probe, batch_format="pyarrow")
+    # exclude_self=False: the best neighbor of vec 0 is vec 0 (cos=1)
+    withself = knn_join_ds(emb, probes, k=3, exclude_self=False).to_pandas()
+    assert withself["vec_id"].iloc[0] == 0 and withself["cosine"].iloc[0] == 1.0
+    noself = knn_join_ds(emb, probes, k=3).to_pandas()
+    assert 0 not in noself["vec_id"].tolist() and len(noself) == 3
+
+    def none_probe(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 0)
+
+    empty = knn_join_ds(
+        emb, emb.map_batches(none_probe, batch_format="pyarrow"), k=3
+    ).to_pandas()
+    assert len(empty) == 0
