@@ -1369,6 +1369,14 @@ def q_unigram_lm(sf_dir: str):
     return unigram_lm_ds(_docs(sf_dir))
 
 
+def q_bigram_lm(sf_dir: str):
+    """Bigram-LM doc scoring (order-1 CCNet/KenLM signal): add-alpha
+    conditional bigram bits per doc, bounded top-K model broadcast."""
+    from search_engine_ray.pipelines.text import bigram_lm_ds
+
+    return bigram_lm_ds(_docs(sf_dir))
+
+
 def q_quantile_bucket(sf_dir: str):
     from search_engine_ray.pipelines.text import quantile_bucket_ds
 
@@ -1599,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete": q_autocomplete,
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,  # NEW r4: order-1 LM perplexity signal
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -2481,6 +2490,19 @@ bits AS (
   SELECT f.doc_id, -log2(coalesce(v.n, 1)::DOUBLE / tot.s) AS b
   FROM flat f LEFT JOIN vocab v USING (term) CROSS JOIN tot)
 SELECT doc_id, round(avg(b), 6) AS lm_bits FROM bits GROUP BY doc_id""",
+        # order-1 LM: caps (1<<22 bigrams / 1<<20 contexts) never bind at
+        # oracle SFs, so the un-capped SQL model is the same model
+        "bigram_lm": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+bg AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS g
+       FROM t, unnest(range(1, len(ts))) AS u(i)),
+c12 AS (SELECT g, count(*)::DOUBLE AS c FROM bg GROUP BY g),
+c1 AS (SELECT w1, count(*)::DOUBLE AS c FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT x)::DOUBLE AS v FROM (SELECT unnest(ts) AS x FROM t)),
+s AS (SELECT bg.doc_id, -log2((c12.c + 0.1) / (c1.c + 0.1 * v.v)) AS bits
+      FROM bg JOIN c12 USING (g) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, round(avg(bits), 6) AS lm2_bits
+FROM s GROUP BY doc_id ORDER BY doc_id""",
         "quantile_bucket": f"""
 SELECT doc_id,
        ntile(3) OVER (ORDER BY n_tokens, doc_id)::BIGINT AS bucket

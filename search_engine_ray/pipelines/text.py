@@ -802,6 +802,138 @@ def unigram_lm_ds(docs: rd.Dataset, vocab_size: int = 65536) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def _bigram_batch(batch: pa.Table) -> tuple[np.ndarray, pa.Array, pa.Array]:
+    """(parents, w1, bigram-string) arrays for every in-doc bigram of the
+    batch — shifted flat slices + one binary_join kernel, no Python loop."""
+    toks = token_lists(batch.column("text"))
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n < 2:
+        e = pa.array([], pa.string())
+        return np.array([], np.int64), e, e
+    w1 = flat.slice(0, n - 1)
+    w2 = flat.slice(1, n - 1)
+    ok = parents[:-1] == parents[1:]  # both tokens inside the same doc
+    grams = pc.binary_join_element_wise(w1, w2, " ")
+    sel = pa.array(ok)
+    return parents[:-1][ok], w1.filter(sel), grams.filter(sel)
+
+
+def bigram_lm_ds(
+    docs: rd.Dataset,
+    alpha: float = 0.1,
+    bigram_cap: int = 1 << 22,
+    context_cap: int = 1 << 20,
+) -> rd.Dataset:
+    """Bigram language-model doc scoring — the order-1 step up from
+    :func:`unigram_lm_ds` (the CCNet/KenLM perplexity-filter signal):
+    per doc, lm2_bits = mean over bigram positions of
+    ``-log2((c(w1 w2) + alpha) / (c_ctx(w1) + alpha * V))`` with add-alpha
+    smoothing, where c_ctx(w1) counts w1's occurrences as a bigram context
+    (so p sums to 1 per context) and V is the corpus distinct-token count.
+    Docs with fewer than 2 tokens emit nothing. Higher = more surprising.
+
+    Scale shape (the unigram_lm recipe, one order up): pass 1 computes
+    bigram / context counts with the combiner pattern (one row per
+    (batch, gram) through two SMALL groupby-sums) plus a distinct-token
+    count; the top-``bigram_cap`` bigrams and top-``context_cap`` contexts
+    (count desc, key asc — deterministic) are broadcast ONCE via ray.put —
+    the caps bound the broadcast regardless of corpus size (a capped-out
+    bigram backs off to the smoothing floor, exactly KenLM's pruned-model
+    behavior). Pass 2 scores each doc in one vectorized map_batches
+    (index_in + bincount); per-doc sums happen inside a single kernel, so
+    the output is batch-partition-invariant."""
+    import ray
+
+    def b_partial(batch: pa.Table) -> pa.Table:
+        _, _, grams = _bigram_batch(batch)
+        if len(grams) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(grams.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"g": pa.array(uniq, pa.string()), "pn": pa.array(counts, pa.int64())}
+        )
+
+    def c_partial(batch: pa.Table) -> pa.Table:
+        _, w1, _ = _bigram_batch(batch)
+        if len(w1) == 0:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(w1.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"g": pa.array(uniq, pa.string()), "pn": pa.array(counts, pa.int64())}
+        )
+
+    def v_partial(batch: pa.Table) -> pa.Table:
+        flat = token_lists(batch.column("text")).flatten()
+        u = pc.unique(flat)
+        return pa.table({"g": u, "pn": pa.array(np.ones(len(u), np.int64))})
+
+    def _top_broadcast(partial_fn, cap: int):
+        top = (
+            docs.map_batches(partial_fn, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(Sum("pn", alias_name="n"))
+            .sort(["n", "g"], descending=[True, False])
+            .limit(cap)
+        )
+        t = pa.concat_tables(
+            [t for t in ray.get(top.materialize().to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        return (
+            t.column("g").combine_chunks(),
+            t.column("n").to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+
+    bg_keys, bg_n = _top_broadcast(b_partial, bigram_cap)
+    cx_keys, cx_n = _top_broadcast(c_partial, context_cap)
+    # V: distinct tokens — the groupby row count, nothing materializes
+    n_vocab = float(
+        docs.map_batches(v_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("pn", alias_name="n"))
+        .count()
+    )
+    model_ref = ray.put((bg_keys, bg_n, cx_keys, cx_n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bg_k, bg_c, cx_k, cx_c = ray.get(model_ref)
+        par, w1, grams = _bigram_batch(batch)
+
+        def lookup(vals: pa.Array, keys: pa.Array, cnts: np.ndarray) -> np.ndarray:
+            idx = pc.index_in(vals, value_set=keys)
+            valid = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+            pos = np.nan_to_num(
+                idx.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+            ).astype(np.int64)
+            return np.where(valid, cnts[pos], 0.0)
+
+        n_rows = len(batch)
+        if len(par):
+            c12 = lookup(grams, bg_k, bg_c)
+            c1 = lookup(w1, cx_k, cx_c)
+            bits = -np.log2((c12 + alpha) / (c1 + alpha * n_vocab))
+            per_doc_sum = np.bincount(par, weights=bits, minlength=n_rows)
+            per_doc_n = np.bincount(par, minlength=n_rows)
+        else:
+            per_doc_sum = np.zeros(n_rows)
+            per_doc_n = np.zeros(n_rows, np.int64)
+        keep = per_doc_n > 0
+        lm = np.round(per_doc_sum[keep] / per_doc_n[keep], 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "lm2_bits": pa.array(lm, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def quantile_bucket_ds(docs: rd.Dataset, n_buckets: int = 3) -> rd.Dataset:
     """CCNet-style head/middle/tail bucketing: every doc gets its n-tile
     by (n_tokens, doc_id) with exact SQL ``ntile`` semantics (the first

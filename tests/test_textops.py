@@ -1312,3 +1312,59 @@ def test_dsir_resample_fast_variant(docs):
     got = dsir_resample_ds(docs, k=50, variant="fast").to_pandas()
     assert len(got) == 50 and got["doc_id"].is_unique
     assert (got["key"].to_numpy()[:-1] >= got["key"].to_numpy()[1:]).all()
+
+
+def test_bigram_lm_matches_sql(docs):
+    # order-1 LM: add-alpha conditional bigram bits, uncapped model at
+    # this SF equals the SQL model exactly (6-dp rounding)
+    from search_engine_ray.pipelines.text import bigram_lm_ds
+
+    got = (
+        bigram_lm_ds(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        bg AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS g
+               FROM t, unnest(range(1, len(ts))) AS u(i)),
+        c12 AS (SELECT g, count(*)::DOUBLE AS c FROM bg GROUP BY g),
+        c1 AS (SELECT w1, count(*)::DOUBLE AS c FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT x)::DOUBLE AS v
+              FROM (SELECT unnest(ts) AS x FROM t)),
+        s AS (SELECT bg.doc_id, -log2((c12.c + 0.1) / (c1.c + 0.1 * v.v)) AS bits
+              FROM bg JOIN c12 USING (g) JOIN c1 USING (w1) CROSS JOIN v)
+        SELECT doc_id, round(avg(bits), 6) AS lm2_bits
+        FROM s GROUP BY doc_id ORDER BY doc_id
+        """
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["lm2_bits"].tolist() == want["lm2_bits"].tolist()
+
+
+def test_bigram_lm_degenerate_and_caps(ray_session):
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import bigram_lm_ds
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["", "solo", "a b a b a b", "q r s t"], pa.string()
+                ),
+            }
+        )
+    )
+    got = bigram_lm_ds(docs).to_pandas().sort_values("doc_id")
+    # <2-token docs emit nothing (no bigram positions)
+    assert got["doc_id"].tolist() == [2, 3]
+    # the repeated-bigram doc is less surprising than the all-unique one
+    assert got["lm2_bits"].iloc[0] < got["lm2_bits"].iloc[1]
+    assert np.isfinite(got["lm2_bits"]).all()
+    # pruned model (tiny caps): still defined/finite for every doc — the
+    # capped-out mass backs off to the smoothing floor, KenLM-style
+    pruned = bigram_lm_ds(docs, bigram_cap=1, context_cap=1).to_pandas()
+    assert pruned["doc_id"].tolist() and np.isfinite(pruned["lm2_bits"]).all()
