@@ -1369,6 +1369,25 @@ def q_unigram_lm(sf_dir: str):
     return unigram_lm_ds(_docs(sf_dir))
 
 
+def q_token_drift(sf_dir: str):
+    """Token-distribution drift monitor: top-20 terms whose frequency
+    moved most between the eval slice (doc_id % 97 < 3) and the rest —
+    integer cross-product ranking key, smoothed per-term KL contribution."""
+    from search_engine_ray.pipelines.text import token_drift_ds
+
+    return token_drift_ds(_docs(sf_dir), k=20)
+
+
+def q_blocklist_filter(sf_dir: str):
+    """C4-style blocklist filter: per-doc blocked-token count/ratio and
+    keep flag against a fixed probe blocklist (vectorized pc.is_in)."""
+    from search_engine_ray.pipelines.text import blocklist_filter_ds
+
+    return blocklist_filter_ds(
+        _docs(sf_dir), blocklist=("table", "scan", "query"), max_ratio=0.1
+    )
+
+
 def q_bigram_lm(sf_dir: str):
     """Bigram-LM doc scoring (order-1 CCNet/KenLM signal): add-alpha
     conditional bigram bits per doc, bounded top-K model broadcast."""
@@ -1608,6 +1627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
         "bigram_lm": q_bigram_lm,  # NEW r4: order-1 LM perplexity signal
+        "token_drift": q_token_drift,  # NEW r4: slice-drift monitor
+        "blocklist_filter": q_blocklist_filter,  # NEW r4: C4 badwords filter
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -2490,6 +2511,37 @@ bits AS (
   SELECT f.doc_id, -log2(coalesce(v.n, 1)::DOUBLE / tot.s) AS b
   FROM flat f LEFT JOIN vocab v USING (term) CROSS JOIN tot)
 SELECT doc_id, round(avg(b), 6) AS lm_bits FROM bits GROUP BY doc_id""",
+        # drift ranking is the INTEGER key |nt*S - ns*T| (desc, term asc) —
+        # engine-independent; only the reported KL contribution is float
+        "token_drift": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+f AS (SELECT doc_id, unnest(ts) AS term FROM t),
+c AS (SELECT term,
+             sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::BIGINT AS nt,
+             sum(CASE WHEN doc_id % 97 < 3 THEN 0 ELSE 1 END)::BIGINT AS ns
+      FROM f GROUP BY term),
+tot AS (SELECT sum(nt) AS tt, sum(ns) AS ss, count(*) AS v FROM c),
+top AS (SELECT term, nt, ns, tt, ss, v, abs(nt*ss - ns*tt) AS key
+        FROM c, tot ORDER BY key DESC, term LIMIT 20)
+SELECT term, nt AS n_target, ns AS n_source,
+       round(((nt + 0.5)/(tt + 0.5*v)) *
+             log2(((nt + 0.5)/(tt + 0.5*v)) / ((ns + 0.5)/(ss + 0.5*v))), 6)
+       AS kl_bits
+FROM top ORDER BY key DESC, term
+""",
+        "blocklist_filter": f"""
+WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
+m AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+             len(list_filter(ts, x -> lower(x) IN ('table','scan','query')))::BIGINT
+             AS n_blocked
+      FROM t)
+SELECT doc_id, n_blocked,
+       round(CASE WHEN n_tokens > 0 THEN n_blocked / n_tokens ELSE 0.0 END, 6)
+       AS blocked_ratio,
+       CASE WHEN (CASE WHEN n_tokens > 0 THEN n_blocked / n_tokens ELSE 0.0 END)
+            <= 0.1 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM m ORDER BY doc_id
+""",
         # order-1 LM: caps (1<<22 bigrams / 1<<20 contexts) never bind at
         # oracle SFs, so the un-capped SQL model is the same model
         "bigram_lm": f"""

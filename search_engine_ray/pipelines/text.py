@@ -135,6 +135,56 @@ def quality_ds(docs: rd.Dataset) -> rd.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def blocklist_filter_ds(
+    docs: rd.Dataset,
+    blocklist: tuple[str, ...] | list[str],
+    max_ratio: float = 0.1,
+    case_insensitive: bool = True,
+) -> rd.Dataset:
+    """C4-style blocklist ("bad words") filtering: per doc, the count and
+    ratio of tokens on the blocklist, plus the keep flag
+    ``blocked_ratio <= max_ratio`` (C4 drops the page on ANY hit —
+    max_ratio=0 reproduces that; Gopher/RefinedWeb use small ratios).
+
+    The blocklist is a fixed small set compiled into each task closure
+    (the broadcast-small-side rule at its most degenerate); matching is
+    one vectorized ``pc.is_in`` per batch. Empty docs keep ratio 0.0."""
+    bl = pa.array(
+        sorted({w.lower() for w in blocklist} if case_insensitive else set(blocklist)),
+        pa.string(),
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch.column("text"))
+        flat = toks.flatten()
+        if case_insensitive:
+            flat = pc.utf8_lower(flat)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=bl).to_numpy(zero_copy_only=False)
+        n_rows = len(batch)
+        n_blocked = np.bincount(parents[hit], minlength=n_rows).astype(np.int64)
+        n_tokens = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        ratio = np.round(
+            np.divide(
+                n_blocked,
+                n_tokens,
+                out=np.zeros(n_rows, np.float64),
+                where=n_tokens > 0,
+            ),
+            6,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_blocked": pa.array(n_blocked, pa.int64()),
+                "blocked_ratio": pa.array(ratio, pa.float64()),
+                "keep": pa.array((ratio <= max_ratio).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def fingerprint_ds(docs: rd.Dataset) -> rd.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -800,6 +850,96 @@ def unigram_lm_ds(docs: rd.Dataset, vocab_size: int = 65536) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def token_drift_ds(
+    docs: rd.Dataset,
+    k: int = 20,
+    lam: float = 0.5,
+    eval_mod: int = 97,
+    target_residues: int = 3,
+) -> rd.Dataset:
+    """Token-distribution drift between two corpus slices — the
+    data-quality monitor run between pipeline stages / crawl snapshots:
+    which terms' frequencies moved most between the TARGET slice
+    (doc_id % eval_mod < target_residues, the corpus-internal eval-set
+    pattern) and the SOURCE slice (the rest)?
+
+    Emits the top-``k`` drifted terms with their slice counts and the
+    smoothed per-term KL contribution p_t * log2(p_t / p_s) (add-``lam``
+    over the joint vocabulary V). Ranking uses the INTEGER cross-product
+    key |n_t*S - n_s*T| (T/S = slice totals) desc then term asc — exact
+    and engine-independent, no float-ordering ties.
+
+    Scale shape: per-batch (term, nt, ns) combiner partials -> one
+    vocab-bounded groupby-sum -> two scalar totals -> key/KL computed in
+    a stateless map (totals ride the closure) -> sort+limit over the
+    vocab-sized table only (the top_terms shape). The corpus streams
+    once; nothing doc-sized shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = token_lists(batch.column("text"))
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "nt": pa.array([], pa.int64()),
+                    "ns": pa.array([], pa.int64()),
+                }
+            )
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        is_t = (ids[parents] % eval_mod) < target_residues
+        terms = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        nt = np.bincount(inv[is_t], minlength=len(uniq)).astype(np.int64)
+        ns = np.bincount(inv[~is_t], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "nt": pa.array(nt, pa.int64()),
+                "ns": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("nt", alias_name="n_target"), Sum("ns", alias_name="n_source"))
+        .materialize()  # vocab-bounded; read for totals + vocab + top-k below
+    )
+    t_total = int(counts.sum("n_target"))
+    s_total = int(counts.sum("n_source"))
+    n_vocab = int(counts.count())
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_target").to_numpy(zero_copy_only=False)
+        ns = batch.column("n_source").to_numpy(zero_copy_only=False)
+        key = np.abs(nt * s_total - ns * t_total)
+        return batch.append_column("drift_key", pa.array(key, pa.int64()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_target").to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = batch.column("n_source").to_numpy(zero_copy_only=False).astype(np.float64)
+        pt = (nt + lam) / (t_total + lam * n_vocab)
+        ps = (ns + lam) / (s_total + lam * n_vocab)
+        kl = np.round(pt * np.log2(pt / ps), 6)
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "n_target": batch.column("n_target"),
+                "n_source": batch.column("n_source"),
+                "kl_bits": pa.array(kl, pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(keyed, batch_format="pyarrow")
+        .sort(["drift_key", "term"], descending=[True, False])
+        .limit(k)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def _bigram_batch(batch: pa.Table) -> tuple[np.ndarray, pa.Array, pa.Array]:

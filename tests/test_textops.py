@@ -1368,3 +1368,94 @@ def test_bigram_lm_degenerate_and_caps(ray_session):
     # capped-out mass backs off to the smoothing floor, KenLM-style
     pruned = bigram_lm_ds(docs, bigram_cap=1, context_cap=1).to_pandas()
     assert pruned["doc_id"].tolist() and np.isfinite(pruned["lm2_bits"]).all()
+
+
+def test_token_drift_matches_sql(docs):
+    # slice-drift monitor: integer cross-product ranking key, smoothed
+    # KL contributions — row-for-row vs the SQL oracle
+    from search_engine_ray.pipelines.text import token_drift_ds
+
+    got = token_drift_ds(docs, k=15).to_pandas()
+    want = _sql(
+        """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        f AS (SELECT doc_id, unnest(ts) AS term FROM t),
+        c AS (SELECT term,
+                     sum(CASE WHEN doc_id % 97 < 3 THEN 1 ELSE 0 END)::BIGINT AS nt,
+                     sum(CASE WHEN doc_id % 97 < 3 THEN 0 ELSE 1 END)::BIGINT AS ns
+              FROM f GROUP BY term),
+        tot AS (SELECT sum(nt) AS tt, sum(ns) AS ss, count(*) AS v FROM c),
+        top AS (SELECT term, nt, ns, tt, ss, v, abs(nt*ss - ns*tt) AS key
+                FROM c, tot ORDER BY key DESC, term LIMIT 15)
+        SELECT term, nt AS n_target, ns AS n_source,
+               round(((nt + 0.5)/(tt + 0.5*v)) *
+                     log2(((nt + 0.5)/(tt + 0.5*v)) / ((ns + 0.5)/(ss + 0.5*v))), 6)
+               AS kl_bits
+        FROM top ORDER BY key DESC, term
+        """
+    )
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["n_target"].tolist() == want["n_target"].tolist()
+    assert got["n_source"].tolist() == want["n_source"].tolist()
+    assert got["kl_bits"].tolist() == want["kl_bits"].tolist()
+
+
+def test_token_drift_detects_planted_shift(ray_session):
+    # a term that exists ONLY in the target slice must rank first
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.text import token_drift_ds
+
+    rows = []
+    for d in range(200):
+        base = "alpha beta gamma delta"
+        if d % 97 < 3:
+            base += " plutonium plutonium plutonium"
+        rows.append({"doc_id": d, "text": base})
+    docs = rd.from_items(rows)
+    got = token_drift_ds(docs, k=3).to_pandas()
+    assert got["term"].iloc[0] == "plutonium"
+    # 9 target docs (0-2, 97-99, 194-196) x 3 occurrences
+    assert got["n_source"].iloc[0] == 0 and got["n_target"].iloc[0] == 27
+    assert got["kl_bits"].iloc[0] > 0  # over-represented in target
+
+
+def test_blocklist_filter(docs):
+    from search_engine_ray.pipelines.text import blocklist_filter_ds
+
+    got = (
+        blocklist_filter_ds(docs, ("table", "scan", "query"), max_ratio=0.1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text,' '), x -> x <> '') AS ts
+                   FROM documents),
+        m AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+                     len(list_filter(ts, x -> lower(x) IN ('table','scan','query')))::BIGINT
+                     AS n_blocked
+              FROM t)
+        SELECT doc_id, n_blocked,
+               round(CASE WHEN n_tokens > 0 THEN n_blocked / n_tokens ELSE 0.0 END, 6)
+               AS blocked_ratio,
+               CASE WHEN (CASE WHEN n_tokens > 0 THEN n_blocked / n_tokens
+                          ELSE 0.0 END) <= 0.1 THEN 1 ELSE 0 END::BIGINT AS keep
+        FROM m ORDER BY doc_id
+        """
+    )
+    assert got["n_blocked"].tolist() == want["n_blocked"].tolist()
+    assert got["blocked_ratio"].tolist() == want["blocked_ratio"].tolist()
+    assert got["keep"].tolist() == want["keep"].tolist()
+    # C4 semantics: max_ratio=0 drops any doc with a single hit
+    strict = blocklist_filter_ds(docs, ("table",), max_ratio=0.0).to_pandas()
+    assert ((strict["keep"] == 1) == (strict["n_blocked"] == 0)).all()
+    # empty-doc edge: ratio 0, kept
+    e = blocklist_filter_ds(
+        rd.from_items([{"doc_id": 0, "text": ""}]), ("x",)
+    ).to_pandas()
+    assert e["blocked_ratio"].tolist() == [0.0] and e["keep"].tolist() == [1]
