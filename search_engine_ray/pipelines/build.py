@@ -269,10 +269,21 @@ def _dedup_duplicate_urls(
         # scratch_base, mirroring _shuffle_dir_for); SE_RAY_SHUFFLE_BASE
         # overrides; /tmp only as the single-node last resort. All values
         # may be paths or pyarrow.fs URIs, routed through fsio.
+        base = os.environ.get("SE_RAY_SHUFFLE_BASE") or scratch_base
+        if base is None:
+            # node-local /tmp silently LOSES duplicates on a multi-node
+            # cluster (each node's scan sees only its own bucket files) —
+            # fail loudly instead of deduping wrong.
+            alive = [n for n in ray.nodes() if n.get("Alive")]
+            if len(alive) > 1:
+                raise RuntimeError(
+                    "url dedup disk-shuffle fallback needs node-shared "
+                    "scratch on a multi-node cluster: pass scratch_dir "
+                    "(e.g. the index out_dir) or set SE_RAY_SHUFFLE_BASE"
+                )
+            base = "/tmp/se_ray_url_dedup"
         shuffle_dir = fsio.join(
-            os.environ.get("SE_RAY_SHUFFLE_BASE")
-            or scratch_base
-            or "/tmp/se_ray_url_dedup",
+            base,
             f"ud_{os.getpid()}_{int(time.time() * 1e6) & 0xFFFFFF}",
         )
         fsio.rmtree(shuffle_dir)

@@ -582,3 +582,35 @@ def test_url_dedup_disk_shuffle_scratch_under_out_dir(
     assert n_skip_disk == n_skip_tree
     shuffle_paths = [p for p in seen_dirs if "url_dedup_shuffle" in p]
     assert shuffle_paths and all(p.startswith(scratch_root) for p in shuffle_paths)
+
+
+def test_url_dedup_multinode_without_shared_scratch_raises(
+    ray_session, monkeypatch
+):
+    """On a multi-node cluster the /tmp disk-shuffle last resort would
+    silently MISS duplicates (each node sees only its own bucket files) —
+    the fallback must refuse instead when neither scratch_base nor
+    SE_RAY_SHUFFLE_BASE provides node-shared storage."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    import search_engine_ray.pipelines.build as build_mod
+    from search_engine_ray.pipelines.build import _dedup_duplicate_urls
+
+    monkeypatch.delenv("SE_RAY_SHUFFLE_BASE", raising=False)
+    monkeypatch.setattr(build_mod, "_URL_DEDUP_TREE_MAX_ROWS", 0)
+    monkeypatch.setattr(
+        build_mod.ray, "nodes", lambda: [{"Alive": True}, {"Alive": True}]
+    )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["http://e/0", "http://e/0"], pa.string()),
+                "title": pa.array(["a", "b"], pa.string()),
+                "rank": pa.array([0, 1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="node-shared scratch"):
+        _dedup_duplicate_urls(pages)
