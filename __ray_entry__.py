@@ -2586,22 +2586,25 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 ORDER BY c_mktsegment""",
         # all metrics as exact integer numerators (cents / basis-point
-        # products) so the hash is float-summation-order independent.
-        # sum_qty needs the ::BIGINT cast: DuckDB's sum(BIGINT) returns
-        # HUGEINT (decimal128) while the Ray side emits int64 — identical
-        # values in different physical types flip a dtype-sensitive hash.
+        # products) so the hash is float-summation-order independent. r4
+        # representation hardening (hash-red twice on identical values):
+        # each metric is the exact integer sum cast to DOUBLE and divided
+        # ONCE by its fixed scale — a single IEEE-754 operation with no
+        # round() tie-break mode in play — and sum_qty is DOUBLE, the
+        # plain-SQL sum(DOUBLE) shape. count_order keeps the ::BIGINT cast
+        # (DuckDB sum/count intermediates are HUGEINT; the engine is int64).
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
-       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+       sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0
          AS sum_base_price,
-       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-             / 10000.0, 2) AS sum_disc_price,
-       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                 * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-             / 1000000.0, 2) AS sum_charge,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE
+         / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)))::DOUBLE
+         / 1000000.0 AS sum_charge,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'

@@ -184,7 +184,14 @@ def pricing_summary_ds(
     ~1e5 rows/batch at sum_charge's ~1e11 per-row magnitude). int64 partials
     stay exact to ~9e18 ≈ 9e7 rows per (group, batch); the groupby Sum on top
     is int64 end-to-end. Output rows are sorted by (l_returnflag,
-    l_linestatus) so the 6-row result is deterministic."""
+    l_linestatus) so the 6-row result is deterministic.
+
+    Representation (r4 hardening after two driver hash-reds on identical
+    values): metrics are the exact integer sums divided once by the fixed
+    scale (a single IEEE-754 double division, bit-identical in any engine)
+    — no round() whose tie-break mode could differ between kernels; sum_qty
+    is float64 (plain-SQL sum(DOUBLE) shape) and the group keys flow
+    through a native two-column groupby, never a join/split round-trip."""
     cols = [
         "l_quantity",
         "l_extendedprice",
@@ -222,6 +229,7 @@ def pricing_summary_ds(
         enc = key.dictionary_encode()
         codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
         ng = len(enc.dictionary)
+        gparts = pc.split_pattern(enc.dictionary, "|")
         qty = np.round(
             batch.column("l_quantity").to_numpy(zero_copy_only=False)
         ).astype(np.int64)
@@ -244,7 +252,8 @@ def pricing_summary_ds(
 
         return pa.table(
             {
-                "k": enc.dictionary,
+                "l_returnflag": pc.list_element(gparts, 0),
+                "l_linestatus": pc.list_element(gparts, 1),
                 "pq": gsum(qty),
                 "pb": gsum(cents),
                 "pd": gsum(disc_num),
@@ -255,7 +264,7 @@ def pricing_summary_ds(
 
     agg = (
         li.map_batches(partial, batch_format="pyarrow")
-        .groupby("k")
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("pq", alias_name="sum_qty"),
             Sum("pb", alias_name="b_cents"),
@@ -266,25 +275,25 @@ def pricing_summary_ds(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(batch.column("k"), "|")
         return pa.table(
             {
-                "l_returnflag": pc.list_element(parts, 0),
-                "l_linestatus": pc.list_element(parts, 1),
-                "sum_qty": batch.column("sum_qty"),
-                "sum_base_price": pc.round(
-                    pc.divide(batch.column("b_cents").cast(pa.float64()), 100.0), 2
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                # one int64->float64 cast + one double division per metric:
+                # exactly specified by IEEE 754, so any engine computing the
+                # same integer sum lands on the SAME double, bit for bit —
+                # no round() tie-break mode in play
+                "sum_qty": batch.column("sum_qty").cast(pa.float64()),
+                "sum_base_price": pc.divide(
+                    batch.column("b_cents").cast(pa.float64()), 100.0
                 ),
                 # d_num = cents * (100 - d100) has scale 100 (price) * 100
                 # (discount bp) = 1e4; c_num adds another *100 → 1e6
-                "sum_disc_price": pc.round(
-                    pc.divide(batch.column("d_num").cast(pa.float64()), 10_000.0), 2
+                "sum_disc_price": pc.divide(
+                    batch.column("d_num").cast(pa.float64()), 10_000.0
                 ),
-                "sum_charge": pc.round(
-                    pc.divide(
-                        batch.column("c_num").cast(pa.float64()), 1_000_000.0
-                    ),
-                    2,
+                "sum_charge": pc.divide(
+                    batch.column("c_num").cast(pa.float64()), 1_000_000.0
                 ),
                 "count_order": batch.column("count_order"),
             }

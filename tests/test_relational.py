@@ -108,16 +108,16 @@ def test_pricing_summary_matches_sql(ray_session):
     want = con.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0
                  AS sum_base_price,
-               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                     / 10000.0, 2) AS sum_disc_price,
-               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                         * (100 + CAST(round(l_tax * 100) AS BIGINT)))
-                     / 1000000.0, 2) AS sum_charge,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE
+                 / 10000.0 AS sum_disc_price,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT)))::DOUBLE
+                 / 1000000.0 AS sum_charge,
                count(*)::BIGINT AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
         GROUP BY 1, 2 ORDER BY 1, 2
