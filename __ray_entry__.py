@@ -1562,10 +1562,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_clean": q_crawl_clean,
         "clean_index_search": q_clean_index_search,  # NEW r4: end-to-end
         "decontaminate": q_decontaminate,
-        # --- windows / relational core
-        "sessionize": q_sessionize,
+        # --- windows / relational core (sessionize/range_join: r2+r3
+        # double-green, rotated below the window to make room for
+        # ann_ivf_recall + semdedup per r3 verdict #7)
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "segment_revenue": q_segment_revenue,
         "pricing_summary": q_pricing_summary,
         "idle_customers": q_idle_customers,
@@ -1589,13 +1589,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_flag": q_bloom_flag,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semdedup": q_semdedup,  # first driver check (r3 verdict #7)
         # ---------------- below the driver's 50-entry window ----------------
-        # (shard_export's insertion rotates semdedup — rows-only by design —
-        # just out; the window now holds 50 oracle-bearing entries)
+        "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
+        "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "cooccur_pmi": q_cooccur_pmi,  # three driver-green rounds (r1–r3)
         "embedding_neardup": q_embedding_neardup,  # three driver-green rounds
-        "semdedup": q_semdedup,  # rows-only (k-means; numpy-pinned in tests)
         "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
         "dsir_weights": q_dsir_weights,  # NEW r4: DSIR importance weights
         "dsir_resample": q_dsir_resample,  # NEW r4: Gumbel top-k selection
