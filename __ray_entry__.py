@@ -415,6 +415,49 @@ def q_vocab_stats(sf_dir: str):
     return vocab_stats_ds(docs)
 
 
+def q_source_topk(sf_dir: str):
+    """Per-source quality cap (RefinedWeb-style domain cap): top-5 docs
+    per source by (n_chars DESC, doc_id), with 1-based rank."""
+    from search_engine_ray.pipelines.text import read_documents, source_topk_ds
+
+    docs = read_documents(
+        sf_dir.rstrip("/"), columns=["doc_id", "text", "source", "n_chars"]
+    )
+    return source_topk_ds(docs, k=5)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: smallest most-frequent-first term count
+    reaching 50/90/99% of all token occurrences (integer-exact ranking)."""
+    from search_engine_ray.pipelines.text import read_documents, vocab_coverage_ds
+
+    return vocab_coverage_ds(read_documents(sf_dir.rstrip("/")))
+
+
+def q_embedding_stats(sf_dir: str):
+    """Per-dimension mean/variance of the embedding column via exact
+    int64 sums of 2^16-quantized elements (order-independent, bit-exact
+    vs SQL)."""
+    from search_engine_ray.pipelines.similarity import (
+        embedding_stats_ds,
+        read_embeddings,
+    )
+
+    return embedding_stats_ds(read_embeddings(sf_dir.rstrip("/")))
+
+
+def q_whiten_embeddings(sf_dir: str):
+    """PCA-whitened embeddings (x -> W^T(x - mu)); rows-only here, the
+    numerics are pinned against the sequential numpy reference in
+    tests/test_similarity.py."""
+    from search_engine_ray.pipelines.similarity import (
+        read_embeddings,
+        whiten_embeddings_ds,
+    )
+
+    return whiten_embeddings_ds(read_embeddings(sf_dir.rstrip("/")))
+
+
 def q_tfidf_topk(sf_dir: str):
     from search_engine_ray.pipelines.text import read_documents, tfidf_topk_ds
 
@@ -1629,6 +1672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,  # NEW r4: order-1 LM perplexity signal
         "token_drift": q_token_drift,  # NEW r4: slice-drift monitor
         "blocklist_filter": q_blocklist_filter,  # NEW r4: C4 badwords filter
+        "source_topk": q_source_topk,  # NEW r4: per-domain quality cap
+        "vocab_coverage": q_vocab_coverage,  # NEW r4: vocab sizing curve
+        "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
+        "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -2392,6 +2439,45 @@ WITH c AS (
 SELECT lang, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
        sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
 FROM c GROUP BY lang ORDER BY lang""",
+        "source_topk": """
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id)::BIGINT AS rk
+  FROM documents)
+WHERE rk <= 5
+ORDER BY source, rk""",
+        # needed-term rule is the integer cross-product cum_prev*100 < s*pct
+        # — exact, engine-independent; covered = cum at the last needed term
+        "vocab_coverage": f"""
+WITH f AS (SELECT unnest({tok}) AS term FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS n FROM f GROUP BY term),
+tot AS (SELECT sum(n)::BIGINT AS s FROM c),
+o AS (SELECT term, n,
+        (sum(n) OVER (ORDER BY n DESC, term) - n)::BIGINT AS cum_prev,
+        sum(n) OVER (ORDER BY n DESC, term)::BIGINT AS cum
+      FROM c),
+th AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT th.pct::BIGINT AS pct, count(o.term)::BIGINT AS n_terms,
+       coalesce(max(o.cum), 0)::BIGINT AS covered_tokens,
+       any_value(tot.s) AS total_tokens
+FROM th CROSS JOIN tot LEFT JOIN o ON o.cum_prev * 100 < tot.s * th.pct
+GROUP BY th.pct ORDER BY th.pct""",
+        # elements quantized to floor(x::DOUBLE * 2^16 + 0.5) int64 — the
+        # double cast + tie-free floor make the quantization bit-identical
+        # across engines (round()'s half-even vs half-away differs; float32
+        # multiply would too) — and summed EXACTLY on both sides; mean/var
+        # are the same IEEE ops on the integer sums
+        "embedding_stats": """
+WITH u AS (SELECT CAST(floor(unnest(embedding)::DOUBLE * 65536 + 0.5) AS BIGINT) AS q,
+                  (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim
+           FROM embeddings)
+SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s_q,
+       sum(q*q)::BIGINT AS ssq_q,
+       sum(q)::DOUBLE / (count(*)::DOUBLE * 65536.0) AS mean,
+       (count(*)::DOUBLE * sum(q*q)::DOUBLE - sum(q)::DOUBLE * sum(q)::DOUBLE)
+         / (count(*)::DOUBLE * count(*)::DOUBLE * 65536.0 * 65536.0) AS var
+FROM u GROUP BY dim ORDER BY dim""",
         "dup_clusters": dup_clusters,
         "cluster_best": cluster_best,
         "tfidf_topk": tfidf,

@@ -18,6 +18,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
@@ -353,3 +354,122 @@ def knn_join_ds(
         .groupby("query_id")
         .map_groups(_make_final_topk(k), batch_format="pyarrow")
     )
+
+
+def embedding_stats_ds(embeddings: rd.Dataset, q_bits: int = 16) -> rd.Dataset:
+    """Per-dimension mean and variance over the embedding column — the
+    sanity/monitoring pass every embedding pipeline runs before whitening
+    or indexing (collapsed dims, scale drift between snapshots).
+
+    Values are quantized per ELEMENT to ``floor(x * 2^q_bits + 0.5)``
+    int64 (computed in float64; floor is tie-mode-free, unlike round whose
+    half-even/half-away convention differs between numpy and SQL engines)
+    and summed as exact integers, so the result is independent of
+    summation order (distributed vs sequential) and oracle-checkable
+    bit-for-bit:
+    mean/var are single IEEE divisions on the integer sums. int64 sum of
+    squares stays exact to ~2^63: with |x| <= 8 and q_bits=16 that is
+    ~3e7 rows per dimension; lower ``q_bits`` for larger corpora (the
+    quantization error 2^-q_bits is far below any drift of interest).
+
+    Output: one row per dim — (dim, n, s_q, ssq_q, mean, var), where
+    mean = s_q / (n * 2^q)  and  var = (n*ssq_q - s_q^2) / (n^2 * 2^2q)
+    (population variance)."""
+    scale = float(1 << q_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, m = _to_matrix(batch)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(q.shape[1], dtype=np.int64), pa.int64()),
+                "pn": pa.array(np.full(q.shape[1], q.shape[0], np.int64), pa.int64()),
+                "ps": pa.array(q.sum(axis=0), pa.int64()),
+                "pq": pa.array((q * q).sum(axis=0), pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("ps", alias_name="s_q"),
+            Sum("pq", alias_name="ssq_q"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("s_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = batch.column("ssq_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / (n * scale)
+        var = (n * ss - s * s) / (n * n * scale * scale)
+        return pa.table(
+            {
+                "dim": batch.column("dim"),
+                "n": batch.column("n"),
+                "s_q": batch.column("s_q"),
+                "ssq_q": batch.column("ssq_q"),
+                "mean": pa.array(mean, pa.float64()),
+                "var": pa.array(var, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("dim")
+
+
+def whiten_embeddings_ds(
+    embeddings: rd.Dataset, eps: float = 1e-6
+) -> rd.Dataset:
+    """PCA-whitening of the embedding column: x -> W^T (x - mu) with
+    W = V diag(1/sqrt(lambda + eps)) from the eigendecomposition of the
+    d x d covariance — the standard preconditioner before cosine dedup /
+    clustering (SemDeDup et al. whiten first so no direction dominates).
+
+    Scale shape: mean and covariance come from one streaming pass of
+    per-batch partials (d-vector sum + d x d X^T X, shipped FLATTENED as
+    one row per batch — d^2 floats, never the data); the driver does the
+    d x d eigh (microseconds) and broadcasts (mu, W) via ray.put; the
+    projection is a second streaming pass, one matmul per batch. Nothing
+    doc-scale materializes; float covariance partials are order-sensitive
+    in the last bits, which whitening (a conditioning transform, not an
+    oracle-pinned statistic) tolerates by design — pinned in tests against
+    the sequential numpy reference to ~1e-10."""
+
+    def cov_partial(batch: pa.Table) -> pa.Table:
+        _, m = _to_matrix(batch)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "xtx": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+                "d": pa.array([d], pa.int64()),
+            }
+        )
+
+    parts = embeddings.map_batches(cov_partial, batch_format="pyarrow").take_all()
+    # bounded: one row per input block (n_blocks x (d^2+d) floats)
+    n = sum(p["n"] for p in parts)
+    d = int(parts[0]["d"])
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xtx = np.sum([np.asarray(p["xtx"]).reshape(d, d) for p in parts], axis=0)
+    mu = s / n
+    cov = xtx / n - np.outer(mu, mu)
+    lam, vec = np.linalg.eigh(cov)
+    w = vec @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))
+    ref = ray.put((mu, w))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu_b, w_b = ray.get(ref)
+        ids, m = _to_matrix(batch)
+        y = (m - mu_b) @ w_b
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "white": pa.array(list(y.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

@@ -503,6 +503,151 @@ def vocab_stats_ds(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+def source_topk_ds(docs: rd.Dataset, k: int = 5) -> rd.Dataset:
+    """Per-source quality cap (the RefinedWeb/CCNet "domain cap"): keep
+    the top-``k`` documents of each source, ranked by (n_chars DESC,
+    doc_id ASC), with their rank ``rk`` (1-based). Caps how much any one
+    domain can contribute to the training mix.
+
+    Scale shape: a per-batch vectorized partial top-k per source (lexsort
+    + run-start ranks — at most k x sources_in_batch rows survive) feeds
+    a per-source groupby whose groups are at most k x n_batches rows;
+    the final rank is recomputed inside each bounded group. The document
+    payload never shuffles; sources are assumed far fewer than docs (the
+    web-domain shape)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch, codes))
+        oc = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(oc[1:] != oc[:-1]) + 1))
+        rank = np.arange(len(oc)) - np.repeat(starts, np.diff(np.append(starts, len(oc))))
+        keep = order[rank < k]
+        return pa.table(
+            {
+                "source": enc.dictionary.take(pa.array(codes[keep])),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_chars": pa.array(nch[keep], pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = group.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch))[:k]
+        return pa.table(
+            {
+                "source": group.column("source").take(pa.array(order)),
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(nch[order], pa.int64()),
+                "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort(["source", "rk"])
+    )
+
+
+def vocab_coverage_ds(
+    docs: rd.Dataset, pcts: tuple[int, ...] = (50, 90, 99)
+) -> rd.Dataset:
+    """Vocabulary coverage curve: for each percentage in ``pcts``, the
+    smallest number of distinct terms (taken most-frequent-first, ties
+    broken by term ASC) whose summed frequency reaches that share of all
+    token occurrences — the BPE/vocab-size sizing question asked of every
+    training corpus.
+
+    A term is needed while the cumulative count BEFORE it is still below
+    pct% of the total; comparisons are integer cross-products
+    (cum_prev * 100 < total * pct) so the result is exact and
+    engine-independent. Scale shape: per-batch term-count partials ->
+    vocab-bounded groupby-sum -> distributed sort by (n DESC, term) ->
+    per-block prefix scan seeded by driver-side exclusive block totals
+    (the ``pack_sequences_ds`` scan, scalars only) -> per-block partial
+    (n_terms, covered) per threshold -> tiny final merge. The corpus
+    streams once; only vocab-sized keys shuffle."""
+    import ray
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat = token_lists(batch.column("text")).flatten()
+        terms = flat.to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(terms, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ordered = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pn", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .materialize()  # vocab-bounded keys; block order is the sort order
+    )
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def _block_total(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        return int(pc.sum(t.column("n")).as_py() or 0)
+
+    @ray.remote
+    def _block_partial(t: pa.Table, offset: int, total: int) -> list[tuple]:
+        # per threshold: how many of this block's terms are needed, and
+        # the covered token count at the last needed term
+        if t.num_rows == 0:
+            return [(int(p), 0, 0) for p in pcts]
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cum_prev = offset + np.cumsum(n) - n
+        out = []
+        for p in pcts:
+            needed = cum_prev * 100 < total * int(p)
+            cnt = int(needed.sum())
+            covered = int(cum_prev[cnt - 1] + n[cnt - 1] - offset) if cnt else 0
+            out.append((int(p), cnt, covered))
+        return out
+
+    totals = ray.get([_block_total.remote(r) for r in refs])
+    total = int(sum(totals))
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1])).astype(np.int64)
+    parts = ray.get(
+        [
+            _block_partial.remote(r, int(off), total)
+            for r, off in zip(refs, offsets)
+        ]
+    )
+    agg: dict[int, list[int]] = {int(p): [0, 0] for p in pcts}
+    for blk, off in zip(parts, offsets):
+        for p, cnt, covered in blk:
+            agg[p][0] += cnt
+            if cnt:
+                agg[p][1] = int(off) + covered  # last block wins: absolute cum
+    rows = sorted(agg.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pct": pa.array([p for p, _ in rows], pa.int64()),
+                "n_terms": pa.array([v[0] for _, v in rows], pa.int64()),
+                "covered_tokens": pa.array([v[1] for _, v in rows], pa.int64()),
+                "total_tokens": pa.array([total] * len(rows), pa.int64()),
+            }
+        )
+    )
+
+
 def skip_filter_ds(docs: rd.Dataset) -> rd.Dataset:
     """Reference S2 ingestion skip rules (demo.ts:118-123) over documents."""
 

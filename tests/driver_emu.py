@@ -34,8 +34,12 @@ def to_pandas(res):
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    sortable = [
+        c for c in df.columns
+        if not len(df) or not isinstance(df[c].iloc[0], (list, np.ndarray))
+    ]
+    if len(df) and sortable:
+        df = df.sort_values(sortable, kind="mergesort").reset_index(drop=True)
     return df
 
 

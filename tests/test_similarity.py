@@ -264,3 +264,62 @@ def test_knn_join_self_inclusion_and_empty(emb, ray_session):
         emb, emb.map_batches(none_probe, batch_format="pyarrow"), k=3
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_embedding_stats_exact_int_sums(ray_session):
+    """Quantized int64 sums match numpy exactly; mean/var are the IEEE
+    ops on those sums (same expression as the SQL oracle)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        embedding_stats_ds,
+        read_embeddings,
+    )
+    from search_engine_ray.util import embedding_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_stats_ds(read_embeddings(sf)).to_pandas()
+    m = embedding_matrix(pq.read_table(f"{sf}/embeddings.parquet").column("embedding"))
+    q = np.floor(m * 65536 + 0.5).astype(np.int64)
+    n = float(len(m))
+    assert got["dim"].tolist() == list(range(m.shape[1]))
+    assert (got["s_q"].to_numpy() == q.sum(axis=0)).all()
+    assert (got["ssq_q"].to_numpy() == (q * q).sum(axis=0)).all()
+    s = q.sum(axis=0).astype(np.float64)
+    ss = (q * q).sum(axis=0).astype(np.float64)
+    assert (got["mean"].to_numpy() == s / (n * 65536.0)).all()
+    assert (got["var"].to_numpy() == (n * ss - s * s) / (n * n * 65536.0 * 65536.0)).all()
+
+
+def test_whiten_embeddings_matches_numpy(ray_session):
+    """Distributed whitening == sequential numpy PCA-whitening; output
+    covariance is ~identity on the non-degenerate spectrum."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        read_embeddings,
+        whiten_embeddings_ds,
+    )
+    from search_engine_ray.util import embedding_matrix
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        whiten_embeddings_ds(read_embeddings(sf))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    y = np.stack(out["white"].to_numpy())
+    m = embedding_matrix(pq.read_table(f"{sf}/embeddings.parquet").column("embedding"))
+    mu = m.mean(axis=0)
+    cov = np.cov(m.T, bias=True)
+    lam, vec = np.linalg.eigh(cov)
+    ref = (m - mu) @ (vec @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + 1e-6)))
+    assert y.shape == (len(m), m.shape[1]) and y.dtype == np.float32
+    assert np.allclose(y, ref.astype(np.float32), atol=1e-4)
+    c2 = np.cov(y.astype(np.float64).T, bias=True)
+    assert np.allclose(np.diag(c2), 1.0, atol=1e-2)
+    off = c2 - np.diag(np.diag(c2))
+    assert np.abs(off).max() < 1e-2

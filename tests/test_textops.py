@@ -1459,3 +1459,98 @@ def test_blocklist_filter(docs):
         rd.from_items([{"doc_id": 0, "text": ""}]), ("x",)
     ).to_pandas()
     assert e["blocked_ratio"].tolist() == [0.0] and e["keep"].tolist() == [1]
+
+
+def test_source_topk_matches_sql(ray_session):
+    from search_engine_ray.pipelines.text import read_documents, source_topk_ds
+
+    docs = read_documents(SF, columns=["doc_id", "text", "source", "n_chars"])
+    got = source_topk_ds(docs, k=5).to_pandas().reset_index(drop=True)
+    want = _sql(
+        """
+        SELECT source, doc_id, n_chars, rk FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id)::BIGINT AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY source, rk
+        """
+    )
+    assert got.equals(want.reset_index(drop=True))
+    # every source capped at exactly min(5, docs-in-source)
+    per_src = _sql("SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source")
+    caps = dict(zip(per_src["source"], per_src["n"].clip(upper=5)))
+    counts = got.groupby("source")["doc_id"].count()
+    assert {s: int(n) for s, n in counts.items()} == {s: int(n) for s, n in caps.items()}
+
+
+def test_source_topk_tie_and_small_groups(ray_session):
+    # ties on n_chars break by doc_id ASC; groups smaller than k emit all
+    rows = [
+        {"doc_id": 3, "text": "x", "source": "a", "n_chars": 10},
+        {"doc_id": 1, "text": "x", "source": "a", "n_chars": 10},
+        {"doc_id": 2, "text": "x", "source": "a", "n_chars": 20},
+        {"doc_id": 9, "text": "x", "source": "b", "n_chars": 5},
+    ]
+    from search_engine_ray.pipelines.text import source_topk_ds
+
+    got = source_topk_ds(rd.from_items(rows), k=2).to_pandas()
+    assert got[got["source"] == "a"]["doc_id"].tolist() == [2, 1]
+    assert got[got["source"] == "b"]["doc_id"].tolist() == [9]
+    assert got["rk"].tolist() == [1, 2, 1]
+
+
+def test_vocab_coverage_matches_sql(docs):
+    from search_engine_ray.pipelines.text import vocab_coverage_ds
+
+    got = vocab_coverage_ds(docs).to_pandas().reset_index(drop=True)
+    want = _sql(
+        """
+        WITH f AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term FROM documents),
+        c AS (SELECT term, count(*)::BIGINT AS n FROM f GROUP BY term),
+        tot AS (SELECT sum(n)::BIGINT AS s FROM c),
+        o AS (SELECT term, n,
+                (sum(n) OVER (ORDER BY n DESC, term) - n)::BIGINT AS cum_prev,
+                sum(n) OVER (ORDER BY n DESC, term)::BIGINT AS cum
+              FROM c),
+        th AS (SELECT unnest([50, 90, 99]) AS pct)
+        SELECT th.pct::BIGINT AS pct, count(o.term)::BIGINT AS n_terms,
+               coalesce(max(o.cum), 0)::BIGINT AS covered_tokens,
+               any_value(tot.s) AS total_tokens
+        FROM th CROSS JOIN tot LEFT JOIN o ON o.cum_prev * 100 < tot.s * th.pct
+        GROUP BY th.pct ORDER BY th.pct
+        """
+    )
+    assert got.equals(want.reset_index(drop=True))
+    # monotonicity invariants
+    assert got["n_terms"].is_monotonic_increasing
+    assert got["covered_tokens"].is_monotonic_increasing
+    assert (got["covered_tokens"] * 100 >= got["total_tokens"] * got["pct"]).all()
+
+
+def test_vocab_coverage_many_blocks(ray_session):
+    # force many sorted blocks so the distributed prefix scan crosses
+    # block boundaries; exact single-process reference
+    import collections
+
+    rows = [{"doc_id": i, "text": f"w{i % 37} w{i % 11} common"} for i in range(500)]
+    ds = rd.from_items(rows).repartition(17)
+    from search_engine_ray.pipelines.text import vocab_coverage_ds
+
+    got = vocab_coverage_ds(ds, pcts=(10, 60, 100)).to_pandas()
+    cnt = collections.Counter()
+    for r in rows:
+        cnt.update(r["text"].split())
+    total = sum(cnt.values())
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for _, row in got.iterrows():
+        cum = 0
+        n_terms = 0
+        for _, n in order:
+            if cum * 100 >= total * row["pct"]:
+                break
+            cum += n
+            n_terms += 1
+        assert row["n_terms"] == n_terms and row["covered_tokens"] == cum
+        assert row["total_tokens"] == total
