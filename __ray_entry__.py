@@ -446,6 +446,20 @@ def q_embedding_stats(sf_dir: str):
     return embedding_stats_ds(read_embeddings(sf_dir.rstrip("/")))
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the kNN graph of the embeddings table (k=5, 5 power
+    iterations) — corpus quality propagation; rows-only (float fixed-point
+    iteration, numpy-pinned in tests/test_graph.py)."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.graph import pagerank_ds
+    from search_engine_ray.pipelines.similarity import knn_join_ds, read_embeddings
+
+    emb = read_embeddings(sf_dir.rstrip("/"))
+    edges = knn_join_ds(emb, emb, k=5).select_columns(["query_id", "vec_id"])
+    return pagerank_ds(edges, n_iter=5, src_col="query_id", dst_col="vec_id")
+
+
 def q_whiten_embeddings(sf_dir: str):
     """PCA-whitened embeddings (x -> W^T(x - mu)); rows-only here, the
     numerics are pinned against the sequential numpy reference in
@@ -1676,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,  # NEW r4: vocab sizing curve
         "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
         "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
+        "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
