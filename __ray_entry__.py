@@ -460,6 +460,34 @@ def q_pagerank(sf_dir: str):
     return pagerank_ds(edges, n_iter=5, src_col="query_id", dst_col="vec_id")
 
 
+def q_label_propagation(sf_dir: str):
+    """Clamped integer-vote label propagation over the kNN graph, seeded
+    by the embeddings table's label column on vec_id % 10 == 0 rows —
+    bit-deterministic (integer votes); numpy-pinned in tests."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.graph import label_propagation_ds
+    from search_engine_ray.pipelines.similarity import knn_join_ds, read_embeddings
+
+    emb = read_embeddings(sf_dir.rstrip("/"))
+    edges = knn_join_ds(emb, emb, k=5).select_columns(["query_id", "vec_id"])
+    def _seed_slice(batch):
+        import pyarrow.compute as _pc
+
+        import numpy as _np
+
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        import pyarrow as _pa
+
+        return batch.filter(_pa.array(ids % 10 == 0)).select(["vec_id", "label"])
+
+    seeds = emb.map_batches(_seed_slice, batch_format="pyarrow")
+    return label_propagation_ds(
+        edges, seeds, n_iter=3,
+        src_col="query_id", dst_col="vec_id", node_col="vec_id",
+    )
+
+
 def q_whiten_embeddings(sf_dir: str):
     """PCA-whitened embeddings (x -> W^T(x - mu)); rows-only here, the
     numerics are pinned against the sequential numpy reference in
@@ -1691,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
         "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
         "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only
+        "label_propagation": q_label_propagation,  # NEW r4: rows-only
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,

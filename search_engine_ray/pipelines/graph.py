@@ -315,3 +315,266 @@ def pagerank_reference(
         nr += damping * contrib
         r = nr
     return {v: float(r[idx[v]]) for v in nodes}
+
+
+def label_propagation_ds(
+    edges: rd.Dataset,
+    seeds: rd.Dataset,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Semi-supervised label propagation over a directed edge table:
+    spread a small seed set's labels (quality tiers, topics, spam flags)
+    to every reachable node — the cheap way to label a web-scale corpus
+    from a human-labeled sliver.
+
+    Semantics (deterministic, integer-vote LPA): seed nodes are CLAMPED
+    to their seed label forever. Each iteration, every unlabeled node
+    takes the most-voted label among its in-neighbors' current labels
+    (ties -> smallest label id); nodes whose in-neighbors are all
+    unlabeled stay unlabeled (-1). Votes are integer counts, so unlike
+    float PageRank the result is bit-deterministic on any cluster shape.
+
+    Same two-shuffle bucket plan as :func:`pagerank_ds` (union + groupby
+    on a shared node-hash key, searchsorted instead of a join probe);
+    per-group vote counting is one lexsort + reduceat, no Python loops.
+
+    Output: (node, label) for every node in the edge set; -1 = never
+    reached."""
+    e = edges.select_columns([src_col, dst_col])
+    if e.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
+
+    def _ends(batch: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [
+                batch.column(src_col).combine_chunks().cast(pa.int64()),
+                batch.column(dst_col).combine_chunks().cast(pa.int64()),
+            ]
+        )
+        u = pc.unique(arr)
+        return pa.table(
+            {
+                "node": u,
+                "seed": pa.array(np.full(len(u), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def _seed_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column(node_col).cast(pa.int64()),
+                "seed": batch.column(label_col).cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    base = (
+        e.map_batches(_ends, batch_format="pyarrow")
+        .union(seeds.map_batches(_seed_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Max("seed", alias_name="seed"))
+        .repartition(n_buckets)
+    )
+
+    def _init(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").cast(pa.int64())
+        seed = batch.column("seed").cast(pa.int64())
+        b = _bucket_of(nodes.to_numpy(zero_copy_only=False), n_buckets)
+        return pa.table(
+            {
+                "b": pa.array(b, pa.int64()),
+                "node": nodes,
+                "seed": seed,
+                "lab": seed,
+            }
+        )
+
+    state = base.map_batches(_init, batch_format="pyarrow").materialize()
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col).cast(pa.int64())
+        dst = batch.column(dst_col).cast(pa.int64())
+        b = _bucket_of(src.to_numpy(zero_copy_only=False), n_buckets)
+        nr = batch.num_rows
+        return pa.table(
+            {
+                "b": pa.array(b, pa.int64()),
+                "kind": pa.array(np.zeros(nr, np.int8), pa.int8()),
+                "k1": src,
+                "k2": dst,
+                "v": pa.array(np.zeros(nr, np.int64), pa.int64()),
+            }
+        )
+
+    edge_rows = e.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        def _lab_rows(batch: pa.Table) -> pa.Table:
+            lab = batch.column("lab").to_numpy(zero_copy_only=False)
+            nodes = batch.column("node").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            keep = lab >= 0  # only labeled nodes vote
+            nk = int(keep.sum())
+            return pa.table(
+                {
+                    "b": pa.array(b[keep], pa.int64()),
+                    "kind": pa.array(np.ones(nk, np.int8), pa.int8()),
+                    "k1": pa.array(nodes[keep], pa.int64()),
+                    "k2": pa.array(np.zeros(nk, np.int64), pa.int64()),
+                    "v": pa.array(lab[keep], pa.int64()),
+                }
+            )
+
+        lab_rows = state.map_batches(_lab_rows, batch_format="pyarrow")
+
+        def _votes(group: pa.Table) -> pa.Table:
+            kind = group.column("kind").to_numpy(zero_copy_only=False)
+            k1 = group.column("k1").to_numpy(zero_copy_only=False)
+            is_lab = kind == 1
+            ln = k1[is_lab]
+            lv = group.column("v").to_numpy(zero_copy_only=False)[is_lab]
+            order = np.argsort(ln)
+            ln, lv = ln[order], lv[order]
+            esrc = k1[~is_lab]
+            edst = group.column("k2").to_numpy(zero_copy_only=False)[~is_lab]
+            if len(esrc) == 0 or len(ln) == 0:
+                return pa.table(
+                    {
+                        "dst": pa.array([], pa.int64()),
+                        "vl": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.clip(np.searchsorted(ln, esrc), 0, len(ln) - 1)
+            hit = ln[pos] == esrc
+            vd, vl = edst[hit], lv[pos][hit]
+            # combiner: count votes per (dst, label) before leaving the group
+            o = np.lexsort((vl, vd))
+            vd, vl = vd[o], vl[o]
+            new = np.ones(len(vd), bool)
+            new[1:] = (vd[1:] != vd[:-1]) | (vl[1:] != vl[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(vd)))
+            return pa.table(
+                {
+                    "dst": pa.array(vd[starts], pa.int64()),
+                    "vl": pa.array(vl[starts], pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        votes = (
+            edge_rows.union(lab_rows)
+            .groupby("b")
+            .map_groups(_votes, batch_format="pyarrow")
+        )
+
+        def _v_rows(batch: pa.Table) -> pa.Table:
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            b = _bucket_of(dst, n_buckets)
+            nr = len(dst)
+            return pa.table(
+                {
+                    "b": pa.array(b, pa.int64()),
+                    "kind": pa.array(np.zeros(nr, np.int8), pa.int8()),
+                    "k1": batch.column("dst"),
+                    "k2": batch.column("vl"),
+                    "v": batch.column("cnt"),
+                }
+            )
+
+        def _s_rows(batch: pa.Table) -> pa.Table:
+            nr = batch.num_rows
+            return pa.table(
+                {
+                    "b": batch.column("b"),
+                    "kind": pa.array(np.ones(nr, np.int8), pa.int8()),
+                    "k1": batch.column("node"),
+                    "k2": batch.column("seed"),
+                    "v": batch.column("lab"),
+                }
+            )
+
+        def _update(group: pa.Table) -> pa.Table:
+            kind = group.column("kind").to_numpy(zero_copy_only=False)
+            k1 = group.column("k1").to_numpy(zero_copy_only=False)
+            k2 = group.column("k2").to_numpy(zero_copy_only=False)
+            v = group.column("v").to_numpy(zero_copy_only=False)
+            is_node = kind == 1
+            nodes, seed, lab = k1[is_node], k2[is_node], v[is_node]
+            order = np.argsort(nodes)
+            nodes, seed, lab = nodes[order], seed[order], lab[order]
+            vd, vl, cnt = k1[~is_node], k2[~is_node], v[~is_node]
+            new_lab = lab.copy()
+            if len(vd):
+                # winner per dst: max count, tie -> min label (lexsort on
+                # (-cnt, vl) within dst runs; first row of each run wins)
+                o = np.lexsort((vl, -cnt, vd))
+                vd, vl = vd[o], vl[o]
+                first = np.ones(len(vd), bool)
+                first[1:] = vd[1:] != vd[:-1]
+                wd, wl = vd[first], vl[first]
+                pos = np.searchsorted(nodes, wd)
+                upd = np.zeros(len(nodes), bool)
+                upd[pos] = True
+                win = np.full(len(nodes), -1, np.int64)
+                win[pos] = wl
+                # clamp seeds; unlabeled nodes with no votes keep -1
+                take = upd & (seed < 0)
+                new_lab[take] = win[take]
+            b_sel = group.column("b").to_numpy(zero_copy_only=False)[is_node][order]
+            return pa.table(
+                {
+                    "b": pa.array(b_sel, pa.int64()),
+                    "node": pa.array(nodes, pa.int64()),
+                    "seed": pa.array(seed, pa.int64()),
+                    "lab": pa.array(new_lab, pa.int64()),
+                }
+            )
+
+        state = (
+            votes.map_batches(_v_rows, batch_format="pyarrow")
+            .union(state.map_batches(_s_rows, batch_format="pyarrow"))
+            .groupby("b")
+            .map_groups(_update, batch_format="pyarrow")
+            .repartition(n_buckets)
+            .materialize()
+        )
+
+    def _out(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"), "label": batch.column("lab")})
+
+    return state.map_batches(_out, batch_format="pyarrow").sort("node")
+
+
+def label_propagation_reference(
+    edges: list[tuple[int, int]], seeds: dict[int, int], n_iter: int = 5
+) -> dict[int, int]:
+    """Sequential reference for the clamped integer-vote LPA above."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    lab = {v: seeds.get(v, -1) for v in nodes}
+    for _ in range(n_iter):
+        votes: dict[int, dict[int, int]] = {}
+        for u, v in edges:
+            lu = lab[u]
+            if lu >= 0:
+                votes.setdefault(v, {}).setdefault(lu, 0)
+                votes[v][lu] += 1
+        nxt = dict(lab)
+        for v, c in votes.items():
+            if seeds.get(v, -1) >= 0:
+                continue
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[v] = best
+        lab = nxt
+    return lab
