@@ -500,6 +500,24 @@ def q_whiten_embeddings(sf_dir: str):
     return whiten_embeddings_ds(read_embeddings(sf_dir.rstrip("/")))
 
 
+def q_leakage_split(sf_dir: str):
+    """Leakage-safe train/val/test split keyed by SOURCE (domain): every
+    doc of a source lands in one split; bucket = u32(md5(source)[:8]) % 100."""
+    from search_engine_ray.pipelines.text import leakage_safe_split_ds, read_documents
+
+    docs = read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text", "source"])
+    return leakage_safe_split_ds(docs)
+
+
+def q_split_leakage(sf_dir: str):
+    """Split-leakage audit histogram: distinct-split count per exact-text
+    fingerprint under the source-keyed split (n_splits, n_fps)."""
+    from search_engine_ray.pipelines.text import read_documents, split_leakage_ds
+
+    docs = read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text", "source"])
+    return split_leakage_ds(docs)
+
+
 def q_tfidf_topk(sf_dir: str):
     from search_engine_ray.pipelines.text import read_documents, tfidf_topk_ds
 
@@ -1716,6 +1734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": q_blocklist_filter,  # NEW r4: C4 badwords filter
         "source_topk": q_source_topk,  # NEW r4: per-domain quality cap
         "vocab_coverage": q_vocab_coverage,  # NEW r4: vocab sizing curve
+        "leakage_split": q_leakage_split,  # NEW r4: domain-keyed split
+        "split_leakage": q_split_leakage,  # NEW r4: leakage audit histogram
         "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
         "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
         "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only
@@ -2507,6 +2527,28 @@ SELECT th.pct::BIGINT AS pct, count(o.term)::BIGINT AS n_terms,
        any_value(tot.s) AS total_tokens
 FROM th CROSS JOIN tot LEFT JOIN o ON o.cum_prev * 100 < tot.s * th.pct
 GROUP BY th.pct ORDER BY th.pct""",
+        # bucket/split arithmetic mirrors shard_export's md5-hex-prefix
+        # parse; CASE bounds are the cumulative pcts (80/90/100)
+        "leakage_split": """
+WITH s AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(source), 1, 8))::BIGINT % 100)::BIGINT AS bucket
+  FROM documents)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM s ORDER BY doc_id""",
+        "split_leakage": """
+WITH s AS (
+  SELECT md5(text) AS fp,
+         (('0x' || substr(md5(source), 1, 8))::BIGINT % 100) AS b
+  FROM documents),
+p AS (SELECT DISTINCT fp,
+             CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS split
+      FROM s),
+g AS (SELECT fp, count(*)::BIGINT AS n_splits FROM p GROUP BY fp)
+SELECT n_splits, count(*)::BIGINT AS n_fps FROM g
+GROUP BY n_splits ORDER BY n_splits""",
         # elements quantized to floor(x::DOUBLE * 2^16 + 0.5) int64 — the
         # double cast + tie-free floor make the quantization bit-identical
         # across engines (round()'s half-even vs half-away differs; float32

@@ -2606,3 +2606,158 @@ def autocomplete_ds(
         .groupby("prefix")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+def leakage_safe_split_ds(
+    docs: rd.Dataset,
+    key_col: str = "source",
+    pcts: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> rd.Dataset:
+    """Leakage-safe train/val/test assignment: the split is a function of
+    the GROUPING KEY (domain/source), never the document, so every doc of
+    a source — including its near-duplicates and boilerplate siblings —
+    lands in the same split (the split-leakage rule from the dedup
+    literature: splitting at document granularity leaks near-dups from
+    train into eval).
+
+    bucket = u32(md5(key)[:8 hex]) % 100; the split is the first name
+    whose cumulative percentage exceeds the bucket. Deterministic,
+    joinable across tables, oracle-checkable (DuckDB md5). Per batch the
+    md5 runs once per DISTINCT key (domains repeat heavily), fanned out
+    through dictionary codes."""
+    assert sum(pcts) == 100 and len(pcts) == len(names)
+    bounds = np.cumsum(pcts)  # e.g. [80, 90, 100]
+    name_arr = list(names)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        from search_engine_ray.functions.textstats import md5_digests_arrow
+
+        d = md5_digests_arrow(enc.dictionary)
+        u32 = d[:, :4].astype(np.uint32)
+        u32 = (
+            (u32[:, 0] << np.uint32(24))
+            | (u32[:, 1] << np.uint32(16))
+            | (u32[:, 2] << np.uint32(8))
+            | u32[:, 3]
+        )
+        bucket_d = (u32 % np.uint32(100)).astype(np.int64)
+        split_d = np.searchsorted(bounds, bucket_d, side="right")
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        bucket = bucket_d[codes]
+        split = np.array(name_arr, dtype=object)[split_d[codes]]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                key_col: keys,
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def split_leakage_ds(
+    docs: rd.Dataset,
+    key_col: str = "source",
+    pcts: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    by_doc: bool = False,
+) -> rd.Dataset:
+    """Split-leakage audit: for every exact-text fingerprint, how many
+    DISTINCT splits do its copies land in? The dedup-literature check
+    that a doc-granular split leaks eval content into train. Output is
+    the histogram (n_splits, n_fps) — with a leakage-free (key-grouped)
+    split every duplicate class that stays within one source reports
+    n_splits = 1; cross-source copies are the residual leak surface.
+
+    Set ``by_doc=True`` to audit a doc-granular split instead (split by
+    md5(doc_id) — what NOT to ship) and see the leak the key-grouped
+    rule prevents. Scale shape: (fp-halves, split) distinct pairs ->
+    fp-keyed groupby -> per-batch histogram partials -> 3-row result."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from search_engine_ray.functions.textstats import md5_digests_arrow, md5_id_u32
+
+    assert sum(pcts) == 100 and len(pcts) == len(names)
+    bounds = np.cumsum(pcts)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        d = md5_digests_arrow(batch.column("text"))
+        h = d.view(">u8").astype(np.uint64)  # (n, 2)
+        if by_doc:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            bucket = (md5_id_u32(ids) % np.uint32(100)).astype(np.int64)
+        else:
+            keys = batch.column(key_col)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            enc = keys.dictionary_encode()
+            kd = md5_digests_arrow(enc.dictionary)
+            u32 = kd[:, :4].astype(np.uint32)
+            u32 = (
+                (u32[:, 0] << np.uint32(24))
+                | (u32[:, 1] << np.uint32(16))
+                | (u32[:, 2] << np.uint32(8))
+                | u32[:, 3]
+            )
+            bucket = (u32 % np.uint32(100)).astype(np.int64)[
+                enc.indices.to_numpy(zero_copy_only=False)
+            ]
+        split = np.searchsorted(bounds, bucket, side="right").astype(np.int64)
+        # distinct (fp, split) within the batch (combiner)
+        arr = np.stack(
+            [h[:, 0].view(np.int64), h[:, 1].view(np.int64), split], axis=1
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table(
+            {
+                "h1": pa.array(uniq[:, 0], pa.int64()),
+                "h2": pa.array(uniq[:, 1], pa.int64()),
+                "split": pa.array(uniq[:, 2], pa.int64()),
+                "one": pa.array(np.ones(len(uniq), np.int64), pa.int64()),
+            }
+        )
+
+    per_pair = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["h1", "h2", "split"])
+        .aggregate(_Sum("one", alias_name="_n"))
+    )
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h1": batch.column("h1"),
+                "h2": batch.column("h2"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    per_fp = (
+        per_pair.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(_Sum("one", alias_name="n_splits"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_splits").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ns, return_counts=True)
+        return pa.table(
+            {
+                "n_splits": pa.array(uniq, pa.int64()),
+                "pn": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        per_fp.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_splits")
+        .aggregate(_Sum("pn", alias_name="n_fps"))
+        .sort("n_splits")
+    )

@@ -1554,3 +1554,73 @@ def test_vocab_coverage_many_blocks(ray_session):
             n_terms += 1
         assert row["n_terms"] == n_terms and row["covered_tokens"] == cum
         assert row["total_tokens"] == total
+
+
+def test_leakage_safe_split_matches_sql(ray_session):
+    from search_engine_ray.pipelines.text import leakage_safe_split_ds, read_documents
+
+    docs = read_documents(SF, columns=["doc_id", "text", "source"])
+    got = (
+        leakage_safe_split_ds(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+        WITH s AS (
+          SELECT doc_id, source,
+                 (('0x' || substr(md5(source), 1, 8))::BIGINT % 100)::BIGINT AS bucket
+          FROM documents)
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        FROM s ORDER BY doc_id
+        """
+    )
+    assert got.equals(want.reset_index(drop=True))
+    # the leakage-safety property itself: one split per source
+    assert (got.groupby("source")["split"].nunique() == 1).all()
+
+
+def test_split_leakage_histogram(ray_session):
+    from search_engine_ray.pipelines.text import read_documents, split_leakage_ds
+
+    docs = read_documents(SF, columns=["doc_id", "text", "source"])
+    got = split_leakage_ds(docs).to_pandas().reset_index(drop=True)
+    want = _sql(
+        """
+        WITH s AS (
+          SELECT md5(text) AS fp,
+                 (('0x' || substr(md5(source), 1, 8))::BIGINT % 100) AS b
+          FROM documents),
+        p AS (SELECT DISTINCT fp,
+                     CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS split
+              FROM s),
+        g AS (SELECT fp, count(*)::BIGINT AS n_splits FROM p GROUP BY fp)
+        SELECT n_splits, count(*)::BIGINT AS n_fps FROM g
+        GROUP BY n_splits ORDER BY n_splits
+        """
+    )
+    assert got.equals(want.reset_index(drop=True))
+    # fingerprint conservation: histogram sums to distinct text count
+    n_fp = _sql("SELECT count(DISTINCT md5(text))::BIGINT AS n FROM documents")["n"][0]
+    assert got["n_fps"].sum() == n_fp
+
+
+def test_split_leakage_by_doc_leaks_planted_dups(ray_session):
+    # two sources share identical text; a doc-granular split CAN leak it,
+    # the source-keyed split cannot leak within-source dups
+    from search_engine_ray.pipelines.text import split_leakage_ds
+
+    rows = []
+    for d in range(60):
+        # identical text repeated across two different sources
+        rows.append({"doc_id": d, "text": "the shared boilerplate page", "source": f"s{d % 2}"})
+    ds = rd.from_items(rows)
+    keyed = split_leakage_ds(ds).to_pandas()
+    # one fingerprint; lands in as many splits as the 2 sources' buckets
+    assert keyed["n_fps"].sum() == 1
+    by_doc = split_leakage_ds(ds, by_doc=True).to_pandas()
+    # doc-granular split scatters 60 copies across buckets -> multi-split
+    assert by_doc.loc[by_doc["n_splits"] > 1, "n_fps"].sum() == 1
