@@ -1120,6 +1120,45 @@ def q_cm_heavy_hitters(sf_dir: str):
     )
 
 
+def q_hll_window(sf_dir: str):
+    """Hourly distinct users via the windowed HLL composition vs the
+    exact per-window distinct count, asserted within 5% (p=12 -> ~1.6%
+    standard error; deterministic given the hash)."""
+    import pandas as pd
+
+    from search_engine_ray.pipelines.sketches import hll_window_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    ev = read_events(sf_dir.rstrip("/"), columns=["ts", "user_id"])
+    est = hll_window_ds(ev, width="hour").to_pandas()
+
+    def stamp(batch):
+        import pyarrow.compute as _pc
+
+        win = _pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.set_column(0, "ts", win)
+
+    exact = (
+        read_events(sf_dir.rstrip("/"), columns=["ts", "user_id"])
+        .map_batches(stamp, batch_format="pyarrow")
+        .groupby(["ts", "user_id"])
+        .count()
+        .groupby("ts")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact", "ts": "window_start"})
+    )
+    m = est.merge(exact, on="window_start")
+    m["within_bound"] = (
+        (m["distinct_est"] - m["exact"]).abs() / m["exact"] <= 0.05
+    ).astype("int64")
+    return (
+        m[["window_start", "within_bound"]]
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+
 def q_hll_error(sf_dir: str):
     """HLL distinct-user estimates vs the EXACT distinct count, asserted
     within 5% per event_type (p=12 -> ~1.6% standard error). Both sides
@@ -1736,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,  # NEW r4: vocab sizing curve
         "leakage_split": q_leakage_split,  # NEW r4: domain-keyed split
         "split_leakage": q_split_leakage,  # NEW r4: leakage audit histogram
+        "hll_window": q_hll_window,  # NEW r4: sketch x window composition
         "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
         "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
         "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only
@@ -2291,6 +2331,13 @@ ORDER BY term
         "hll_error": (
             "SELECT event_type, 1::BIGINT AS within_bound FROM events"
             " GROUP BY event_type ORDER BY event_type"
+        ),
+        # per-window HLL (p=12) vs exact: deterministic given the hash;
+        # the oracle pins within_bound = 1 for every hourly window
+        "hll_window": (
+            "SELECT date_trunc('hour', ts) AS window_start,"
+            " 1::BIGINT AS within_bound FROM events"
+            " GROUP BY 1 ORDER BY 1"
         ),
         # the log-histogram sketch's bin ALWAYS equals the bin of the exact
         # k-th smallest (bin counts are exact; binning is monotonic), so

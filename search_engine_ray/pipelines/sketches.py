@@ -381,3 +381,44 @@ def logbin_quantile_sketch_ds(
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def hll_window_ds(
+    events: rd.Dataset,
+    width: str = "hour",
+    val_col: str = "user_id",
+    p: int = _HLL_P_DEFAULT,
+) -> rd.Dataset:
+    """Approximate distinct-``val_col`` per tumbling time window — the
+    sketch x window composition every traffic dashboard runs (hourly
+    unique users) where an exact COUNT(DISTINCT) would shuffle every
+    (window, user) pair. One pre-map stamps the int64-us window key
+    (pc.floor_temporal); :func:`hll_distinct_ds` then ships one m-byte
+    register row per (window, batch) and merges by elementwise max.
+    Output: (window_start timestamp[us], distinct_est), window-sorted."""
+    import pyarrow.compute as pc
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit=width)
+        if isinstance(win, pa.ChunkedArray):
+            win = win.combine_chunks()
+        return pa.table(
+            {
+                "wus": win.cast(pa.int64()),
+                val_col: batch.column(val_col),
+            }
+        )
+
+    est = hll_distinct_ds(
+        events.map_batches(stamp, batch_format="pyarrow"), "wus", val_col, p=p
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("wus").cast(pa.timestamp("us")),
+                "distinct_est": batch.column("distinct_est"),
+            }
+        )
+
+    return est.map_batches(finish, batch_format="pyarrow").sort("window_start")

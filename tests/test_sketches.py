@@ -237,3 +237,28 @@ def test_logbin_quantile_sketch_null_rows_excluded(ray_session):
     # the null-key row (v=100) appears nowhere
     assert got["k"].tolist() == [1, 1, 2, 2]
     assert got["est"].tolist() == [4.0, 8.0, 16.0, 32.0]
+
+
+def test_hll_window_within_bound_and_merge_invariance(ray_session):
+    """Windowed HLL: every hourly window's estimate within 5% of the
+    exact distinct count, invariant to input partitioning (register max
+    is associative)."""
+    from search_engine_ray.pipelines.sketches import hll_window_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_events(sf, columns=["ts", "user_id"])
+    got = hll_window_ds(ev, width="hour").to_pandas()
+    con = duckdb.connect()
+    exact = con.sql(
+        f"""SELECT date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id)::BIGINT AS exact
+            FROM '{sf}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    m = got.merge(exact, on="window_start")
+    assert len(m) == len(got) == len(exact)
+    rel = (m["distinct_est"] - m["exact"]).abs() / m["exact"]
+    assert (rel <= 0.05).all(), rel.max()
+    # partitioning invariance
+    got2 = hll_window_ds(ev.repartition(13), width="hour").to_pandas()
+    assert got2["distinct_est"].tolist() == got["distinct_est"].tolist()
