@@ -488,6 +488,18 @@ def q_label_propagation(sf_dir: str):
     )
 
 
+def q_group_centroid(sf_dir: str):
+    """Per-label embedding centroids (class prototypes), one row per
+    (label, dim), from exact floor-quantized int64 sums — bit-identical
+    to the SQL oracle like embedding_stats."""
+    from search_engine_ray.pipelines.similarity import (
+        group_centroid_ds,
+        read_embeddings,
+    )
+
+    return group_centroid_ds(read_embeddings(sf_dir.rstrip("/")))
+
+
 def q_whiten_embeddings(sf_dir: str):
     """PCA-whitened embeddings (x -> W^T(x - mu)); rows-only here, the
     numerics are pinned against the sequential numpy reference in
@@ -1781,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_split": q_leakage_split,  # NEW r4: domain-keyed split
         "split_leakage": q_split_leakage,  # NEW r4: leakage audit histogram
         "hll_window": q_hll_window,  # NEW r4: sketch x window composition
+        "group_centroid": q_group_centroid,  # NEW r4: class prototypes
         "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
         "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
         "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only
@@ -2616,6 +2629,14 @@ SELECT dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s_q,
        (count(*)::DOUBLE * sum(q*q)::DOUBLE - sum(q)::DOUBLE * sum(q)::DOUBLE)
          / (count(*)::DOUBLE * count(*)::DOUBLE * 65536.0 * 65536.0) AS var
 FROM u GROUP BY dim ORDER BY dim""",
+        "group_centroid": """
+WITH u AS (SELECT label::BIGINT AS label,
+                  CAST(floor(unnest(embedding)::DOUBLE * 65536 + 0.5) AS BIGINT) AS q,
+                  (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim
+           FROM embeddings)
+SELECT label, dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS s_q,
+       sum(q)::DOUBLE / (count(*)::DOUBLE * 65536.0) AS mean
+FROM u GROUP BY label, dim ORDER BY label, dim""",
         "dup_clusters": dup_clusters,
         "cluster_best": cluster_best,
         "tfidf_topk": tfidf,

@@ -473,3 +473,69 @@ def whiten_embeddings_ds(
         )
 
     return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+def group_centroid_ds(
+    embeddings: rd.Dataset,
+    key_col: str = "label",
+    q_bits: int = 16,
+) -> rd.Dataset:
+    """Per-group embedding centroids (class prototypes / domain mixture
+    centers): the mean vector of each ``key_col`` group, one row per
+    (key, dim) — the nearest-class-mean primitive behind prototype
+    classification, cluster seeding, and per-domain embedding drift
+    monitoring.
+
+    Same exactness contract as :func:`embedding_stats_ds`: elements are
+    quantized ``floor(x * 2^q_bits + 0.5)`` int64 and summed exactly, so
+    the centroid is order-independent and oracle-checkable bit-for-bit;
+    the mean is one IEEE division on the integer sums. Per batch ships
+    n_keys x d partial rows (keys x dims bounded), never the vectors."""
+    scale = float(1 << q_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        _, m = _to_matrix(batch)
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        enc = keys.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        nk, d = len(enc.dictionary), q.shape[1]
+        s = np.zeros((nk, d), np.int64)
+        np.add.at(s, codes, q)
+        cnt = np.bincount(codes, minlength=nk).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(
+                    [enc.dictionary.cast(pa.int64())] * d
+                ) if d else enc.dictionary.cast(pa.int64()),
+                "dim": pa.array(np.repeat(np.arange(d, dtype=np.int64), nk), pa.int64()),
+                "pn": pa.array(np.tile(cnt, d), pa.int64()),
+                "ps": pa.array(s.T.ravel(), pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "dim"])
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("ps", alias_name="s_q"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("s_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "dim": batch.column("dim"),
+                "n": batch.column("n"),
+                "s_q": batch.column("s_q"),
+                "mean": pa.array(s / (n * scale), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort([key_col, "dim"])

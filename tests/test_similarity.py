@@ -323,3 +323,32 @@ def test_whiten_embeddings_matches_numpy(ray_session):
     assert np.allclose(np.diag(c2), 1.0, atol=1e-2)
     off = c2 - np.diag(np.diag(c2))
     assert np.abs(off).max() < 1e-2
+
+
+def test_group_centroid_exact_and_matches_numpy(ray_session):
+    """Per-label centroid: exact quantized sums == numpy; mean is the
+    IEEE division on the sums (same expression as the SQL oracle)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        group_centroid_ds,
+        read_embeddings,
+    )
+    from search_engine_ray.util import embedding_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = group_centroid_ds(read_embeddings(sf)).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    m = embedding_matrix(t.column("embedding"))
+    lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    q = np.floor(m * 65536 + 0.5).astype(np.int64)
+    d = m.shape[1]
+    for L in np.unique(lab):
+        sub = got[got["label"] == L].sort_values("dim")
+        sel = q[lab == L]
+        assert sub["dim"].tolist() == list(range(d))
+        assert (sub["n"].to_numpy() == len(sel)).all()
+        assert (sub["s_q"].to_numpy() == sel.sum(axis=0)).all()
+        want_mean = sel.sum(axis=0).astype(np.float64) / (float(len(sel)) * 65536.0)
+        assert (sub["mean"].to_numpy() == want_mean).all()
