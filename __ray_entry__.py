@@ -1561,6 +1561,15 @@ def q_quantile_bucket(sf_dir: str):
     return quantile_bucket_ds(_docs(sf_dir))
 
 
+def q_pii_cards(sf_dir: str):
+    """Payment-card redaction with vectorized Luhn validation; rows-only
+    (Luhn is not SQL-expressible) — planted-card tests pin the behavior;
+    the synthetic corpus itself contains no digit runs."""
+    from search_engine_ray.pipelines.text import pii_cards_ds, read_documents
+
+    return pii_cards_ds(read_documents(sf_dir.rstrip("/")))
+
+
 def q_pii_redact(sf_dir: str):
     from search_engine_ray.pipelines.text import pii_redact_ds
 
@@ -1794,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": q_split_leakage,  # NEW r4: leakage audit histogram
         "hll_window": q_hll_window,  # NEW r4: sketch x window composition
         "group_centroid": q_group_centroid,  # NEW r4: class prototypes
+        "pii_cards": q_pii_cards,  # NEW r4: Luhn PAN redaction, rows-only
         "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
         "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
         "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only

@@ -1624,3 +1624,47 @@ def test_split_leakage_by_doc_leaks_planted_dups(ray_session):
     by_doc = split_leakage_ds(ds, by_doc=True).to_pandas()
     # doc-granular split scatters 60 copies across buckets -> multi-split
     assert by_doc.loc[by_doc["n_splits"] > 1, "n_fps"].sum() == 1
+
+
+def test_pii_cards_luhn(ray_session):
+    from search_engine_ray.pipelines.text import pii_cards_ds
+
+    valid1 = "4532 0151 1283 0366"       # Luhn-valid 16-digit (Visa test shape)
+    valid2 = "79927398713"                # classic Luhn example, 11 digits: TOO SHORT -> not a card
+    valid3 = "4532-0151-1283-0366"
+    invalid = "4532 0151 1283 0367"       # checksum off by one
+    rows = [
+        {"doc_id": 0, "text": f"pay with {valid1} now"},
+        {"doc_id": 1, "text": f"ref {invalid} is an order id"},
+        {"doc_id": 2, "text": f"both {valid3} and {invalid} appear"},
+        {"doc_id": 3, "text": f"short {valid2} run"},
+        {"doc_id": 4, "text": "no digits at all"},
+        {"doc_id": 5, "text": ""},
+    ]
+    got = (
+        pii_cards_ds(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_cards"].tolist() == [1, 0, 1, 0, 0, 0]
+    assert got["clean_text"][0] == "pay with <CARD> now"
+    assert got["clean_text"][1] == rows[1]["text"]  # invalid untouched
+    assert got["clean_text"][2] == f"both <CARD> and {invalid} appear"
+    assert got["n_candidates"].tolist()[:3] == [1, 1, 2]
+    # rows with no candidates take the vectorized fast path untouched
+    assert got["clean_text"][4] == "no digits at all" and got["clean_text"][5] == ""
+
+
+def test_luhn_reference_vectors():
+    from search_engine_ray.pipelines.text import _luhn_valid
+
+    import numpy as np
+
+    # classic vectors: 79927398713 valid (but <13 digits -> masked),
+    # 4532015112830366 valid, off-by-one invalid, amex-length 15 valid
+    got = _luhn_valid(
+        ["79927398713", "4532015112830366", "4532015112830367", "371449635398431"]
+    )
+    assert got.tolist() == [False, True, False, True]
+    assert _luhn_valid([]).tolist() == []
