@@ -1759,6 +1759,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "semdedup": q_semdedup,  # first driver check (r3 verdict #7)
         # ---------------- below the driver's 50-entry window ----------------
+        # r5 rotation plan: once CORRECTNESS_r04 greens the first-check
+        # entries above (pack_sequences..semdedup), rotate the NEW-r4
+        # oracle-bearing queries in — source_topk, vocab_coverage,
+        # embedding_stats, group_centroid, leakage_split, split_leakage,
+        # hll_window, token_drift, blocklist_filter — and move the freshly
+        # double-proven relational/windows trivia out. Keep the core
+        # build/search set (positions 0-10) pinned.
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
