@@ -1667,6 +1667,17 @@ def q_pricing_summary(sf_dir: str):
     return pricing_summary_ds(sf_dir.rstrip("/"))
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping token-window chunking (RAG / context-window prep):
+    32-token windows advancing by 16, final window clamped to the last
+    token — one row per (doc_id, chunk_id) with the chunk text."""
+    from search_engine_ray.pipelines.text import chunk_docs_ds, read_documents
+
+    return chunk_docs_ds(
+        read_documents(sf_dir.rstrip("/")), chunk_tokens=32, stride=16
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict order is load-bearing: the round driver checks the FIRST 50
     # entries against oracle_sql(). The window therefore holds (a) the core
@@ -1763,9 +1774,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entries above (pack_sequences..semdedup), rotate the NEW-r4
         # oracle-bearing queries in — source_topk, vocab_coverage,
         # embedding_stats, group_centroid, leakage_split, split_leakage,
-        # hll_window, token_drift, blocklist_filter — and move the freshly
+        # hll_window, token_drift, blocklist_filter, chunk_docs,
+        # sparse_knn, space_saving, search_facets — and move the freshly
         # double-proven relational/windows trivia out. Keep the core
         # build/search set (positions 0-10) pinned.
+        "chunk_docs": q_chunk_docs,  # NEW r4 s6: RAG token-window chunking
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2285,6 +2298,21 @@ ORDER BY dd.doc_id
 """
     return {
         "token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        # chunk rule mirrored from pipelines/text.py chunk_docs_ds: L<=32 ->
+        # 1 chunk, else ceil((L-32)/16)+1; chunk i = tokens [i*16, i*16+32)
+        # clamped to L (DuckDB list slice is 1-based inclusive)
+        "chunk_docs": f"""
+WITH t AS (
+  SELECT doc_id, {tok} AS ts, len({tok})::BIGINT AS L FROM documents
+), c AS (
+  SELECT doc_id, L, ts,
+         unnest(range(0, CASE WHEN L = 0 THEN 0 WHEN L <= 32 THEN 1
+                              ELSE CAST(ceil((L - 32) / 16.0) AS BIGINT) + 1 END)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id, chunk_id * 16 AS start_tok,
+       LEAST(32, L - chunk_id * 16) AS n_tokens,
+       array_to_string(ts[chunk_id * 16 + 1 : chunk_id * 16 + LEAST(32, L - chunk_id * 16)], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id""",
         # parity contract documented at pipelines/text.py normalize_text_ds
         "text_normalize": r"""
 SELECT doc_id,

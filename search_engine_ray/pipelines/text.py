@@ -2861,3 +2861,90 @@ def pii_cards_ds(docs: rd.Dataset) -> rd.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_docs_ds(
+    docs: rd.Dataset, chunk_tokens: int = 32, stride: int = 16
+) -> rd.Dataset:
+    """Overlapping fixed-size token-window chunking (RAG / context-window
+    prep): split each document into windows of ``chunk_tokens`` tokens
+    advancing by ``stride`` (overlap = chunk_tokens - stride).
+
+    Chunk rule (mirrored exactly by the SQL oracle): a doc with L tokens
+    emits ``1`` chunk if ``L <= chunk_tokens`` else
+    ``ceil((L - chunk_tokens) / stride) + 1``; chunk ``i`` starts at token
+    ``i * stride`` and holds ``min(chunk_tokens, L - start)`` tokens, so
+    the final window always reaches the last token. Empty docs emit
+    nothing.
+
+    Output: one row per chunk —
+    (doc_id, chunk_id, start_tok, n_tokens, chunk_text).
+
+    Scale: single-pass map_batches, no shuffle. The take-index vector is
+    built arithmetically (repeat/cumsum), the chunk text by one
+    ``pc.binary_join`` over a list-array view of the gathered tokens —
+    no per-row Python. Each output block is at most
+    ``chunk_tokens/stride``x the input block bytes (the overlap factor),
+    so block sizes stay bounded regardless of corpus size.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    c, s = chunk_tokens, stride
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = token_lists(batch.column("text"))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        flat = toks.flatten()
+        n_chunks = np.where(
+            lens == 0, 0, np.where(lens <= c, 1, (lens - c + s - 1) // s + 1)
+        )
+        total = int(n_chunks.sum())
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        first = np.cumsum(n_chunks) - n_chunks  # row index of each doc's chunk 0
+        cid = np.arange(total) - first[doc_idx]
+        start = cid * s
+        ntok = np.minimum(c, lens[doc_idx] - start)
+        chunk_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(ntok, out=chunk_off[1:])
+        tok_total = int(chunk_off[-1])
+        # flat token index for output position j: base of its chunk plus the
+        # offset within the chunk
+        base = doc_off[doc_idx] + start
+        idx = (
+            np.arange(tok_total)
+            - np.repeat(chunk_off[:-1], ntok)
+            + np.repeat(base, ntok)
+        )
+        taken = flat.take(pa.array(idx, pa.int64()))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        la = pa.ListArray.from_arrays(
+            pa.array(chunk_off, pa.int32()), taken
+        )
+        chunk_text = pc.binary_join(la, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[doc_idx], pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "start_tok": pa.array(start, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -1668,3 +1668,71 @@ def test_luhn_reference_vectors():
     )
     assert got.tolist() == [False, True, False, True]
     assert _luhn_valid([]).tolist() == []
+
+
+def test_chunk_docs_edges(ray_session):
+    """Chunk rule edges: short doc (one chunk), exact-boundary lengths,
+    overlap content, empty doc (no chunks)."""
+    from search_engine_ray.pipelines.text import chunk_docs_ds
+
+    def words(n, p="w"):
+        return " ".join(f"{p}{i}" for i in range(n))
+
+    rows = [
+        {"doc_id": 0, "text": words(3)},        # L < chunk -> 1 chunk
+        {"doc_id": 1, "text": words(4)},        # L == chunk -> 1 chunk
+        {"doc_id": 2, "text": words(5)},        # L = chunk+1 -> 2 chunks
+        {"doc_id": 3, "text": words(6)},        # L = chunk+stride -> 2 chunks
+        {"doc_id": 4, "text": words(7)},        # -> 3 chunks (tail len 3)
+        {"doc_id": 5, "text": ""},              # empty -> no rows
+    ]
+    out = (
+        chunk_docs_ds(rd.from_items(rows), chunk_tokens=4, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    per_doc = out.groupby("doc_id").size().to_dict()
+    assert per_doc == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3}
+    d2 = out[out.doc_id == 2]
+    assert d2["chunk_text"].tolist() == ["w0 w1 w2 w3", "w2 w3 w4"]
+    assert d2["start_tok"].tolist() == [0, 2]
+    assert d2["n_tokens"].tolist() == [4, 3]
+    d4 = out[out.doc_id == 4]
+    assert d4["chunk_text"].tolist() == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6"
+    ]
+    # every doc's final chunk reaches its last token
+    for i, n in [(0, 3), (1, 4), (2, 5), (3, 6), (4, 7)]:
+        last = out[out.doc_id == i].iloc[-1]
+        assert last["start_tok"] + last["n_tokens"] == n
+
+
+def test_chunk_docs_matches_sql(docs):
+    from search_engine_ray.pipelines.text import chunk_docs_ds
+
+    got = (
+        chunk_docs_ds(docs, chunk_tokens=32, stride=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = _sql(
+        """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS L
+  FROM documents
+), c AS (
+  SELECT doc_id, L, ts,
+         unnest(range(0, CASE WHEN L = 0 THEN 0 WHEN L <= 32 THEN 1
+                              ELSE CAST(ceil((L - 32) / 16.0) AS BIGINT) + 1 END)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id, chunk_id * 16 AS start_tok,
+       LEAST(32, L - chunk_id * 16) AS n_tokens,
+       array_to_string(ts[chunk_id * 16 + 1 : chunk_id * 16 + LEAST(32, L - chunk_id * 16)], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+        """
+    )
+    assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
