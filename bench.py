@@ -328,6 +328,8 @@ def _training_data_ops(sf_dir: str) -> dict:
         "text_normalize",
         "normalize_dedup",
         "clean_index_search",
+        "chunk_docs",
+        "sparse_knn",
     ):
         import ray.data as rd
 

@@ -539,3 +539,81 @@ def group_centroid_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort([key_col, "dim"])
+
+
+def mmr_rerank_ds(
+    embeddings: rd.Dataset,
+    query: np.ndarray,
+    query_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> rd.Dataset:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
+    diversify a cosine top-``pool`` candidate set down to ``k`` results by
+    greedily maximizing ``lam * sim(q, d) - (1 - lam) * max sim(d, S)``
+    over the already-selected set S; ties break on vec_id.
+
+    Scale shape: candidate generation is the distributed part — the exact
+    per-batch partial top-``pool`` of ``brute_force_cosine_topk_ds``
+    (combiner pattern, only n_batches * pool rows shuffle, the corpus
+    streams). The greedy re-rank itself is O(pool^2) on the driver over a
+    BOUNDED pool (pool << corpus; 50-500 in practice), the standard
+    serving-side shape for MMR — the quadratic term never touches corpus
+    size. Output: (query_id, vec_id, mmr_rank, relevance), rank 1..k.
+    """
+    cand = brute_force_cosine_topk_ds(
+        embeddings, np.asarray(query, dtype=np.float64)[None, :], [query_id], k=pool
+    ).to_pandas()
+    cand = cand.sort_values(["cosine", "vec_id"], ascending=[False, True])
+    ids = cand["vec_id"].to_numpy()
+    id_set = set(ids.tolist())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.array([x in id_set for x in v.tolist()], dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    sub = embeddings.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    # bounded: at most ``pool`` rows reach the driver
+    from search_engine_ray.util import embedding_matrix
+
+    vecs = _normalize(
+        embedding_matrix(pa.chunked_array([pa.array(sub["embedding"].tolist())]))
+    )
+    pos = {int(v): i for i, v in enumerate(sub["vec_id"].tolist())}
+    m = np.stack([vecs[pos[int(v)]] for v in ids])
+    # relevance recomputed EXACTLY from the fetched vectors — the candidate
+    # stage's 4-dp-rounded cosines would perturb close MMR decisions
+    qn = np.asarray(query, dtype=np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
+    rel = m @ qn
+    inter = m @ m.T  # (pool, pool) candidate-candidate cosines
+    n = len(ids)
+    selected: list[int] = []
+    chosen = np.zeros(n, dtype=bool)
+    out_rank, out_id, out_rel = [], [], []
+    for step in range(min(k, n)):
+        if selected:
+            div = inter[:, selected].max(axis=1)
+        else:
+            div = np.zeros(n)
+        score = lam * rel - (1.0 - lam) * div
+        score[chosen] = -np.inf
+        best = int(np.lexsort((ids, -score))[0])
+        chosen[best] = True
+        selected.append(best)
+        out_rank.append(step + 1)
+        out_id.append(int(ids[best]))
+        out_rel.append(float(rel[best]))
+    return rd.from_items(
+        [
+            {
+                "query_id": query_id,
+                "vec_id": v,
+                "mmr_rank": r,
+                "relevance": round(s, 4),
+            }
+            for r, v, s in zip(out_rank, out_id, out_rel)
+        ]
+    )

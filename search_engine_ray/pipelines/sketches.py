@@ -422,3 +422,120 @@ def hll_window_ds(
         )
 
     return est.map_batches(finish, batch_format="pyarrow").sort("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries, Agarwal et al. PODS'12)
+# ---------------------------------------------------------------------------
+#
+# Deterministic counter-based top-k complement to Count-Min: k counters,
+# est(t) <= true(t) <= est(t) + n/(k+1) with NO probability of failure, and
+# every term with true(t) > n/(k+1) is guaranteed a surviving counter. The
+# per-batch summary is the combiner (k rows regardless of batch size); merge
+# = add counters, subtract the (k+1)-th largest, drop non-positive — the
+# associative merge preserves the bound, so a binary task tree reduces the
+# corpus to one k-row summary without the tokens ever crossing the wire.
+
+
+def _mg_compress(
+    terms: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a (term, count) multiset to at most k counters: subtract the
+    (k+1)-th largest count from every counter, keep the positive ones."""
+    if len(terms) <= k:
+        return terms, counts
+    d = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    new = counts - d
+    keep = new > 0
+    return terms[keep], new[keep]
+
+
+def misra_gries_sketch(
+    docs: rd.Dataset,
+    col: str = "text",
+    k: int = 128,
+    min_len: int = 2,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Merged Misra-Gries summary over every token occurrence (lowercased,
+    length >= min_len) in ``docs[col]``.
+
+    Returns (terms, est_counts, n_total): at most ``k`` surviving counters
+    with deterministic guarantees est <= true <= est + n_total // (k + 1),
+    and guaranteed presence of every term whose true count exceeds
+    n_total // (k + 1).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions.textstats import token_lists
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = token_lists(batch.column(col))
+        flat = pc.utf8_lower(toks.flatten())
+        ok = pc.greater_equal(pc.utf8_length(flat), min_len)
+        arr = flat.filter(ok).to_numpy(zero_copy_only=False)
+        n = len(arr)
+        if n:
+            t, c = np.unique(arr, return_counts=True)
+            t, c = _mg_compress(t, c.astype(np.int64), k)
+        else:
+            t, c = np.array([], dtype=object), np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "terms": pa.array([t.tolist()], pa.list_(pa.string())),
+                "counts": pa.array([c.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    def _merge(
+        ta: np.ndarray, ca: np.ndarray, tb: np.ndarray, cb: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        t = np.concatenate([ta, tb])
+        c = np.concatenate([ca, cb])
+        if not len(t):
+            return t, c
+        uniq, inv = np.unique(t, return_inverse=True)
+        summed = np.zeros(len(uniq), np.int64)
+        np.add.at(summed, inv, c)
+        return _mg_compress(uniq, summed, k)
+
+    @ray.remote
+    def block_sum(tbl: pa.Table) -> tuple[list, list, int]:
+        t = np.array([], dtype=object)
+        c = np.array([], dtype=np.int64)
+        n = 0
+        if "terms" not in tbl.column_names:
+            return [], [], 0
+        for row_t, row_c, row_n in zip(
+            tbl.column("terms").to_pylist(),
+            tbl.column("counts").to_pylist(),
+            tbl.column("n").to_pylist(),
+        ):
+            t, c = _merge(t, c, np.array(row_t, dtype=object), np.array(row_c, np.int64))
+            n += row_n
+        return t.tolist(), c.tolist(), n
+
+    @ray.remote
+    def pair_sum(a: tuple, b: tuple) -> tuple[list, list, int]:
+        t, c = _merge(
+            np.array(a[0], dtype=object),
+            np.array(a[1], np.int64),
+            np.array(b[0], dtype=object),
+            np.array(b[1], np.int64),
+        )
+        return t.tolist(), c.tolist(), a[2] + b[2]
+
+    refs = [
+        block_sum.remote(r)
+        for r in docs.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ]
+    while len(refs) > 1:
+        refs = [
+            pair_sum.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    t, c, n = ray.get(refs[0]) if refs else ([], [], 0)
+    return np.array(t, dtype=object), np.array(c, np.int64), n

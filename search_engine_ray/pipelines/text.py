@@ -2948,3 +2948,220 @@ def chunk_docs_ds(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def sparse_knn_ds(
+    docs: rd.Dataset, k: int = 3, max_df: int | None = None
+) -> rd.Dataset:
+    """Per-doc top-k most-similar other docs by sparse term overlap —
+    sim(a, b) = sum over shared terms of tf_a * tf_b (integer-exact, so
+    hash-stable), the inverted-index formulation of all-pairs similarity
+    (Bayardo et al., WWW'07): pairs are generated term-partitioned, never
+    doc-vs-doc.
+
+    Terms: lowercased, length >= 2 (same contract as ``tfidf_topk_ds`` /
+    ``term_df_ds``). ``max_df`` drops terms appearing in more than that
+    many docs BEFORE pair emission — the standard all-pairs cost knob:
+    per-term pair work is df^2, so the cap bounds each term's emission at
+    max_df^2 regardless of corpus size (high-df terms carry the least
+    similarity signal; at crawl scale set it ~few hundred). df <= 1 terms
+    emit nothing.
+
+    Scale shape (mirror of tfidf_topk_ds): one vectorized tokenize pass
+    emits doc-local (doc, term, tf) rows bucketed on hash(term); df and
+    the cross-doc pair emission happen INSIDE the term bucket (df = term
+    row count, pairs via repeat/arange index arithmetic — no Python
+    loops); partial products then bucket on hash(doc_id) where they are
+    summed per (a, b) and reduced to top-k per doc in one vectorized
+    run-length pass. Two shuffles total; nothing materializes beyond the
+    capped pair rows.
+
+    Output: (doc_id, nbr_id, dot, rank), rank 1..k by (dot DESC, nbr_id).
+    """
+    from search_engine_ray.pipelines.dedup import _bucketer, _n_pair_buckets
+
+    n_buckets = _n_pair_buckets()
+
+    def _term_buckets(terms: np.ndarray) -> np.ndarray:
+        from search_engine_ray.stages.postings import _hash_utf8_array
+
+        uniq, inv = np.unique(terms, return_inverse=True)
+        h = _hash_utf8_array(pa.array(uniq, pa.string()))
+        return (h % np.uint64(n_buckets)).astype(np.int64)[inv]
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        d, t, f = _doc_term_tf_batch(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "term": pa.array(t, pa.string()),
+                "tf": pa.array(f, pa.int64()),
+                "_bkt": pa.array(_term_buckets(t), pa.int64()),
+            }
+        )
+
+    _empty_pairs = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        f = group.column("tf").to_numpy(zero_copy_only=False)
+        n = len(terms)
+        if not n:
+            return _empty_pairs
+        order = np.argsort(terms, kind="stable")
+        t, d, f = terms[order], d[order], f[order]
+        new = np.concatenate(([True], t[1:] != t[:-1]))
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, n))
+        # runs survive or die whole: df <= 1 never pairs, df > max_df capped
+        keep_runs = runs > 1
+        if max_df is not None:
+            keep_runs &= runs <= max_df
+        if not keep_runs.any():
+            return _empty_pairs
+        row_keep = np.repeat(keep_runs, runs)
+        d, f = d[row_keep], f[row_keep]
+        run_lens = runs[keep_runs]
+        m = len(d)
+        # per-row run geometry in the FILTERED arrays
+        s_of_run = np.concatenate(([0], np.cumsum(run_lens)[:-1]))
+        s_of_row = np.repeat(s_of_run, run_lens)
+        r_of_row = np.repeat(run_lens, run_lens)
+        total = int((run_lens * run_lens).sum())
+        pair_start = np.concatenate(([0], np.cumsum(r_of_row)[:-1]))
+        a_idx = np.repeat(np.arange(m), r_of_row)
+        b_idx = (
+            np.arange(total)
+            - np.repeat(pair_start, r_of_row)
+            + np.repeat(s_of_row, r_of_row)
+        )
+        neq = a_idx != b_idx
+        a_idx, b_idx = a_idx[neq], b_idx[neq]
+        return pa.table(
+            {
+                "a": pa.array(d[a_idx], pa.int64()),
+                "b": pa.array(d[b_idx], pa.int64()),
+                "partial": pa.array(f[a_idx] * f[b_idx], pa.int64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        p = group.column("partial").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        n = len(a)
+        if not n:
+            return empty
+        order = np.lexsort((b, a))
+        a, b, p = a[order], b[order], p[order]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        starts = np.flatnonzero(new)
+        dot = np.add.reduceat(p, starts)
+        a, b = a[starts], b[starts]
+        order2 = np.lexsort((b, -dot, a))
+        a, b, dot = a[order2], b[order2], dot[order2]
+        m = len(a)
+        new2 = np.concatenate(([True], a[1:] != a[:-1]))
+        s2 = np.flatnonzero(new2)
+        pos = np.arange(m) - np.repeat(s2, np.diff(np.append(s2, m)))
+        kp = pos < k
+        return pa.table(
+            {
+                "doc_id": pa.array(a[kp], pa.int64()),
+                "nbr_id": pa.array(b[kp], pa.int64()),
+                "dot": pa.array(dot[kp], pa.int64()),
+                "rank": pa.array(pos[kp] + 1, pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    return (
+        pairs.map_batches(_bucketer("a", n_buckets), batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def facet_counts_ds(
+    docs: rd.Dataset,
+    terms: list[str],
+    facet_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Faceted search counts: how many docs match ALL of ``terms``
+    (conjunctive containment over the lowercased token list), grouped by
+    the facet columns — the aggregation behind a search UI's facet
+    sidebar, run corpus-wide as a Dataset op rather than through the
+    index (the index path serves top-k; facets need full match counts).
+
+    Scale shape: membership test is one ``pc.is_in`` per query term over
+    the flat token array (no per-row Python); each batch pre-aggregates
+    to at most |facet cross product| rows before the global groupby sum,
+    so the shuffle carries combiner rows only.
+
+    Output: (facet cols..., n_docs), one row per facet combination with
+    at least one matching doc.
+    """
+    facet_cols = facet_cols or ["source", "lang"]
+    want = [t.lower() for t in terms]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = lower_tokens(token_lists(batch.column("text")))
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n_docs_in = len(batch)
+        matched = np.ones(n_docs_in, dtype=bool)
+        for t in want:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            per_doc = np.zeros(n_docs_in, dtype=bool)
+            per_doc[parents[hit]] = True
+            matched &= per_doc
+        idx = np.flatnonzero(matched)
+        sub = batch.select(facet_cols).take(pa.array(idx, pa.int64()))
+        # in-batch combine: count per facet tuple
+        keys = [sub.column(c).to_numpy(zero_copy_only=False) for c in facet_cols]
+        if not len(idx):
+            return pa.table(
+                {
+                    **{c: pa.array([], pa.string()) for c in facet_cols},
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort(tuple(reversed(keys)))
+        ks = [k[order] for k in keys]
+        new = np.zeros(len(idx), dtype=bool)
+        new[0] = True
+        for k in ks:
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(idx)))
+        return pa.table(
+            {
+                **{c: pa.array(k[starts]) for c, k in zip(facet_cols, ks)},
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(facet_cols)
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

@@ -352,3 +352,48 @@ def test_group_centroid_exact_and_matches_numpy(ray_session):
         assert (sub["s_q"].to_numpy() == sel.sum(axis=0)).all()
         want_mean = sel.sum(axis=0).astype(np.float64) / (float(len(sel)) * 65536.0)
         assert (sub["mean"].to_numpy() == want_mean).all()
+
+
+def test_mmr_rerank_matches_numpy_reference(ray_session):
+    """Greedy MMR over the top-pool candidates == plain numpy greedy on the
+    same pool; rank 1 is the pure-relevance argmax; k results, no repeats."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        mmr_rerank_ds,
+        read_embeddings,
+    )
+
+    sf = SF
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.array(tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    got = (
+        mmr_rerank_ds(read_embeddings(sf), q, k=10, pool=50, lam=0.7)
+        .to_pandas()
+        .sort_values("mmr_rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 10
+    assert got["vec_id"].is_unique
+    # numpy reference over the full table
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    qn = q / np.linalg.norm(q)
+    rel = mn @ qn
+    order = np.lexsort((ids, -rel))[:50]
+    cids, crel, cm = ids[order], rel[order], mn[order]
+    inter = cm @ cm.T
+    chosen, sel = np.zeros(50, bool), []
+    want = []
+    for _ in range(10):
+        div = inter[:, sel].max(axis=1) if sel else np.zeros(50)
+        score = 0.7 * crel - 0.3 * div
+        score[chosen] = -np.inf
+        best = int(np.lexsort((cids, -score))[0])
+        chosen[best] = True
+        sel.append(best)
+        want.append(int(cids[best]))
+    assert got["vec_id"].tolist() == want
+    # rank 1 == relevance argmax; the tail diverges from pure relevance
+    assert got["vec_id"][0] == want[0] == int(cids[0])

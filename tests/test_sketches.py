@@ -263,3 +263,67 @@ def test_hll_window_within_bound_and_merge_invariance(ray_session):
     # partitioning invariance
     got2 = hll_window_ds(ev.repartition(13), width="hour").to_pandas()
     assert got2["distinct_est"].tolist() == got["distinct_est"].tolist()
+
+
+def test_mg_compress_properties():
+    """Compress keeps <= k counters, subtracts the (k+1)-th largest, and
+    never raises any counter."""
+    from search_engine_ray.pipelines.sketches import _mg_compress
+
+    terms = np.array([f"t{i}" for i in range(10)], dtype=object)
+    counts = np.array([10, 9, 8, 7, 6, 5, 4, 3, 2, 1], dtype=np.int64)
+    t, c = _mg_compress(terms, counts, k=3)
+    # (k+1)-th largest = 7 -> survivors 10-7, 9-7, 8-7
+    assert t.tolist() == ["t0", "t1", "t2"]
+    assert c.tolist() == [3, 2, 1]
+    # k >= len: identity
+    t2, c2 = _mg_compress(terms, counts, k=20)
+    assert len(t2) == 10
+
+
+def test_misra_gries_deterministic_bounds(ray_session):
+    """est <= true <= est + n//(k+1) for every counter, and every term with
+    true count > n//(k+1) is present — checked against exact counts."""
+    from search_engine_ray.pipelines.sketches import misra_gries_sketch
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    terms, est, n = misra_gries_sketch(docs, k=64)
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""
+        SELECT term, count(*)::BIGINT AS c FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+          FROM '{SF}/documents.parquet')
+        WHERE length(term) >= 2 GROUP BY term
+        """
+    ).fetchdf()
+    true = dict(zip(exact["term"], exact["c"]))
+    assert n == int(exact["c"].sum())
+    bound = n // 65
+    assert len(terms) <= 64
+    for t, e in zip(terms, est):
+        assert e <= true[t], (t, e, true[t])
+        assert true[t] - e <= bound, (t, e, true[t], bound)
+    lut = dict(zip(terms.tolist(), est.tolist()))
+    for t, c in true.items():
+        if c > bound:
+            assert t in lut, (t, c, bound)
+
+
+def test_misra_gries_batching_invariant(ray_session):
+    """Guarantees hold regardless of block layout (merge associativity):
+    a 1-row-per-block layout gives the same presence set for heavy terms."""
+    from search_engine_ray.pipelines.sketches import misra_gries_sketch
+
+    rows = (
+        [{"text": "alpha beta"}] * 40
+        + [{"text": "alpha gamma"}] * 30
+        + [{"text": f"noise{i} filler{i}" } for i in range(50)]
+    )
+    ds_many = rd.from_items(rows).repartition(25)
+    terms, est, n = misra_gries_sketch(ds_many, k=8)
+    lut = dict(zip(terms.tolist(), est.tolist()))
+    assert n == 240
+    bound = n // 9
+    assert "alpha" in lut and lut["alpha"] <= 70 and 70 - lut["alpha"] <= bound
+    assert "beta" in lut and lut["beta"] <= 40 and 40 - lut["beta"] <= bound

@@ -1736,3 +1736,83 @@ FROM c ORDER BY doc_id, chunk_id
     )
     assert got["chunk_text"].tolist() == want["chunk_text"].tolist()
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_sparse_knn_matches_sql(docs):
+    from search_engine_ray.pipelines.text import sparse_knn_ds
+
+    for cap, having in [(None, ""), (100, "HAVING count(*) <= 100")]:
+        got = (
+            sparse_knn_ds(docs, k=3, max_df=cap)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = _sql(
+            f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term FROM documents)
+  WHERE length(term) >= 2 GROUP BY doc_id, term),
+df AS (SELECT term FROM tf GROUP BY term {having}),
+p AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id, sum(a.tf * b.tf)::BIGINT AS dot
+  FROM tf a JOIN tf b USING (term) JOIN df USING (term)
+  WHERE a.doc_id <> b.doc_id GROUP BY a.doc_id, b.doc_id),
+r AS (SELECT doc_id, nbr_id, dot,
+             row_number() OVER (PARTITION BY doc_id ORDER BY dot DESC, nbr_id) AS rank
+      FROM p)
+SELECT doc_id, nbr_id, dot, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+            """
+        )
+        assert got["nbr_id"].tolist() == want["nbr_id"].tolist(), cap
+        assert got["dot"].tolist() == want["dot"].tolist(), cap
+
+
+def test_sparse_knn_df_cap_drops_hot_terms(ray_session):
+    """A term above the df cap contributes nothing; rare terms still pair."""
+    from search_engine_ray.pipelines.text import sparse_knn_ds
+
+    rows = [
+        {"doc_id": 0, "text": "hot rare1 rare1"},
+        {"doc_id": 1, "text": "hot rare1"},
+        {"doc_id": 2, "text": "hot other"},
+        {"doc_id": 3, "text": "hot other"},
+    ]
+    out = (
+        sparse_knn_ds(rd.from_items(rows), k=2, max_df=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # 'hot' (df=4 > 3) is dropped everywhere: 0-1 pair only via rare1
+    # (dot = 2*1), 2-3 only via other (dot = 1)
+    pairs = {
+        (r.doc_id, r.nbr_id): r.dot for r in out.itertuples()
+    }
+    assert pairs == {(0, 1): 2, (1, 0): 2, (2, 3): 1, (3, 2): 1}
+
+
+def test_facet_counts(ray_session):
+    from search_engine_ray.pipelines.text import facet_counts_ds
+
+    rows = [
+        {"text": "Table query plan", "source": "a", "lang": "en"},
+        {"text": "table only here", "source": "a", "lang": "en"},
+        {"text": "query table cost", "source": "b", "lang": "de"},
+        {"text": "nothing relevant", "source": "b", "lang": "de"},
+    ]
+    out = (
+        facet_counts_ds(rd.from_items(rows), ["table", "query"])
+        .to_pandas()
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    # case-insensitive conjunctive match: rows 0 and 2
+    assert out.to_dict("records") == [
+        {"source": "a", "lang": "en", "n_docs": 1},
+        {"source": "b", "lang": "de", "n_docs": 1},
+    ]
+    none = facet_counts_ds(rd.from_items(rows), ["absent"]).to_pandas()
+    assert len(none) == 0
