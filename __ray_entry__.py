@@ -1711,6 +1711,53 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_tiered_compact(sf_dir: str):
+    """Size-tiered PARTIAL compaction lifecycle (the Lucene/LSM merge-policy
+    analogue): base build over the doc_id%4==0 quarter, three
+    ``add_generation`` quarters, then ``compact_tiered(max_generations=3)``
+    merges only the smallest generations — the index serves identically to
+    a single-shot build, so it shares the search_and SQL oracle."""
+    import shutil
+
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import (
+        add_generation,
+        build_index,
+        compact_tiered,
+    )
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.state.segments import generation_dirs
+
+    sf_dir = sf_dir.rstrip("/")
+    out = _idx_dir(sf_dir) + "_tc"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig()
+
+    def quarter(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return _docs_to_pages(batch.filter(pa.array(ids % 4 == parity)))
+
+        return f
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    build_index(
+        docs.map_batches(quarter(0), batch_format="pyarrow"),
+        out, config, doc_id_mode="rank", resume=False,
+    )
+    for p in (1, 2, 3):
+        add_generation(
+            out, docs.map_batches(quarter(p), batch_format="pyarrow"), config
+        )
+    assert len(generation_dirs(out)) == 4
+    compact_tiered(out, config, max_generations=3)
+    assert len(generation_dirs(out)) == 3
+    rows = SegmentSearcher(out, config).search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
 def q_mmr_rerank(sf_dir: str):
     """MMR diversification: top-10 of the vec 0 cosine query re-ranked
     over a 50-candidate pool at lambda=0.7 — rows-only (greedy float
@@ -1856,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_mg": q_heavy_hitters_mg,  # NEW r4 s6: Misra-Gries
         "search_facets": q_search_facets,  # NEW r4 s6: facet counts
         "mmr_rerank": q_mmr_rerank,  # NEW r4 s6: MMR diversification
+        "tiered_compact": q_tiered_compact,  # NEW r4 s6: partial compaction
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2667,6 +2715,16 @@ SELECT doc_id FROM (
         # incremental build (base + add_generation + compact) must equal the
         # single-shot build, so it shares search_and's oracle
         "add_compact": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
+        # tiered partial compaction must also serve identically to the
+        # single-shot build (3 surviving generations, merged stats)
+        "tiered_compact": f"""
 SELECT doc_id FROM (
   SELECT doc_id FROM (
     SELECT DISTINCT doc_id, term FROM (

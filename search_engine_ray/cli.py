@@ -218,11 +218,16 @@ def cmd_compact(args: argparse.Namespace) -> int:
     import ray
 
     from search_engine_ray.config import EngineConfig
-    from search_engine_ray.pipelines.build import compact
+    from search_engine_ray.pipelines.build import compact, compact_tiered
 
     owns_ray = _init_ray(args.num_cpus)
     t0 = time.perf_counter()
-    res = compact(args.index, EngineConfig())
+    if getattr(args, "max_generations", None):
+        res = compact_tiered(
+            args.index, EngineConfig(), max_generations=args.max_generations
+        )
+    else:
+        res = compact(args.index, EngineConfig())
     print(
         json.dumps(
             {
@@ -423,6 +428,14 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="merge all generations into one")
     c.add_argument("--index", required=True)
+    c.add_argument(
+        "--max-generations",
+        type=int,
+        default=0,
+        help="size-tiered PARTIAL compaction: merge only the smallest "
+        "gen-* generations until at most this many generations remain "
+        "(0 = full compaction)",
+    )
     c.add_argument("--num-cpus", type=int, default=0)
     c.set_defaults(fn=cmd_compact)
 

@@ -2078,6 +2078,245 @@ def compact(
     )
 
 
+def compact_tiered(
+    out_dir: str,
+    config: EngineConfig | None = None,
+    *,
+    max_generations: int = 4,
+    fingerprint: str | None = None,
+    target_blocks: int | None = None,
+) -> BuildResult:
+    """Size-tiered PARTIAL compaction (the Lucene/LSM merge-policy
+    amortization ``compact`` lacks): when the index holds more than
+    ``max_generations`` generations, merge only enough of the SMALLEST
+    ``gen-*`` sub-generations into one new generation to get back under
+    the cap, leaving the large base untouched. A steady trickle of
+    ``add_generation`` calls therefore pays merge cost proportional to
+    the small segments' size, not a full-index rewrite per maintenance
+    pass — at crawl scale the base generation is ~the corpus and
+    rewriting it per add cycle is the difference between O(adds) and
+    O(corpus x adds) total merge I/O.
+
+    Semantics: the root generation is never selected (it is the fallback
+    base; merging it is ``compact``'s job). Tombstones are NOT applied
+    and NOT cleared — read-time filtering continues to hide deleted docs
+    exactly as before (only the full ``compact`` applies them physically,
+    since tombstones may span generations outside the merge set). The
+    merged generation carries its own local corpus stats in its manifest,
+    the same contract ``add_generation`` generations already have;
+    readers merge stats globally at load.
+
+    No-op (returns current totals) when the index is already at or under
+    ``max_generations`` generations or fewer than two ``gen-*``
+    generations exist."""
+    from search_engine_ray.state.segments import (
+        generation_dirs,
+        read_manifest,
+    )
+
+    if max_generations < 1:
+        raise ValueError("max_generations must be >= 1")
+    cfg_given = config is not None
+    config = config or EngineConfig()
+    gens = generation_dirs(out_dir)
+    subs = [
+        g
+        for g in gens
+        if os.path.basename(g.rstrip("/")).startswith("gen-")
+    ]
+
+    def _totals() -> BuildResult:
+        ms = [read_manifest(os.path.join(g, "manifest.json")) or {} for g in gens]
+        nd = sum(int(m.get("n_docs", 0)) for m in ms)
+        sdl = sum(int(m.get("n_docs", 0)) * float(m.get("avgdl", 0.0)) for m in ms)
+        return BuildResult(
+            out_dir=out_dir,
+            n_docs=nd,
+            avgdl=(sdl / nd) if nd else 0.0,
+            n_postings_rows=-1,
+            timings={"compact_tiered": 0.0},
+        )
+
+    if len(gens) <= max_generations or len(subs) < 2:
+        return _totals()
+    # merge the smallest m sub-generations so the index lands at
+    # max_generations (or as close as the root-stays rule allows)
+    m_count = min(len(subs), len(gens) - max_generations + 1)
+    if m_count < 2:
+        return _totals()
+
+    def _gen_bytes(g: str) -> int:
+        return sum(
+            fsio.file_size(f)
+            for sub in ("segments", "docs")
+            for f in parquet_files(fsio.join(g, sub))
+        )
+
+    ranked = sorted(subs, key=lambda g: (_gen_bytes(g), g))
+    merge_gens = sorted(ranked[:m_count])
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    if target_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        target_blocks = max(8, cpus * 2)
+
+    manifests = [
+        read_manifest(os.path.join(g, "manifest.json")) or {} for g in merge_gens
+    ]
+    src_codecs = {
+        (m.get("config") or {}).get("postings_codec", "varint") for m in manifests
+    }
+    if len(src_codecs) > 1:
+        raise ValueError(
+            f"generations use mixed postings codecs {sorted(src_codecs)}"
+        )
+    src_codec = next(iter(src_codecs), "varint")
+    if not cfg_given:
+        config = dataclasses.replace(config, postings_codec=src_codec)
+    elif config.postings_codec != src_codec:
+        raise ValueError(
+            f"postings_codec {config.postings_codec!r} differs from the "
+            f"index's {src_codec!r}; tiered compaction never transcodes "
+            "(a partial transcode would mix codecs across generations)"
+        )
+
+    tmp = os.path.join(out_dir, ".compact-tiered-tmp")
+    fsio.rmtree(tmp)
+    fsio.makedirs(os.path.join(tmp, "docs"))
+
+    # docs: hard-link (fs copy on URI backends) — no data movement
+    for gi, g in enumerate(merge_gens):
+        for f in parquet_files(os.path.join(g, "docs")):
+            dst = os.path.join(tmp, "docs", f"g{gi:04d}-{os.path.basename(f)}")
+            if "://" in f:
+                fsio.copy_file(f, dst)
+            else:
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+    n_docs = sum(int(m.get("n_docs", 0)) for m in manifests)
+    sum_dl = sum(
+        int(m.get("n_docs", 0)) * float(m.get("avgdl", 0.0)) for m in manifests
+    )
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    stats = CorpusStats(n_docs=n_docs, avgdl=avgdl)
+    timings["link_docs"] = time.perf_counter() - t0
+
+    seg_files = [
+        f for g in merge_gens for f in parquet_files(os.path.join(g, "segments"))
+    ]
+    _sp, _sfs = fsio.resolve_data_paths(seg_files)
+    if config.merge_buckets:
+        n_buckets = config.merge_buckets
+    else:
+        total_bytes = sum(fsio.file_size(f) for f in seg_files)
+        n_buckets = int(
+            min(
+                1 << 20,
+                max(target_blocks, total_bytes // config.merge_bucket_target_bytes + 1),
+            )
+        )
+    emit_config = dataclasses.replace(config, merge_buckets=n_buckets)
+
+    t_hot = time.perf_counter()
+    hot_ref = None
+    if config.salt_shift > 0:
+
+        def salted_terms(b: pa.Table) -> pa.Table:
+            mask = pc.greater(b.column("salt"), 0)
+            return pa.table({"term": pc.unique(b.column("term").filter(mask))})
+
+        hot = frozenset(
+            rd.read_parquet(_sp, filesystem=_sfs, columns=["term", "salt"])
+            .map_batches(salted_terms, batch_format="pyarrow")
+            .unique("term")
+            or []
+        )
+        hot_ref = ray.put(hot)
+    timings["hot_terms"] = time.perf_counter() - t_hot
+
+    heavy_cpus = _resolve_heavy_cpus()
+    postings = rd.read_parquet(
+        _sp,
+        filesystem=_sfs,
+        columns=["term", "doc_ids_enc", "tfs_enc", "dls_enc"],
+        override_num_blocks=target_blocks,
+    ).map_batches(
+        _make_decode_reemit(emit_config, hot_ref, None, src_codec),
+        batch_format="pyarrow",
+        num_cpus=heavy_cpus,
+    )
+    _merge_postings_to_segments(postings, stats, emit_config, tmp, heavy_cpus, timings)
+
+    n_rows = sum(
+        fsio.parquet_metadata(f).num_rows
+        for f in parquet_files(os.path.join(tmp, "segments"))
+    )
+    base_cfg = (manifests[0].get("config") or {}) if manifests else {}
+    skipped: dict[str, int] = {}
+    for m in manifests:
+        for k, v in (m.get("skipped") or {}).items():
+            skipped[k] = skipped.get(k, 0) + int(v)
+    write_manifest(
+        os.path.join(tmp, "manifest.json"),
+        {
+            "fingerprint": fingerprint,
+            "complete": True,
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "n_segment_rows": n_rows,
+            "skipped": skipped,
+            "compacted_from": [
+                os.path.basename(g.rstrip("/")) for g in merge_gens
+            ],
+            "config": {
+                **base_cfg,
+                "stop_words": sorted(config.stop_words),
+                "bm25_k1": config.bm25_k1,
+                "bm25_b": config.bm25_b,
+                "block_size": config.block_size,
+                "postings_codec": config.postings_codec,
+                "salt_shift": config.salt_shift,
+                "merge_buckets": n_buckets,
+            },
+            "timings_sec": timings,
+        },
+    )
+    write_manifest(
+        os.path.join(tmp, "docs_manifest.json"),
+        {"fingerprint": fingerprint, "complete": True, "stage": "docs"},
+    )
+
+    # swap: tear down the merged sources FIRST, then promote the merged
+    # generation under a FRESH gen id (same order as ``compact``) — no
+    # window where a reader can see a doc twice. A crash between the two
+    # steps leaves the merged docs only in the completed ``tmp`` dir
+    # (its manifest says complete + compacted_from), recoverable by
+    # re-issuing the move.
+    gen_ids = [
+        int(os.path.basename(g.rstrip("/")).split("-")[1])
+        for g in gens
+        if os.path.basename(g.rstrip("/")).startswith("gen-")
+    ]
+    new_gen = os.path.join(out_dir, f"gen-{max(gen_ids) + 1:04d}")
+    for g in merge_gens:
+        fsio.rmtree(g)
+    fsio.move(tmp, new_gen)
+    timings["compact_tiered"] = time.perf_counter() - t0
+    return BuildResult(
+        out_dir=out_dir,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        n_postings_rows=n_rows,
+        timings=timings,
+    )
+
+
 def build_sharded(
     shards: list[tuple[str, rd.Dataset]],
     out_dir: str,

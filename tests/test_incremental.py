@@ -418,3 +418,96 @@ def test_cli_lifecycle_build_add_compact_stats_bm25(ray_session, tmp_path, capsy
     assert main(["stats", "--index", idx]) == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n_tombstones"] == 0
+
+
+def test_compact_tiered_merges_smallest_generations(ray_session, tmp_path):
+    """Five generations, max 3: the two smallest gen-* merge into ONE new
+    generation; root and the big generation stay byte-untouched; search
+    results are unchanged."""
+    import os
+
+    from search_engine_ray.pipelines.build import compact_tiered
+    from search_engine_ray.state.segments import read_manifest
+
+    config = EngineConfig()
+    table = synth_zipf_table(200, n_tokens=20, vocab=300)
+    out = str(tmp_path / "tiered")
+    # root 80 docs, gen-0001 large (60), gens 2-4 small (20 each)
+    build_index(rd.from_arrow(table.slice(0, 80)), out, config, doc_id_mode="rank", resume=False)
+    add_generation(out, rd.from_arrow(table.slice(80, 60)), config)
+    for s in (140, 160, 180):
+        add_generation(out, rd.from_arrow(table.slice(s, 20)), config)
+    assert len(generation_dirs(out)) == 5
+    big_mtime = os.path.getmtime(os.path.join(out, "gen-0001", "manifest.json"))
+    pre = SegmentSearcher(out, config)
+    pre_res = [
+        (r.doc_id, round(r.score, 9))
+        for r in pre.search_bm25("w0 w1", k=10, mode="or")
+    ]
+    res = compact_tiered(out, config, max_generations=3)
+    gens = generation_dirs(out)
+    assert len(gens) == 3  # root, gen-0001, merged gen-0005
+    names = sorted(os.path.basename(g) for g in gens if "gen-" in g)
+    assert names == ["gen-0001", "gen-0005"]
+    assert res.n_docs == 60  # docs in the merged generation only
+    m = read_manifest(os.path.join(out, "gen-0005", "manifest.json"))
+    assert m["complete"] and sorted(m["compacted_from"]) == [
+        "gen-0002",
+        "gen-0003",
+        "gen-0004",
+    ]
+    # untouched base generation
+    assert os.path.getmtime(os.path.join(out, "gen-0001", "manifest.json")) == big_mtime
+    reader = SegmentReader(out)
+    assert reader.manifest["n_docs"] == 200
+    assert len(reader.fetch_docs(list(reader.all_doc_ids()))) == 200
+    post = SegmentSearcher(out, config)
+    post_res = [
+        (r.doc_id, round(r.score, 9))
+        for r in post.search_bm25("w0 w1", k=10, mode="or")
+    ]
+    assert post_res == pre_res
+
+
+def test_compact_tiered_noop_under_cap(ray_session, tmp_path):
+    from search_engine_ray.pipelines.build import compact_tiered
+
+    config = EngineConfig()
+    table = synth_zipf_table(60, n_tokens=15, vocab=100)
+    out = str(tmp_path / "noop")
+    build_index(rd.from_arrow(table.slice(0, 30)), out, config, doc_id_mode="rank", resume=False)
+    add_generation(out, rd.from_arrow(table.slice(30)), config)
+    res = compact_tiered(out, config, max_generations=4)
+    assert len(generation_dirs(out)) == 2
+    assert res.n_docs == 60  # no-op reports current totals
+    assert res.timings == {"compact_tiered": 0.0}
+
+
+def test_compact_tiered_then_full_compact_equivalent(ray_session, tmp_path):
+    """tiered + full compact == full compact directly (bit-level postings
+    equivalence via search results and doc counts)."""
+    from search_engine_ray.pipelines.build import compact, compact_tiered
+
+    config = EngineConfig()
+    table = synth_zipf_table(150, n_tokens=20, vocab=250)
+    splits = [(0, 50), (50, 40), (90, 30), (120, 30)]
+
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        build_index(
+            rd.from_arrow(table.slice(*splits[0])), out, config,
+            doc_id_mode="rank", resume=False,
+        )
+        for s, ln in splits[1:]:
+            add_generation(out, rd.from_arrow(table.slice(s, ln)), config)
+        outs.append(out)
+    a, b = outs
+    compact_tiered(a, config, max_generations=2)
+    compact(a, config)
+    compact(b, config)
+    sa, sb = SegmentSearcher(a, config), SegmentSearcher(b, config)
+    for q in ("w0 w1", "w5", "w10 w20 w2"):
+        ra = [(r.doc_id, round(r.score, 9)) for r in sa.search_bm25(q, k=10, mode="or")]
+        rb = [(r.doc_id, round(r.score, 9)) for r in sb.search_bm25(q, k=10, mode="or")]
+        assert ra == rb, q
