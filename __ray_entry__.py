@@ -1711,6 +1711,59 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_rrf_fuse(sf_dir: str):
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of two rankers
+    for the conjunctive query {table, query}: the BM25 top-10 (index
+    serving path) fused with a raw tf-sum top-10 (integer lexical ranker)
+    at k=60 — rank-based fusion is float-free on the inputs, so the fused
+    scores are two IEEE divisions + one add, hash-stable vs SQL."""
+    import ray.data as rd
+
+    from search_engine_ray.functions.textstats import token_lists
+    from search_engine_ray.pipelines.query import rrf_fuse_ds
+    from search_engine_ray.tokenize import lower_tokens
+
+    a_rows = _docs_searcher(sf_dir).search_bm25("table query", k=10, mode="and")
+    rank_a = rd.from_items(
+        [{"doc_id": int(r.doc_id), "rank": i + 1} for i, r in enumerate(a_rows)]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = lower_tokens(token_lists(batch.column("text")))
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        tfs = []
+        for t in ("table", "query"):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(parents[hit], minlength=n).astype(np.int64))
+        both = (tfs[0] > 0) & (tfs[1] > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[both], pa.int64()),
+                "tfsum": pa.array((tfs[0] + tfs[1])[both], pa.int64()),
+            }
+        )
+
+    rank_b_top = (
+        _docs(sf_dir)
+        .map_batches(tf_partial, batch_format="pyarrow")
+        .sort(["tfsum", "doc_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    rank_b = rd.from_items(
+        [
+            {"doc_id": int(d), "rank": i + 1}
+            for i, d in enumerate(rank_b_top["doc_id"])
+        ]
+    )
+    return rrf_fuse_ds([rank_a, rank_b], k=60, topk=10)
+
+
 def q_tiered_compact(sf_dir: str):
     """Size-tiered PARTIAL compaction lifecycle (the Lucene/LSM merge-policy
     analogue): base build over the doc_id%4==0 quarter, three
@@ -1904,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": q_search_facets,  # NEW r4 s6: facet counts
         "mmr_rerank": q_mmr_rerank,  # NEW r4 s6: MMR diversification
         "tiered_compact": q_tiered_compact,  # NEW r4 s6: partial compaction
+        "rrf_fuse": q_rrf_fuse,  # NEW r4 s6: reciprocal rank fusion
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2532,6 +2586,28 @@ SELECT term, 1::BIGINT AS within_bound FROM (
   WHERE length(term) >= 2 GROUP BY term ORDER BY n DESC, term LIMIT 20)
 ORDER BY term
 """,
+        # RRF: the bm25 ranking re-emitted as ranks, the tf-sum AND ranking,
+        # then 1/(60+rank) fusion — mirror of pipelines/query.py rrf_fuse_ds
+        "rrf_fuse": f"""
+WITH ra AS ({bm25.replace("round(s, 6) AS score", "row_number() OVER (ORDER BY s DESC, doc_id) AS rank")}),
+tfq AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({tok}) AS term FROM documents)
+  WHERE term IN ('table', 'query') GROUP BY doc_id, term),
+b0 AS (SELECT doc_id, sum(tf)::BIGINT AS tfsum FROM tfq
+       GROUP BY doc_id HAVING count(*) = 2),
+rb AS (SELECT doc_id, rank FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY tfsum DESC, doc_id) AS rank
+         FROM b0)
+       WHERE rank <= 10),
+fused AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + ra.rank), 0) + coalesce(1.0 / (60 + rb.rank), 0) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+top AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+SELECT doc_id, round(rrf, 6) AS rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM top ORDER BY fused_rank""",
         # conjunctive containment + facet groupby (facet_counts_ds)
         "search_facets": f"""
 SELECT source, lang, count(*)::BIGINT AS n_docs FROM documents

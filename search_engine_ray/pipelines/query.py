@@ -180,3 +180,48 @@ class Searcher:
 def _unique(arr: list[int]) -> list[int]:
     """engine.ts:380-382 — preserves first-seen order."""
     return list(dict.fromkeys(arr))
+
+
+def rrf_fuse_ds(rankings, k: int = 60, topk: int = 10):
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse ranked
+    result lists into one ranking by score(d) = sum over lists of
+    1 / (k + rank_d), rank 1-based; docs absent from a list contribute 0.
+
+    ``rankings`` is a list of Datasets with (doc_id, rank) columns — the
+    bounded OUTPUT of upstream rankers (BM25 top-k, ANN top-k, a lexical
+    ranking), so every stage here is small by construction: union of the
+    ranked lists, one groupby sum, one sort-limit. Fusion of float-free
+    RANKS makes the result hash-stable across engines (the standard reason
+    RRF beats score interpolation for heterogeneous rankers).
+
+    Output: (doc_id, rrf, fused_rank), top-``topk`` by (rrf DESC, doc_id),
+    rrf rounded to 6 dp.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = pc.cast(batch.column("rank"), pa.float64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "part": pc.divide(1.0, pc.add(r, float(k))),
+            }
+        )
+
+    parts = [ds.map_batches(contrib, batch_format="pyarrow") for ds in rankings]
+    u = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    fused = u.groupby("doc_id").aggregate(Sum("part", alias_name="rrf"))
+    top = fused.sort(["rrf", "doc_id"], descending=[True, False]).limit(topk)
+    # order and rank on the UNROUNDED sums (rounding first could collapse
+    # near-ties the SQL oracle still separates); round for output only
+    out = top.to_pandas()
+    out = out.sort_values(["rrf", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    out["fused_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["rrf"] = out["rrf"].round(6)
+    return rd.from_pandas(out[["doc_id", "rrf", "fused_rank"]])

@@ -245,3 +245,28 @@ def test_cli_pipeline_marker_preset_identity(ray_session, tmp_path, capsys):
     assert main(base + ["--preset", "exact"]) == 0  # now it may skip
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["skipped"] is True and rec["pipeline"] == "ngram_containment"
+
+
+def test_rrf_fuse_semantics(ray_session):
+    """RRF fusion: doc in both lists beats single-list docs at similar
+    ranks; absent docs contribute 0; tie-break on doc_id; ranks 1-based."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.query import rrf_fuse_ds
+
+    a = rd.from_items([{"doc_id": d, "rank": i + 1} for i, d in enumerate([7, 3, 9])])
+    b = rd.from_items([{"doc_id": d, "rank": i + 1} for i, d in enumerate([3, 5, 7])])
+    out = rrf_fuse_ds([a, b], k=60, topk=10).to_pandas()
+    assert out["fused_rank"].tolist() == list(range(1, len(out) + 1))
+    scores = dict(zip(out["doc_id"], out["rrf"]))
+    # doc 3: 1/62 + 1/61; doc 7: 1/61 + 1/63; doc 9: 1/63; doc 5: 1/62
+    assert abs(scores[3] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(scores[7] - round(1 / 61 + 1 / 63, 6)) < 1e-9
+    assert abs(scores[9] - round(1 / 63, 6)) < 1e-9
+    assert out["doc_id"].tolist()[0] == 3  # highest fused score
+    assert set(out["doc_id"]) == {3, 5, 7, 9}
+    # tie-break: two docs with mirrored single-list ranks tie on score
+    c = rd.from_items([{"doc_id": 11, "rank": 1}, {"doc_id": 4, "rank": 2}])
+    d = rd.from_items([{"doc_id": 4, "rank": 1}, {"doc_id": 11, "rank": 2}])
+    out2 = rrf_fuse_ds([c, d], k=60, topk=10).to_pandas()
+    assert out2["doc_id"].tolist() == [4, 11]  # equal rrf -> doc_id asc
