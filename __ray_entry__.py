@@ -1948,9 +1948,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-bearing queries in — source_topk, vocab_coverage,
         # embedding_stats, group_centroid, leakage_split, split_leakage,
         # hll_window, token_drift, blocklist_filter, chunk_docs,
-        # sparse_knn, space_saving, search_facets — and move the freshly
-        # double-proven relational/windows trivia out. Keep the core
-        # build/search set (positions 0-10) pinned.
+        # sparse_knn, heavy_hitters_mg, search_facets, rrf_fuse,
+        # tiered_compact — and move the freshly double-proven
+        # relational/windows trivia out. Keep the core build/search set
+        # (positions 0-10) pinned.
         "chunk_docs": q_chunk_docs,  # NEW r4 s6: RAG token-window chunking
         "sparse_knn": q_sparse_knn,  # NEW r4 s6: term-partitioned all-pairs
         "heavy_hitters_mg": q_heavy_hitters_mg,  # NEW r4 s6: Misra-Gries
