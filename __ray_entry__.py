@@ -1711,6 +1711,28 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Chunk-level exact dedup (paragraph-dedup analogue): duplicated
+    32/16 token windows across the corpus with their keeper chunk."""
+    from search_engine_ray.pipelines.dedup import chunk_dedup_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    return chunk_dedup_ds(
+        read_documents(sf_dir.rstrip("/")), chunk_tokens=32, stride=16
+    )
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication dashboard: docs contributed and exact-text
+    dups (non-keeper copies) per source."""
+    from search_engine_ray.pipelines.dedup import dup_rate_by_source_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    return dup_rate_by_source_ds(
+        read_documents(sf_dir.rstrip("/"), columns=["doc_id", "text", "source"])
+    )
+
+
 def q_rrf_fuse(sf_dir: str):
     """Reciprocal Rank Fusion (Cormack et al., SIGIR'09) of two rankers
     for the conjunctive query {table, query}: the BM25 top-10 (index
@@ -1959,6 +1981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": q_mmr_rerank,  # NEW r4 s6: MMR diversification
         "tiered_compact": q_tiered_compact,  # NEW r4 s6: partial compaction
         "rrf_fuse": q_rrf_fuse,  # NEW r4 s6: reciprocal rank fusion
+        "chunk_dedup": q_chunk_dedup,  # NEW r4 s6: paragraph-level dedup
+        "dup_rate_by_source": q_dup_rate_by_source,  # NEW r4 s6
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2587,6 +2611,31 @@ SELECT term, 1::BIGINT AS within_bound FROM (
   WHERE length(term) >= 2 GROUP BY term ORDER BY n DESC, term LIMIT 20)
 ORDER BY term
 """,
+        # chunk-level exact dedup: chunk SQL + md5 grouping, keeper =
+        # lexicographic-min (doc_id, chunk_id), duplicated groups only
+        "chunk_dedup": f"""
+WITH t AS (
+  SELECT doc_id, {tok} AS ts, len({tok})::BIGINT AS L FROM documents
+), c AS (
+  SELECT doc_id, L, ts,
+         unnest(range(0, CASE WHEN L = 0 THEN 0 WHEN L <= 32 THEN 1
+                              ELSE CAST(ceil((L - 32) / 16.0) AS BIGINT) + 1 END)) AS chunk_id
+  FROM t
+), ch AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(ts[chunk_id * 16 + 1 : chunk_id * 16 + LEAST(32, L - chunk_id * 16)], ' ')) AS fp
+  FROM c)
+SELECT fp, count(*)::BIGINT AS n_copies,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       first(chunk_id ORDER BY doc_id, chunk_id)::BIGINT AS keep_chunk_id
+FROM ch GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""",
+        # per-source exact-dup counts: keeper = min doc_id per md5(text)
+        "dup_rate_by_source": """
+WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+k AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)::BIGINT AS n_dups
+FROM fp JOIN k USING (fp) GROUP BY source ORDER BY source""",
         # RRF: the bm25 ranking re-emitted as ranks, the tf-sum AND ranking,
         # then 1/(60+rank) fusion — mirror of pipelines/query.py rrf_fuse_ds
         "rrf_fuse": f"""

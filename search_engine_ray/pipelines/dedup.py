@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Max, Min, Sum
 
 from search_engine_ray.functions.textstats import (
     band_keys_batch,
@@ -1577,4 +1577,136 @@ def dedup_spans_ds(docs: rd.Dataset, k: int = 3, min_count: int = 2) -> rd.Datas
         tagged.map_batches(_bucketer("doc_id", n_buckets), batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+def chunk_dedup_ds(
+    docs: rd.Dataset, chunk_tokens: int = 32, stride: int = 16
+) -> rd.Dataset:
+    """Chunk-level exact dedup (the paragraph-dedup analogue for corpora
+    whose docs are single blocks): chunk every doc with
+    ``text.chunk_docs_ds``, md5 the chunk texts, and report every chunk
+    that appears more than once — (fp, n_copies, keep_doc_id,
+    keep_chunk_id), keeper = lexicographic-min (doc_id, chunk_id).
+
+    Scale shape: chunking is a no-shuffle map; the dedup is one groupby on
+    the digest's two int64 halves (same key scheme as ``exact_dedup_ds``)
+    with a vectorized per-group count+min; only duplicated groups emit.
+    Output is sorted by fp hex for deterministic comparison."""
+    import binascii
+
+    from search_engine_ray.functions.textstats import md5_digests_arrow
+    from search_engine_ray.pipelines.text import chunk_docs_ds
+
+    chunks = chunk_docs_ds(docs, chunk_tokens=chunk_tokens, stride=stride)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        d = md5_digests_arrow(batch.column("chunk_text"))
+        h = d.view(">u8")
+        return pa.table(
+            {
+                "h1": pa.array(h[:, 0].astype(np.uint64).view(np.int64), pa.int64()),
+                "h2": pa.array(h[:, 1].astype(np.uint64).view(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "chunk_id": batch.column("chunk_id"),
+            }
+        )
+
+    def dups(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.table(
+            {
+                "fp": pa.array([], pa.string()),
+                "n_copies": pa.array([], pa.int64()),
+                "keep_doc_id": pa.array([], pa.int64()),
+                "keep_chunk_id": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        c = group.column("chunk_id").to_numpy(zero_copy_only=False)
+        i = np.lexsort((c, d))[0]
+        digest = (
+            np.array([group.column("h1")[0].as_py()], np.int64)
+            .view(np.uint64)
+            .byteswap()
+            .tobytes()
+            + np.array([group.column("h2")[0].as_py()], np.int64)
+            .view(np.uint64)
+            .byteswap()
+            .tobytes()
+        )
+        return pa.table(
+            {
+                "fp": pa.array([binascii.hexlify(digest).decode()], pa.string()),
+                "n_copies": pa.array([n], pa.int64()),
+                "keep_doc_id": pa.array([int(d[i])], pa.int64()),
+                "keep_chunk_id": pa.array([int(c[i])], pa.int64()),
+            }
+        )
+
+    return (
+        chunks.map_batches(fp, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(dups, batch_format="pyarrow")
+    )
+
+
+def dup_rate_by_source_ds(docs: rd.Dataset) -> rd.Dataset:
+    """Per-source duplication report — the corpus-quality dashboard row:
+    for each ``source``, how many docs it contributed and how many of
+    them are exact-text duplicates of an earlier doc (not the min-doc_id
+    keeper of their text group).
+
+    Scale shape: one digest-keyed groupby (int64 half keys); each group
+    emits at most one row per source present in the group (vectorized
+    run-length count over the sorted sources), then a tiny groupby-sum
+    over sources. Exact integers end-to-end."""
+    from search_engine_ray.functions.textstats import md5_digests_arrow
+
+    def fp(batch: pa.Table) -> pa.Table:
+        d = md5_digests_arrow(batch.column("text"))
+        h = d.view(">u8")
+        return pa.table(
+            {
+                "h1": pa.array(h[:, 0].astype(np.uint64).view(np.int64), pa.int64()),
+                "h2": pa.array(h[:, 1].astype(np.uint64).view(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+            }
+        )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s = group.column("source").to_numpy(zero_copy_only=False)
+        keep = d.argmin()
+        order = np.argsort(s, kind="stable")
+        ss = s[order]
+        n = len(ss)
+        new = np.concatenate(([True], ss[1:] != ss[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        dups = counts.copy()
+        # the keeper's source has one non-dup doc in this group
+        keep_src = s[keep]
+        ki = np.searchsorted(ss[starts], keep_src)
+        dups[ki] -= 1
+        return pa.table(
+            {
+                "source": pa.array(ss[starts]),
+                "n_docs": pa.array(counts, pa.int64()),
+                "n_dups": pa.array(dups, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(fp, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(per_group, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dups", alias_name="n_dups"),
+        )
     )

@@ -563,3 +563,52 @@ def test_zero_pair_queries_keep_schema(ray_session, tmp_path, monkeypatch):
     # 0-row; the broadcast-verify concat must tolerate the all-empty case
     mh = E.q_minhash_pairs(str(sf))
     assert len(mh) == 0
+
+
+def test_chunk_dedup_planted(ray_session):
+    """A chunk duplicated across docs is reported once with the
+    lexicographic-min keeper; unique chunks emit nothing."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.dedup import chunk_dedup_ds
+
+    shared = " ".join(f"s{i}" for i in range(4))
+    rows = [
+        {"doc_id": 5, "text": shared + " tailA tailB tailC tailD"},
+        {"doc_id": 2, "text": shared + " other words here now"},
+        {"doc_id": 9, "text": "totally different text body here"},
+    ]
+    out = (
+        chunk_dedup_ds(rd.from_items(rows), chunk_tokens=4, stride=4)
+        .to_pandas()
+        .sort_values("fp")
+        .reset_index(drop=True)
+    )
+    # exactly one duplicated chunk group: the shared 4-token prefix
+    assert len(out) == 1
+    assert out.loc[0, "n_copies"] == 2
+    assert out.loc[0, "keep_doc_id"] == 2 and out.loc[0, "keep_chunk_id"] == 0
+
+
+def test_dup_rate_by_source_counts(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.dedup import dup_rate_by_source_ds
+
+    rows = [
+        {"doc_id": 0, "text": "aa bb", "source": "x"},
+        {"doc_id": 1, "text": "aa bb", "source": "y"},  # dup of 0
+        {"doc_id": 2, "text": "aa bb", "source": "y"},  # dup of 0
+        {"doc_id": 3, "text": "cc dd", "source": "y"},  # unique
+        {"doc_id": 4, "text": "ee ff", "source": "x"},  # unique
+    ]
+    out = (
+        dup_rate_by_source_ds(rd.from_items(rows))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"source": "x", "n_docs": 2, "n_dups": 0},
+        {"source": "y", "n_docs": 3, "n_dups": 2},
+    ]
