@@ -617,3 +617,114 @@ def mmr_rerank_ds(
             for r, v, s in zip(out_rank, out_id, out_rel)
         ]
     )
+
+
+def train_pq_codebooks(
+    embeddings: rd.Dataset,
+    n_subspaces: int = 8,
+    n_centroids: int = 32,
+    sample_n: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI'11): split the
+    (normalized) vector into ``n_subspaces`` contiguous sub-vectors and
+    k-means each subspace independently on a BOUNDED sample — same
+    training recipe as IVF: the sample is the small side, the corpus never
+    leaves the cluster. Returns (n_subspaces, n_centroids, dim/n_subspaces)
+    float64 codebooks; deterministic given the seed."""
+    rows = embeddings.select_columns(["embedding"]).limit(sample_n).take_all()
+    m = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    n, dim = m.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    n_c = min(n_centroids, n)
+    books = np.empty((n_subspaces, n_c, sub), dtype=np.float64)
+    for s in range(n_subspaces):
+        x = m[:, s * sub : (s + 1) * sub]
+        cent = x[rng.choice(n, size=n_c, replace=False)]
+        for _ in range(iters):
+            # plain L2 k-means per subspace (sub-vectors are not unit-norm)
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_c):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_cosine_topk_ds(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_centroids: int = 32,
+    rerank: int = 50,
+    codebooks: np.ndarray | None = None,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Approximate top-k via PQ asymmetric distance (ADC) with in-batch
+    exact re-rank — the FAISS-style scale pipeline:
+
+    1. codebooks broadcast once; each batch ENCODES its vectors (argmin
+       L2 per subspace — the 100-TB index layout would persist these
+       uint8 codes: dim x 8 bytes -> n_subspaces bytes per vector);
+    2. per query, ADC scores every encoded vector with one LUT gather per
+       subspace (O(n_subspaces) per vector instead of O(dim));
+    3. the top-``rerank`` ADC candidates PER BATCH get their exact cosine
+       from the raw vectors still in the batch, and only those bounded
+       candidate rows cross the shuffle for the global exact top-k.
+
+    ADC is the cheap prefilter, the re-rank restores exact ordering among
+    survivors; recall is bounded in tests and by the driver recall query.
+    Output schema matches ``brute_force_cosine_topk_ds``."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, n_subspaces, n_centroids, seed=seed
+        )
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    n_sub, n_c, sub = codebooks.shape
+    # per-query LUT: lut[q, s, c] = <q_sub[s], codebook[s][c]>
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), n_sub, sub), codebooks)
+    b_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, codebooks, lut))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, books, luts = ray.get(b_ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        n = len(ids)
+        # encode: argmin L2 per subspace
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            x = mn[:, s * sub : (s + 1) * sub]
+            cent = books[s]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1)
+        out_q, out_v, out_s = [], [], []
+        r = min(rerank, n)
+        for j in range(len(qids)):
+            adc = luts[j][np.arange(n_sub)[None, :], codes].sum(axis=1)
+            cand = np.argpartition(-adc, r - 1)[:r]
+            exact = mn[cand] @ qmat[j]
+            out_q.extend([int(qids[j])] * len(cand))
+            out_v.extend(ids[cand].tolist())
+            out_s.extend(exact.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_make_final_topk(k), batch_format="pyarrow")
+    )

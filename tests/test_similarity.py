@@ -397,3 +397,64 @@ def test_mmr_rerank_matches_numpy_reference(ray_session):
     assert got["vec_id"].tolist() == want
     # rank 1 == relevance argmax; the tail diverges from pure relevance
     assert got["vec_id"][0] == want[0] == int(cids[0])
+
+
+def test_pq_rerank_all_equals_brute_force(ray_session):
+    """With rerank >= corpus size the exact in-batch re-rank covers every
+    vector, so PQ output == brute force regardless of codebook quality."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        brute_force_cosine_topk_ds,
+        pq_cosine_topk_ds,
+        read_embeddings,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    qm = np.array(
+        [tbl.column("embedding")[i].as_py() for i in range(2)], dtype=np.float64
+    )
+    exact = (
+        brute_force_cosine_topk_ds(read_embeddings(SF), qm, [0, 1], k=10)
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    approx = (
+        pq_cosine_topk_ds(
+            read_embeddings(SF), qm, [0, 1], k=10, rerank=100000
+        )
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert approx["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert approx["cosine"].tolist() == exact["cosine"].tolist()
+
+
+def test_pq_recall_and_determinism(ray_session):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        brute_force_cosine_topk_ds,
+        pq_cosine_topk_ds,
+        read_embeddings,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    qm = np.array(
+        [tbl.column("embedding")[i].as_py() for i in range(3)], dtype=np.float64
+    )
+    qids = [0, 1, 2]
+    exact = brute_force_cosine_topk_ds(read_embeddings(SF), qm, qids, k=10).to_pandas()
+    a = pq_cosine_topk_ds(read_embeddings(SF), qm, qids, k=10, rerank=50).to_pandas()
+    b = pq_cosine_topk_ds(read_embeddings(SF), qm, qids, k=10, rerank=50).to_pandas()
+    # seeded codebooks -> bit-identical reruns
+    key = ["query_id", "vec_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    for qid in qids:
+        ex = set(exact[exact.query_id == qid]["vec_id"])
+        ap = set(a[a.query_id == qid]["vec_id"])
+        assert len(ex & ap) / len(ex) >= 0.6, (qid, len(ex & ap))
