@@ -1726,6 +1726,16 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al., ACL'16): the
+    first 10 learned merges over the corpus word-frequency table —
+    rows-only (iterative argmax loop; pinned against a plain-Python BPE
+    reference in tests/test_textops.py)."""
+    from search_engine_ray.pipelines.text import bpe_train_ds, read_documents
+
+    return bpe_train_ds(read_documents(sf_dir.rstrip("/")), n_merges=10)
+
+
 def q_chunk_dedup(sf_dir: str):
     """Chunk-level exact dedup (paragraph-dedup analogue): duplicated
     32/16 token windows across the corpus with their keeper chunk."""
@@ -1999,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": q_chunk_dedup,  # NEW r4 s6: paragraph-level dedup
         "dup_rate_by_source": q_dup_rate_by_source,  # NEW r4 s6
         "ann_pq_recall": q_ann_pq_recall,  # NEW r4 s6: PQ-ADC + rerank
+        "bpe_merges": q_bpe_merges,  # NEW r4 s6: distributed BPE training
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

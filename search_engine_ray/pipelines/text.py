@@ -3165,3 +3165,156 @@ def facet_counts_ds(
         .groupby(facet_cols)
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+def bpe_train_ds(docs: rd.Dataset, n_merges: int = 20) -> rd.Dataset:
+    """Train BPE merges over the corpus (Sennrich et al., ACL'16) — the
+    tokenizer-training side of an LLM data pipeline.
+
+    Distributed shape: the corpus reduces ONCE to the (word, freq) table
+    (per-batch combiner + one groupby — after this the corpus never
+    re-reads); each merge iteration is (a) a vectorized adjacent-pair
+    count over the word table with per-batch combining, (b) a groupby-sum
+    whose ONLY the argmax row reaches the driver (sort desc + limit 1 —
+    deterministic tie-break on the pair itself), and (c) a broadcast
+    rewrite of the symbol sequences. The word table is materialized per
+    round (iterative lineage, the pagerank/CC precedent) and is
+    vocab-bounded — the per-word merge rewrite touches only rows whose
+    symbol list contains both halves (mask prefilter), the standard
+    freq-table formulation: corpus-scale work happens exactly once.
+
+    Stops early when no pair occurs at least twice. Output: one row per
+    learned merge — (merge_rank, left, right, freq)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        toks = lower_tokens(token_lists(batch.column("text")))
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        w, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"word": pa.array(w, pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    words = (
+        docs.map_batches(word_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def init_syms(batch: pa.Table) -> pa.Table:
+        ws = batch.column("word").to_pylist()
+        return pa.table(
+            {
+                "syms": pa.array([list(w) for w in ws], pa.list_(pa.string())),
+                "n": batch.column("n"),
+            }
+        )
+
+    cur = words.map_batches(init_syms, batch_format="pyarrow")
+
+    _empty_pairs = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        syms = batch.column("syms")
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        freq = batch.column("n").to_numpy(zero_copy_only=False)
+        flat = syms.flatten()
+        m = len(flat)
+        if m < 2:
+            return _empty_pairs
+        parents = pc.list_parent_indices(syms).to_numpy(zero_copy_only=False)
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return _empty_pairs
+        left = flat.slice(0, m - 1).filter(pa.array(same))
+        right = flat.slice(1, m - 1).filter(pa.array(same))
+        w = freq[parents[1:][same]]
+        key = pc.binary_join_element_wise(left, right, "\x1f").to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
+        agg = np.zeros(len(uniq), np.int64)
+        np.add.at(agg, inv, w)
+        ab = np.char.partition(uniq.astype(str), "\x1f")
+        return pa.table(
+            {
+                "a": pa.array(ab[:, 0], pa.string()),
+                "b": pa.array(ab[:, 2], pa.string()),
+                "n": pa.array(agg, pa.int64()),
+            }
+        )
+
+    def make_apply(a: str, b: str):
+        merged = a + b
+
+        def apply_merge(batch: pa.Table) -> pa.Table:
+            syms = batch.column("syms")
+            if isinstance(syms, pa.ChunkedArray):
+                syms = syms.combine_chunks()
+            out = syms.to_pylist()
+            # per-row rewrite only where the left half occurs (prefilter);
+            # this stage runs over the vocab-bounded word table, never the
+            # corpus
+            for i, s in enumerate(out):
+                if a not in s:
+                    continue
+                j, res = 0, []
+                L = len(s)
+                while j < L:
+                    if j + 1 < L and s[j] == a and s[j + 1] == b:
+                        res.append(merged)
+                        j += 2
+                    else:
+                        res.append(s[j])
+                        j += 1
+                out[i] = res
+            return pa.table(
+                {
+                    "syms": pa.array(out, pa.list_(pa.string())),
+                    "n": batch.column("n"),
+                }
+            )
+
+        return apply_merge
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        cur = cur.materialize()
+        top = (
+            cur.map_batches(pair_counts, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(_Sum("n", alias_name="n"))
+            .sort(["n", "a", "b"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top or int(top[0]["n"]) < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append(
+            {"merge_rank": rank, "left": a, "right": b, "freq": n}
+        )
+        cur = cur.map_batches(make_apply(a, b), batch_format="pyarrow")
+    if not merges:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "merge_rank": pa.array([], pa.int64()),
+                    "left": pa.array([], pa.string()),
+                    "right": pa.array([], pa.string()),
+                    "freq": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_items(merges)

@@ -1816,3 +1816,74 @@ def test_facet_counts(ray_session):
     ]
     none = facet_counts_ds(rd.from_items(rows), ["absent"]).to_pandas()
     assert len(none) == 0
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Plain-Python BPE (Sennrich et al.) over a word-frequency dict with
+    (count DESC, pair ASC) tie-break — the pinning reference."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = vocab[w]
+            for x, y in zip(s[:-1], s[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), n = best
+        merges.append((a, b, n))
+        for w in vocab:
+            s, out, j = vocab[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    from search_engine_ray.pipelines.text import bpe_train_ds
+
+    rows = [
+        {"text": "lower lower lowest low low low"},
+        {"text": "newer newest new new wider wide wide"},
+        {"text": "lower newest low wide wider lowest"},
+    ]
+    got = (
+        bpe_train_ds(rd.from_items(rows), n_merges=8)
+        .to_pandas()
+        .sort_values("merge_rank")
+        .reset_index(drop=True)
+    )
+    # reference over the same word-frequency table (lowercased whitespace
+    # tokens, same as the pipeline's tokenizer on this clean input)
+    freqs = {}
+    for r in rows:
+        for w in r["text"].split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_reference(freqs, 8)
+    assert [
+        (r["left"], r["right"], r["freq"]) for _, r in got.iterrows()
+    ] == want
+    assert got["merge_rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_bpe_train_sf(docs):
+    """Corpus-scale smoke at sf0.001: deterministic reruns, sane merges."""
+    from search_engine_ray.pipelines.text import bpe_train_ds
+
+    a = bpe_train_ds(docs, n_merges=5).to_pandas()
+    b = bpe_train_ds(docs, n_merges=5).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 5
+    assert (a["freq"] >= 2).all()
+    # each merged symbol is the concatenation of its halves' characters
+    assert ((a["left"] + a["right"]).str.len() > 1).all()
