@@ -1341,6 +1341,12 @@ def _ann_recall_rows(sf_dir: str, variant: str, bound: float):
         approx = pq_cosine_topk_ds(
             read_embeddings(sf_dir), qm, qids, k=10, rerank=50
         ).to_pandas()
+    elif variant == "ivfpq":
+        from search_engine_ray.pipelines.similarity import ivfpq_cosine_topk_ds
+
+        approx = ivfpq_cosine_topk_ds(
+            read_embeddings(sf_dir), qm, qids, k=10, nprobe=28, rerank=80
+        ).to_pandas()
     else:
         approx = ivf_cosine_topk_ds(
             read_embeddings(sf_dir), qm, qids, k=10, nprobe=32
@@ -1370,6 +1376,14 @@ def q_ann_pq_recall(sf_dir: str):
     sf0.001+sf0.01 and 1.0/0.8/1.0 at sf0.1 on these near-random
     embeddings — >=0.2 margin over the pinned 0.6 bound everywhere."""
     return _ann_recall_rows(sf_dir, "pq", bound=0.6)
+
+
+def q_ann_ivfpq_recall(sf_dir: str):
+    """IVF-PQ (coarse-list pruning + ADC + exact re-rank — the FAISS
+    web-scale default): recall@10 vs brute force. Measured 0.8-0.9 at
+    sf0.001/0.01/0.1 with nprobe=28, rerank=80 on these near-random
+    embeddings (the hardest ANN case); >=0.3 margin over the 0.5 bound."""
+    return _ann_recall_rows(sf_dir, "ivfpq", bound=0.5)
 
 
 def q_media_features(sf_dir: str):
@@ -1726,6 +1740,37 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_user_moving_sum(sf_dir: str):
+    """3-row sliding-frame window aggregate per user (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) over the cent-quantized value — int64
+    exact sum + in-frame row count."""
+    from search_engine_ray.pipelines.relational import group_moving_sum_ds
+    from search_engine_ray.pipelines.windows import read_events
+
+    ev = read_events(sf_dir.rstrip("/"), columns=["user_id", "event_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "cents": pa.array(v, pa.int64()),
+            }
+        )
+
+    out = group_moving_sum_ds(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        part_col="user_id",
+        order_col="event_id",
+        val_col="cents",
+        window=3,
+    )
+    return out.select_columns(["event_id", "user_id", "moving_sum", "n_frame"])
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (Sennrich et al., ACL'16): the
     first 10 learned merges over the corpus word-frequency table —
@@ -2010,6 +2055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q_dup_rate_by_source,  # NEW r4 s6
         "ann_pq_recall": q_ann_pq_recall,  # NEW r4 s6: PQ-ADC + rerank
         "bpe_merges": q_bpe_merges,  # NEW r4 s6: distributed BPE training
+        "user_moving_sum": q_user_moving_sum,  # NEW r4 s6: sliding frame
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,  # NEW r4 s6: IVF-PQ
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2608,6 +2655,16 @@ SELECT event_id, user_id,
                ROWS UNBOUNDED PRECEDING))::BIGINT AS running_sum
 FROM events
 """,
+        "user_moving_sum": """
+SELECT event_id, user_id,
+       (sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS moving_sum,
+       (count(*)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS n_frame
+FROM events
+""",
         "url_normalize": """
 WITH raw AS (
   SELECT doc_id,
@@ -2770,6 +2827,10 @@ SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 4
             " AS t(query_id, recall_ok)"
         ),
         "ann_pq_recall": (
+            "SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT), (1, 1), (2, 1))"
+            " AS t(query_id, recall_ok)"
+        ),
+        "ann_ivfpq_recall": (
             "SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT), (1, 1), (2, 1))"
             " AS t(query_id, recall_ok)"
         ),

@@ -580,6 +580,42 @@ def group_cumsum_ds(
     return ds.groupby(part_col).map_groups(csum, batch_format="pyarrow")
 
 
+def group_moving_sum_ds(
+    ds: rd.Dataset,
+    part_col: str,
+    order_col: str,
+    val_col: str,
+    window: int = 3,
+    out_col: str = "moving_sum",
+) -> rd.Dataset:
+    """``sum(val) OVER (PARTITION BY part ORDER BY order ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` plus the actual in-frame row
+    count — the sliding-frame window aggregate, int64-exact (emit the sum
+    + count rather than the float average so the result is hash-stable;
+    the caller divides if it wants the mean). Same single-shuffle +
+    per-group vectorized shape as group_lag_ds: one cumsum and one
+    shifted subtraction per partition."""
+
+    def msum(group: pa.Table) -> pa.Table:
+        o = group.column(order_col).to_numpy(zero_copy_only=False)
+        v = group.column(val_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(o, kind="stable")
+        n = len(o)
+        cs = np.cumsum(v[order])
+        sums = cs.copy()
+        sums[window:] = cs[window:] - cs[:-window]
+        cnt = np.minimum(np.arange(1, n + 1), window)
+        out_s = np.empty(n, np.int64)
+        out_c = np.empty(n, np.int64)
+        out_s[order] = sums
+        out_c[order] = cnt
+        return group.append_column(
+            out_col, pa.array(out_s, pa.int64())
+        ).append_column("n_frame", pa.array(out_c, pa.int64()))
+
+    return ds.groupby(part_col).map_groups(msum, batch_format="pyarrow")
+
+
 def skew_hash_join(
     probe: rd.Dataset,
     build: rd.Dataset,

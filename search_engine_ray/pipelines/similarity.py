@@ -728,3 +728,85 @@ def pq_cosine_topk_ds(
         .groupby("query_id")
         .map_groups(_make_final_topk(k), batch_format="pyarrow")
     )
+
+
+def ivfpq_cosine_topk_ds(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 16,
+    n_subspaces: int = 8,
+    n_pq_centroids: int = 32,
+    rerank: int = 50,
+    seed: int = 42,
+) -> rd.Dataset:
+    """IVF-PQ (the FAISS web-scale default, Jégou et al. TPAMI'11): the
+    IVF coarse quantizer prunes each query's candidate set to its
+    ``nprobe`` nearest lists, PQ-ADC scores only those candidates (one
+    LUT gather per subspace), and the top-``rerank`` ADC survivors per
+    batch get exact cosines from the raw vectors still in the batch.
+    At 100 TB this is the layout that fits in RAM: n_subspaces uint8
+    codes + one uint16 list id per vector, centroids + codebooks
+    broadcast once. Composition of ``train_ivf_centroids`` +
+    ``train_pq_codebooks``; deterministic given the seed; output schema
+    matches brute force."""
+    centroids = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    codebooks = train_pq_codebooks(
+        embeddings, n_subspaces, n_pq_centroids, seed=seed
+    )
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    n_sub, n_c, sub = codebooks.shape
+    lut = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), n_sub, sub), codebooks)
+    probed = np.argsort(-(qm @ centroids.T), axis=1)[
+        :, : min(nprobe, len(centroids))
+    ]
+    b_ref = ray.put(
+        (
+            np.asarray(query_ids, dtype=np.int64),
+            qm,
+            centroids,
+            probed,
+            codebooks,
+            lut,
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, cent, probes, books, luts = ray.get(b_ref)
+        ids, m = _to_matrix(batch)
+        mn = _normalize(m)
+        n = len(ids)
+        lid = np.argmax(mn @ cent.T, axis=1)
+        codes = np.empty((n, n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            x = mn[:, s * sub : (s + 1) * sub]
+            cb = books[s]
+            d2 = -2.0 * (x @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d2, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qids)):
+            sel = np.flatnonzero(np.isin(lid, probes[j]))
+            if not len(sel):
+                continue
+            adc = luts[j][np.arange(n_sub)[None, :], codes[sel]].sum(axis=1)
+            r = min(rerank, len(sel))
+            cand = sel[np.argpartition(-adc, r - 1)[:r]]
+            exact = mn[cand] @ qmat[j]
+            out_q.extend([int(qids[j])] * len(cand))
+            out_v.extend(ids[cand].tolist())
+            out_s.extend(exact.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_make_final_topk(k), batch_format="pyarrow")
+    )

@@ -399,3 +399,29 @@ def test_group_lag_and_cumsum_match_pandas(ray_session):
     )
     want_cs = df.groupby("part")["val"].cumsum()
     assert cs["running_sum"].tolist() == want_cs.tolist()
+
+
+def test_group_moving_sum(ray_session):
+    """3-row frame sums and in-frame counts, partition-isolated, order by
+    the (unique) order column regardless of input row order."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.relational import group_moving_sum_ds
+
+    rows = [
+        {"u": 1, "o": 3, "v": 30},
+        {"u": 1, "o": 1, "v": 10},
+        {"u": 1, "o": 2, "v": 20},
+        {"u": 1, "o": 4, "v": 40},
+        {"u": 2, "o": 1, "v": 5},
+    ]
+    out = (
+        group_moving_sum_ds(
+            rd.from_items(rows), part_col="u", order_col="o", val_col="v", window=3
+        )
+        .to_pandas()
+        .sort_values(["u", "o"])
+        .reset_index(drop=True)
+    )
+    assert out["moving_sum"].tolist() == [10, 30, 60, 90, 5]
+    assert out["n_frame"].tolist() == [1, 2, 3, 3, 1]

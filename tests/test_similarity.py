@@ -458,3 +458,34 @@ def test_pq_recall_and_determinism(ray_session):
         ex = set(exact[exact.query_id == qid]["vec_id"])
         ap = set(a[a.query_id == qid]["vec_id"])
         assert len(ex & ap) / len(ex) >= 0.6, (qid, len(ex & ap))
+
+
+def test_ivfpq_recall_and_determinism(ray_session):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.similarity import (
+        brute_force_cosine_topk_ds,
+        ivfpq_cosine_topk_ds,
+        read_embeddings,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    qm = np.array(
+        [tbl.column("embedding")[i].as_py() for i in range(3)], dtype=np.float64
+    )
+    qids = [0, 1, 2]
+    exact = brute_force_cosine_topk_ds(read_embeddings(SF), qm, qids, k=10).to_pandas()
+    a = ivfpq_cosine_topk_ds(
+        read_embeddings(SF), qm, qids, k=10, nprobe=28, rerank=80
+    ).to_pandas()
+    b = ivfpq_cosine_topk_ds(
+        read_embeddings(SF), qm, qids, k=10, nprobe=28, rerank=80
+    ).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    for qid in qids:
+        ex = set(exact[exact.query_id == qid]["vec_id"])
+        ap = set(a[a.query_id == qid]["vec_id"])
+        assert len(ex & ap) / len(ex) >= 0.5, (qid, len(ex & ap))
