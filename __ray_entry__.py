@@ -1940,7 +1940,15 @@ def q_sparse_knn(sf_dir: str):
     df cap 100 (the per-term pair-work bound)."""
     from search_engine_ray.pipelines.text import read_documents, sparse_knn_ds
 
-    return sparse_knn_ds(read_documents(sf_dir.rstrip("/")), k=3, max_df=100)
+    return _schema_safe(
+        sparse_knn_ds(read_documents(sf_dir.rstrip("/")), k=3, max_df=100),
+        fallback={
+            "doc_id": pa.int64(),
+            "nbr_id": pa.int64(),
+            "dot": pa.int64(),
+            "rank": pa.int64(),
+        },
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
