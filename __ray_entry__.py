@@ -2047,11 +2047,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entries above (pack_sequences..semdedup), rotate the NEW-r4
         # oracle-bearing queries in — source_topk, vocab_coverage,
         # embedding_stats, group_centroid, leakage_split, split_leakage,
-        # hll_window, token_drift, blocklist_filter, chunk_docs,
-        # sparse_knn, heavy_hitters_mg, search_facets, rrf_fuse,
-        # tiered_compact — and move the freshly double-proven
-        # relational/windows trivia out. Keep the core build/search set
-        # (positions 0-10) pinned.
+        # hll_window, token_drift, blocklist_filter — plus the sixth
+        # session's oracle-bearing additions: chunk_docs, sparse_knn,
+        # heavy_hitters_mg, search_facets, rrf_fuse, tiered_compact,
+        # chunk_dedup, dup_rate_by_source, user_moving_sum,
+        # ann_pq_recall, ann_ivfpq_recall (all emu hash-green at sf0.01;
+        # the new-op set also re-verified at sf0.1) — and move the
+        # freshly double-proven relational/windows trivia out. Keep the
+        # core build/search set (positions 0-10) pinned.
         "chunk_docs": q_chunk_docs,  # NEW r4 s6: RAG token-window chunking
         "sparse_knn": q_sparse_knn,  # NEW r4 s6: term-partitioned all-pairs
         "heavy_hitters_mg": q_heavy_hitters_mg,  # NEW r4 s6: Misra-Gries
