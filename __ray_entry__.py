@@ -1740,6 +1740,52 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_warc_index_search(sf_dir: str):
+    """End-to-end crawl-archive lifecycle (the input_hint's WARC format):
+    the documents table serialized as a GZIPPED WARC of HTTP response
+    records, parsed back by sources/warc.py (C-speed boundary scan, gzip
+    magic detection), HTML-extracted byte-identically, indexed, and
+    searched — rank == doc_id by construction, so it shares the
+    search_and SQL oracle."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.warc import warc_pages, write_warc
+
+    sf_dir = sf_dir.rstrip("/")
+    tbl = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    assert ids == list(range(len(ids))), "rank==doc_id needs consecutive ids"
+    records = [
+        {
+            "type": "response",
+            "url": f"doc://{i}",
+            "date": "2024-01-01T00:00:00Z",
+            "payload": (
+                f"<html><head><title></title></head><body>{t}</body></html>"
+            ).encode(),
+        }
+        for i, t in zip(ids, tbl.column("text").to_pylist())
+    ]
+    warc_path = f"/tmp/se_ray_warc_{abs(hash(sf_dir)) % (1 << 32):08x}.warc.gz"
+    write_warc(warc_path, records, compress=True)
+    out = _idx_dir(sf_dir) + "_warc"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig()
+    build_index(
+        warc_pages([warc_path]), out, config, doc_id_mode="rank", resume=False
+    )
+    rows = SegmentSearcher(out, config).search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
 def q_user_moving_sum(sf_dir: str):
     """3-row sliding-frame window aggregate per user (ROWS BETWEEN 2
     PRECEDING AND CURRENT ROW) over the cent-quantized value — int64
@@ -2068,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,  # NEW r4 s6: distributed BPE training
         "user_moving_sum": q_user_moving_sum,  # NEW r4 s6: sliding frame
         "ann_ivfpq_recall": q_ann_ivfpq_recall,  # NEW r4 s6: IVF-PQ
+        "warc_index_search": q_warc_index_search,  # NEW r4 s6: WARC e2e
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2944,6 +2991,17 @@ SELECT doc_id FROM (
         # incremental build (base + add_generation + compact) must equal the
         # single-shot build, so it shares search_and's oracle
         "add_compact": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
+        # WARC round-trip build must serve identically to the direct build
+        # (byte-identical extraction + rank==doc_id), so search_and's
+        # oracle applies
+        "warc_index_search": f"""
 SELECT doc_id FROM (
   SELECT doc_id FROM (
     SELECT DISTINCT doc_id, term FROM (
