@@ -1774,7 +1774,11 @@ def q_warc_index_search(sf_dir: str):
         }
         for i, t in zip(ids, tbl.column("text").to_pylist())
     ]
-    warc_path = f"/tmp/se_ray_warc_{abs(hash(sf_dir)) % (1 << 32):08x}.warc.gz"
+    warc_path = (
+        "/tmp/se_ray_warc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + ".warc.gz"
+    )
     write_warc(warc_path, records, compress=True)
     out = _idx_dir(sf_dir) + "_warc"
     shutil.rmtree(out, ignore_errors=True)
