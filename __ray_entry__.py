@@ -1740,6 +1740,72 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_bm25_ndcg(sf_dir: str):
+    """Search-quality evaluation harness: NDCG@10 of the engine's BM25
+    ranking for {table, query} against graded relevance rel(d) =
+    min(tf_table + tf_query, 5) — DCG with the standard (2^rel - 1) /
+    log2(rank + 1) gains, ideal ordering by (rel DESC, doc_id). Output:
+    one row per rank position with the cumulative DCG and the final
+    NDCG@10 repeated (rounded 6 dp; the ordered 10-term float sum is far
+    above ULP noise)."""
+    import math
+
+    a_rows = _docs_searcher(sf_dir).search_bm25("table query", k=10, mode="and")
+    ranked = [int(r.doc_id) for r in a_rows]
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from search_engine_ray.functions.textstats import token_lists
+        from search_engine_ray.tokenize import lower_tokens
+
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = lower_tokens(token_lists(batch.column("text")))
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        tfs = np.zeros(n, np.int64)
+        for t in ("table", "query"):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tfs += np.bincount(parents[hit], minlength=n)
+        keep = tfs > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "rel": pa.array(np.minimum(tfs[keep], 5), pa.int64()),
+            }
+        )
+
+    rels = (
+        _docs(sf_dir)
+        .map_batches(tf_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    lut = dict(zip(rels["doc_id"].astype(int), rels["rel"].astype(int)))
+    # ideal ordering over the whole candidate set (rel DESC, doc_id)
+    ideal = sorted(lut.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    idcg = sum(
+        (2**r - 1) / math.log2(i + 2) for i, (_, r) in enumerate(ideal)
+    )
+    dcg, rows = 0.0, []
+    for i, d in enumerate(ranked):
+        r = lut.get(d, 0)
+        dcg += (2**r - 1) / math.log2(i + 2)
+        rows.append((i + 1, d, r, dcg))
+    ndcg = (dcg / idcg) if idcg else 0.0
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "rank": [r[0] for r in rows],
+            "doc_id": [r[1] for r in rows],
+            "rel": [r[2] for r in rows],
+            "dcg_cum": [round(r[3], 6) for r in rows],
+            "ndcg10": [round(ndcg, 6)] * len(rows),
+        }
+    )
+
+
 def q_warc_index_search(sf_dir: str):
     """End-to-end crawl-archive lifecycle (the input_hint's WARC format):
     the documents table serialized as a GZIPPED WARC of HTTP response
@@ -2119,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_sum": q_user_moving_sum,  # NEW r4 s6: sliding frame
         "ann_ivfpq_recall": q_ann_ivfpq_recall,  # NEW r4 s6: IVF-PQ
         "warc_index_search": q_warc_index_search,  # NEW r4 s6: WARC e2e
+        "bm25_ndcg": q_bm25_ndcg,  # NEW r4 s6: search-quality eval
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -3002,6 +3069,29 @@ SELECT doc_id FROM (
     WHERE term IN ('table', 'query'))
   GROUP BY doc_id HAVING count(*) = 2
   ORDER BY doc_id LIMIT 100)""",
+        # NDCG@10 mirror: same bm25 ranking re-ranked as row_numbers, tf
+        # relevance capped at 5, ordered cumulative DCG window sum
+        "bm25_ndcg": f"""
+WITH ra AS ({bm25.replace("round(s, 6) AS score", "row_number() OVER (ORDER BY s DESC, doc_id) AS rank")}),
+tfq AS (
+  SELECT doc_id, LEAST(sum(cnt), 5)::BIGINT AS rel FROM (
+    SELECT doc_id, term, count(*) AS cnt FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query') GROUP BY doc_id, term)
+  GROUP BY doc_id),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i FROM tfq),
+idcg AS (SELECT sum((pow(2, rel) - 1) / log2(i + 1)) AS v FROM ideal WHERE i <= 10),
+scored AS (
+  SELECT ra.rank, ra.doc_id, coalesce(tfq.rel, 0)::BIGINT AS rel,
+         (pow(2, coalesce(tfq.rel, 0)) - 1) / log2(ra.rank + 1) AS gain
+  FROM ra LEFT JOIN tfq USING (doc_id)),
+cum AS (SELECT rank, doc_id, rel,
+               sum(gain) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS dcg_cum
+        FROM scored),
+tot AS (SELECT max(dcg_cum) AS dcg FROM cum)
+SELECT rank, doc_id, rel, round(dcg_cum, 6) AS dcg_cum,
+       round((SELECT dcg FROM tot) / (SELECT v FROM idcg), 6) AS ndcg10
+FROM cum ORDER BY rank""",
         # WARC round-trip build must serve identically to the direct build
         # (byte-identical extraction + rank==doc_id), so search_and's
         # oracle applies

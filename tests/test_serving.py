@@ -270,3 +270,19 @@ def test_rrf_fuse_semantics(ray_session):
     d = rd.from_items([{"doc_id": 4, "rank": 1}, {"doc_id": 11, "rank": 2}])
     out2 = rrf_fuse_ds([c, d], k=60, topk=10).to_pandas()
     assert out2["doc_id"].tolist() == [4, 11]  # equal rrf -> doc_id asc
+
+
+def test_bm25_ndcg_properties(ray_session):
+    """NDCG@10 eval harness invariants at sf0.001: 10 ranked rows,
+    cumulative DCG non-decreasing, 0 < ndcg10 <= 1, grades capped at 5."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    df = entry.queries()["bm25_ndcg"]("/root/testdata/sf0.001")
+    assert df["rank"].tolist() == list(range(1, 11))
+    assert (df["dcg_cum"].diff().fillna(df["dcg_cum"].iloc[0]) >= 0).all()
+    assert df["rel"].between(0, 5).all()
+    nd = df["ndcg10"].iloc[0]
+    assert (df["ndcg10"] == nd).all() and 0 < nd <= 1
