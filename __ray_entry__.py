@@ -1897,6 +1897,15 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train_ds(read_documents(sf_dir.rstrip("/")), n_merges=10)
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (rolling-hash boundaries, FastCDC/LBFS
+    lineage): cut before token i when the 2-gram at i hashes to
+    0 mod 8 — edit-robust chunks for chunk-level dedup."""
+    from search_engine_ray.pipelines.text import cdc_chunk_docs_ds, read_documents
+
+    return cdc_chunk_docs_ds(read_documents(sf_dir.rstrip("/")), k=2, modulus=8)
+
+
 def q_chunk_dedup(sf_dir: str):
     """Chunk-level exact dedup (paragraph-dedup analogue): duplicated
     32/16 token windows across the corpus with their keeper chunk."""
@@ -2186,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_recall": q_ann_ivfpq_recall,  # NEW r4 s6: IVF-PQ
         "warc_index_search": q_warc_index_search,  # NEW r4 s6: WARC e2e
         "bm25_ndcg": q_bm25_ndcg,  # NEW r4 s6: search-quality eval
+        "cdc_chunks": q_cdc_chunks,  # NEW r4 s6: content-defined chunking
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2824,6 +2834,24 @@ SELECT term, 1::BIGINT AS within_bound FROM (
   WHERE length(term) >= 2 GROUP BY term ORDER BY n DESC, term LIMIT 20)
 ORDER BY term
 """,
+        # content-defined chunking: cut before token i when the 2-gram's
+        # 60-bit md5 prefix (15 hex -> signed-64-safe on both engines) is
+        # 0 mod 8; chunk_id = windowed cumulative cut count
+        "cdc_chunks": f"""
+WITH t AS (
+  SELECT doc_id, {tok} AS ts, len({tok})::BIGINT AS L FROM documents),
+pos AS (SELECT doc_id, L, ts, unnest(range(0, L)) AS i FROM t),
+b AS (SELECT doc_id, ts, i,
+        CASE WHEN i >= 1 AND i + 2 <= L
+                  AND ('0x' || substr(md5(array_to_string(ts[i+1 : i+2], ' ')), 1, 15))::BIGINT % 8 = 0
+             THEN 1 ELSE 0 END AS cut
+      FROM pos),
+c AS (SELECT doc_id, ts, i, cut,
+        (sum(cut) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING))::BIGINT AS chunk_id
+      FROM b)
+SELECT doc_id, chunk_id, min(i)::BIGINT AS start_tok, count(*)::BIGINT AS n_tokens,
+       string_agg(ts[i+1], ' ' ORDER BY i) AS chunk_text
+FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""",
         # chunk-level exact dedup: chunk SQL + md5 grouping, keeper =
         # lexicographic-min (doc_id, chunk_id), duplicated groups only
         "chunk_dedup": f"""

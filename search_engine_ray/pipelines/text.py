@@ -3318,3 +3318,95 @@ def bpe_train_ds(docs: rd.Dataset, n_merges: int = 20) -> rd.Dataset:
             )
         )
     return rd.from_items(merges)
+
+
+def cdc_chunk_docs_ds(
+    docs: rd.Dataset, k: int = 2, modulus: int = 8
+) -> rd.Dataset:
+    """Content-defined chunking (the rolling-hash boundary rule used by
+    dedup systems — FastCDC/LBFS lineage): cut BEFORE token i whenever
+    the k-token gram starting at i hashes to 0 mod ``modulus``. Unlike
+    fixed-stride windows (``chunk_docs_ds``), boundaries are anchored to
+    CONTENT, so an insertion near the head of a doc shifts only the
+    chunks around the edit — the property that makes chunk-level dedup
+    robust to local edits. Expected chunk length = ``modulus`` tokens.
+
+    Output: (doc_id, chunk_id, start_tok, n_tokens, chunk_text) — chunks
+    PARTITION the token sequence (no overlap), chunk_id 0-based per doc.
+
+    Scale shape: single-pass map_batches, no shuffle; boundaries and the
+    segmented chunk ids are pure vectorized index arithmetic over the
+    flat token array, and chunk text is one ``binary_join`` over a
+    list-array VIEW of the flat tokens (chunks are contiguous, so no
+    gather at all). The per-gram md5 matches the SQL oracle
+    (``winnow_md5`` precedent); a crc/splitmix variant would drop the
+    remaining Python loop at crawl scale."""
+    import hashlib as _hashlib
+
+    m = modulus
+
+    def f(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = token_lists(batch.column("text"))
+        flat = toks.flatten()
+        n = len(flat)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        if n == 0:
+            return empty
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        doc_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        i_within = np.arange(n) - doc_off[parents]
+        cut = np.zeros(n, dtype=bool)
+        if n >= k:
+            views = [flat.slice(i, n - k + 1) for i in range(k)]
+            grams = pc.binary_join_element_wise(*views, " ")
+            ok = parents[k - 1 :] == parents[: n - k + 1]
+            gl = grams.to_pylist()
+            # 60-bit md5 prefix (15 hex chars): stays inside a signed
+            # 64-bit lane on BOTH engines (16 hex would overflow BIGINT)
+            h = np.array(
+                [
+                    int(_hashlib.md5(g.encode()).hexdigest()[:15], 16) if o else 1
+                    for g, o in zip(gl, ok)
+                ],
+                dtype=np.uint64,
+            )
+            cut[: n - k + 1] = ok & (i_within[: n - k + 1] >= 1) & (h % m == 0)
+        cs = np.cumsum(cut.astype(np.int64))
+        first = np.zeros(n, dtype=bool)
+        first[doc_off[:-1][lens > 0]] = True
+        # chunk_id of token t = cuts in (doc head, t]; the head can't cut
+        chunk_id_at = cs - cs[doc_off[:-1]][parents]
+        new = cut | first
+        starts = np.flatnonzero(new)
+        nlens = np.diff(np.append(starts, n))
+        # chunks are CONTIGUOUS runs of the flat token array — build the
+        # list view straight from the start offsets, no gather
+        off = np.empty(len(starts) + 1, dtype=np.int32)
+        off[:-1] = starts
+        off[-1] = n
+        la = pa.ListArray.from_arrays(pa.array(off, pa.int32()), flat)
+        chunk_text = pc.binary_join(la, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parents[starts]], pa.int64()),
+                "chunk_id": pa.array(chunk_id_at[starts], pa.int64()),
+                "start_tok": pa.array(i_within[starts], pa.int64()),
+                "n_tokens": pa.array(nlens, pa.int64()),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -1887,3 +1887,44 @@ def test_bpe_train_sf(docs):
     assert (a["freq"] >= 2).all()
     # each merged symbol is the concatenation of its halves' characters
     assert ((a["left"] + a["right"]).str.len() > 1).all()
+
+
+def test_cdc_chunks_edit_robustness(ray_session):
+    """The CDC property fixed windows lack: a head insertion leaves the
+    tail chunks' TEXTS unchanged (boundaries are content-anchored)."""
+    from search_engine_ray.pipelines.text import cdc_chunk_docs_ds
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = "inserted words here " + base
+    out = (
+        cdc_chunk_docs_ds(
+            rd.from_items(
+                [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": edited}]
+            ),
+            k=2,
+            modulus=4,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    a = out[out.doc_id == 0]["chunk_text"].tolist()
+    b = out[out.doc_id == 1]["chunk_text"].tolist()
+    # chunks partition the tokens
+    assert " ".join(a) == base and " ".join(b) == edited
+    # every chunk of the original whose content starts after the edit
+    # window reappears verbatim in the edited doc's chunk set
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 2, (a, b)
+
+
+def test_cdc_chunks_partition_and_expected_len(docs):
+    from search_engine_ray.pipelines.text import cdc_chunk_docs_ds, token_count_ds
+
+    out = cdc_chunk_docs_ds(docs, k=2, modulus=8).to_pandas()
+    ntok = token_count_ds(docs).to_pandas()
+    # chunks partition every doc's tokens exactly
+    got = out.groupby("doc_id")["n_tokens"].sum().sort_index()
+    want = ntok.set_index("doc_id")["n_tokens"].sort_index()
+    assert got.tolist() == want.tolist()
+    # mean chunk length is in the ballpark of the modulus (geometric-ish)
+    assert 4 <= out["n_tokens"].mean() <= 16
