@@ -1917,6 +1917,17 @@ def q_chunk_dedup(sf_dir: str):
     )
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Chunk dedup over CONTENT-DEFINED chunks — offset-independent
+    shared-passage detection (the reason CDC exists)."""
+    from search_engine_ray.pipelines.dedup import chunk_dedup_ds
+    from search_engine_ray.pipelines.text import read_documents
+
+    return chunk_dedup_ds(
+        read_documents(sf_dir.rstrip("/")), method="cdc", cdc_k=2, cdc_modulus=8
+    )
+
+
 def q_dup_rate_by_source(sf_dir: str):
     """Per-source duplication dashboard: docs contributed and exact-text
     dups (non-keeper copies) per source."""
@@ -2196,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_index_search": q_warc_index_search,  # NEW r4 s6: WARC e2e
         "bm25_ndcg": q_bm25_ndcg,  # NEW r4 s6: search-quality eval
         "cdc_chunks": q_cdc_chunks,  # NEW r4 s6: content-defined chunking
+        "cdc_dedup": q_cdc_dedup,  # NEW r4 s6: CDC chunk dedup
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2852,6 +2864,27 @@ c AS (SELECT doc_id, ts, i, cut,
 SELECT doc_id, chunk_id, min(i)::BIGINT AS start_tok, count(*)::BIGINT AS n_tokens,
        string_agg(ts[i+1], ' ' ORDER BY i) AS chunk_text
 FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""",
+        # CDC chunk dedup: the cdc_chunks chunking + md5 grouping,
+        # duplicated groups only (keeper = lexicographic-min)
+        "cdc_dedup": f"""
+WITH t AS (
+  SELECT doc_id, {tok} AS ts, len({tok})::BIGINT AS L FROM documents),
+pos AS (SELECT doc_id, L, ts, unnest(range(0, L)) AS i FROM t),
+b AS (SELECT doc_id, ts, i,
+        CASE WHEN i >= 1 AND i + 2 <= L
+                  AND ('0x' || substr(md5(array_to_string(ts[i+1 : i+2], ' ')), 1, 15))::BIGINT % 8 = 0
+             THEN 1 ELSE 0 END AS cut
+      FROM pos),
+c AS (SELECT doc_id, ts, i, cut,
+        (sum(cut) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING))::BIGINT AS chunk_id
+      FROM b),
+ch AS (SELECT doc_id, chunk_id,
+              md5(string_agg(ts[i+1], ' ' ORDER BY i)) AS fp
+       FROM c GROUP BY doc_id, chunk_id)
+SELECT fp, count(*)::BIGINT AS n_copies,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       first(chunk_id ORDER BY doc_id, chunk_id)::BIGINT AS keep_chunk_id
+FROM ch GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""",
         # chunk-level exact dedup: chunk SQL + md5 grouping, keeper =
         # lexicographic-min (doc_id, chunk_id), duplicated groups only
         "chunk_dedup": f"""

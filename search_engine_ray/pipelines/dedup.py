@@ -1581,13 +1581,25 @@ def dedup_spans_ds(docs: rd.Dataset, k: int = 3, min_count: int = 2) -> rd.Datas
 
 
 def chunk_dedup_ds(
-    docs: rd.Dataset, chunk_tokens: int = 32, stride: int = 16
+    docs: rd.Dataset,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    method: str = "fixed",
+    cdc_k: int = 2,
+    cdc_modulus: int = 8,
 ) -> rd.Dataset:
     """Chunk-level exact dedup (the paragraph-dedup analogue for corpora
-    whose docs are single blocks): chunk every doc with
-    ``text.chunk_docs_ds``, md5 the chunk texts, and report every chunk
-    that appears more than once — (fp, n_copies, keep_doc_id,
-    keep_chunk_id), keeper = lexicographic-min (doc_id, chunk_id).
+    whose docs are single blocks): chunk every doc, md5 the chunk texts,
+    and report every chunk that appears more than once — (fp, n_copies,
+    keep_doc_id, keep_chunk_id), keeper = lexicographic-min
+    (doc_id, chunk_id).
+
+    ``method="fixed"`` uses the overlapping token windows of
+    ``text.chunk_docs_ds``; ``method="cdc"`` uses the content-defined
+    boundaries of ``text.cdc_chunk_docs_ds`` — the edit-robust variant:
+    a shared passage embedded at DIFFERENT offsets in two docs still
+    yields identical chunks, which fixed windows only match at aligned
+    offsets.
 
     Scale shape: chunking is a no-shuffle map; the dedup is one groupby on
     the digest's two int64 halves (same key scheme as ``exact_dedup_ds``)
@@ -1596,9 +1608,14 @@ def chunk_dedup_ds(
     import binascii
 
     from search_engine_ray.functions.textstats import md5_digests_arrow
-    from search_engine_ray.pipelines.text import chunk_docs_ds
+    from search_engine_ray.pipelines.text import cdc_chunk_docs_ds, chunk_docs_ds
 
-    chunks = chunk_docs_ds(docs, chunk_tokens=chunk_tokens, stride=stride)
+    if method == "cdc":
+        chunks = cdc_chunk_docs_ds(docs, k=cdc_k, modulus=cdc_modulus)
+    elif method == "fixed":
+        chunks = chunk_docs_ds(docs, chunk_tokens=chunk_tokens, stride=stride)
+    else:
+        raise ValueError(f"unknown chunking method {method!r}")
 
     def fp(batch: pa.Table) -> pa.Table:
         d = md5_digests_arrow(batch.column("chunk_text"))

@@ -612,3 +612,24 @@ def test_dup_rate_by_source_counts(ray_session):
         {"source": "x", "n_docs": 2, "n_dups": 0},
         {"source": "y", "n_docs": 3, "n_dups": 2},
     ]
+
+
+def test_cdc_dedup_offset_independent(ray_session):
+    """A shared passage at DIFFERENT offsets dedups under CDC chunking
+    (content-anchored boundaries) — the fixed-window variant only matches
+    aligned copies."""
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.dedup import chunk_dedup_ds
+
+    shared = " ".join(f"s{i}" for i in range(24))
+    rows = [
+        {"doc_id": 0, "text": shared + " " + " ".join(f"a{i}" for i in range(10))},
+        {"doc_id": 1, "text": "one extra prefix " + shared},  # offset 3
+    ]
+    out = chunk_dedup_ds(
+        rd.from_items(rows), method="cdc", cdc_k=2, cdc_modulus=4
+    ).to_pandas()
+    # at least one interior shared chunk is detected across the two docs
+    assert (out["n_copies"] >= 2).all()
+    assert len(out) >= 1
