@@ -1897,6 +1897,32 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train_ds(read_documents(sf_dir.rstrip("/")), n_merges=10)
 
 
+def q_ef_index_search(sf_dir: str):
+    """Elias-Fano postings codec under the driver's hash gate: build the
+    index with ``postings_codec="ef"`` (quasi-succinct doc_id encoding,
+    Vigna WSDM'13) and run the conjunctive search — must serve
+    identically to the varint build, so it shares the search_and
+    oracle."""
+    import shutil
+
+    import ray.data as rd
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+
+    sf_dir = sf_dir.rstrip("/")
+    out = _idx_dir(sf_dir) + "_ef"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig(postings_codec="ef")
+    pages = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_docs_to_pages, batch_format="pyarrow")
+    build_index(pages, out, config, doc_id_mode="rank", resume=False)
+    rows = SegmentSearcher(out, config).search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (rolling-hash boundaries, FastCDC/LBFS
     lineage): cut before token i when the 2-gram at i hashes to
@@ -2208,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ndcg": q_bm25_ndcg,  # NEW r4 s6: search-quality eval
         "cdc_chunks": q_cdc_chunks,  # NEW r4 s6: content-defined chunking
         "cdc_dedup": q_cdc_dedup,  # NEW r4 s6: CDC chunk dedup
+        "ef_index_search": q_ef_index_search,  # NEW r4 s6: EF codec e2e
         "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
         "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -3153,6 +3180,15 @@ tot AS (SELECT max(dcg_cum) AS dcg FROM cum)
 SELECT rank, doc_id, rel, round(dcg_cum, 6) AS dcg_cum,
        round((SELECT dcg FROM tot) / (SELECT v FROM idcg), 6) AS ndcg10
 FROM cum ORDER BY rank""",
+        # the Elias-Fano-codec build must serve identically to varint
+        "ef_index_search": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
         # WARC round-trip build must serve identically to the direct build
         # (byte-identical extraction + rank==doc_id), so search_and's
         # oracle applies
