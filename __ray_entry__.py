@@ -17,6 +17,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # the documents-table tokenizer is exactly whitespace-split on this corpus
 # (text is plain [a-z0-9 ]) — the SQL mirrors use string_split; the Ray side
@@ -458,6 +459,38 @@ def q_pagerank(sf_dir: str):
     emb = read_embeddings(sf_dir.rstrip("/"))
     edges = knn_join_ds(emb, emb, k=5).select_columns(["query_id", "vec_id"])
     return pagerank_ds(edges, n_iter=5, src_col="query_id", dst_col="vec_id")
+
+
+def q_pagerank_top(sf_dir: str):
+    """Driver-facing rank-ORDER oracle for PageRank (r4 verdict item 7):
+    top-20 nodes by (round(rank, 6) DESC, node ASC) over the k=5 kNN graph
+    of the embeddings table after 5 power iterations. Rounding to 6 dp
+    absorbs the parallel float-sum order noise that makes a full-value
+    hash oracle wrong by construction (graph.py:pagerank_ds docstring);
+    the unrounded fixed point stays numpy-pinned in tests/test_graph.py.
+    Scale shape: the rank table never hits the driver — round + sort +
+    limit(20) run Dataset-native."""
+    from search_engine_ray.pipelines.graph import pagerank_ds
+    from search_engine_ray.pipelines.similarity import knn_join_ds, read_embeddings
+
+    emb = read_embeddings(sf_dir.rstrip("/"))
+    edges = knn_join_ds(emb, emb, k=5).select_columns(["query_id", "vec_id"])
+    pr = pagerank_ds(edges, n_iter=5, src_col="query_id", dst_col="vec_id")
+
+    def _r6(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node").cast(pa.int64()),
+                "rank_r6": pc.round(batch.column("rank"), ndigits=6),
+            }
+        )
+
+    return (
+        pr.map_batches(_r6, batch_format="pyarrow")
+        .sort(["rank_r6", "node"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
 
 
 def q_label_propagation(sf_dir: str):
@@ -1680,12 +1713,30 @@ def q_json_field_stats(sf_dir: str):
 
 
 def q_semdedup(sf_dir: str):
-    from search_engine_ray.pipelines.dedup import semdedup_ds
-    from search_engine_ray.pipelines.similarity import read_embeddings
+    """SemDeDup (dedup.py:1048) under DETERMINISTIC centroids so the full
+    assignment + keep rule is SQL-expressible (r4 verdict item 2): the
+    centroids are the L2-normalized embeddings of the 64 smallest vec_ids
+    (no Lloyd iterations — trained k-means stays the library default via
+    ``centroids=None``; the pure-numpy k-means pin lives in
+    tests/test_dedup.py). Both engines compute cosine in float64 from the
+    same stored float32 values; argmax ties break to the lowest centroid
+    index on both sides."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
 
-    # no SQL oracle (k-means is not SQL-expressible); pinned instead against
-    # a pure-numpy reference in tests/test_dedup.py
-    out = semdedup_ds(read_embeddings(sf_dir.rstrip("/")), threshold=0.8).to_pandas()
+    from search_engine_ray.pipelines.dedup import semdedup_ds
+    from search_engine_ray.pipelines.similarity import _normalize, read_embeddings
+
+    sf = sf_dir.rstrip("/")
+    seed = rd.read_parquet(
+        f"{sf}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") < 64),
+    ).take_all()
+    seed.sort(key=lambda r: r["vec_id"])
+    cent = _normalize(np.array([r["embedding"] for r in seed], dtype=np.float64))
+    out = semdedup_ds(read_embeddings(sf), threshold=0.8, centroids=cent).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
@@ -1929,7 +1980,11 @@ def q_cdc_chunks(sf_dir: str):
     0 mod 8 — edit-robust chunks for chunk-level dedup."""
     from search_engine_ray.pipelines.text import cdc_chunk_docs_ds, read_documents
 
-    return cdc_chunk_docs_ds(read_documents(sf_dir.rstrip("/")), k=2, modulus=8)
+    # hash_method="md5" is the oracle-pinned conformance variant; the
+    # library default is the fully-vectorized "fast" polynomial hash
+    return cdc_chunk_docs_ds(
+        read_documents(sf_dir.rstrip("/")), k=2, modulus=8, hash_method="md5"
+    )
 
 
 def q_chunk_dedup(sf_dir: str):
@@ -2115,83 +2170,112 @@ def q_sparse_knn(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict order is load-bearing: the round driver checks the FIRST 50
-    # entries against oracle_sql(). The window therefore holds (a) the core
-    # build/search/dedup/relational set, (b) every oracle-bearing query
-    # that had not yet produced a CORRECTNESS row by round 3 (the r3 verdict
-    # lists them), and (c) the four operators added in round 4
-    # (ngram_containment, lang_top_terms, vocab_stats, cluster_best — all
-    # hash-green under tests/driver_emu.py at sf0.01). To make room for (c),
-    # four queries with THREE consecutive driver-green rounds rotate below
-    # the window — token_count, term_df, top_terms, ngram_jaccard — chosen
-    # because their r1–r3 records already stand and their oracles stay
-    # driver-exercised by in-window twins (minhash_pairs shares
-    # ngram_jaccard's SQL verbatim; lang_top_terms/vocab_stats are strict
-    # supersets of top_terms/term_df semantics).
+    # entries against oracle_sql().
     #
-    # r4 fourth session: two lifecycle/composition queries enter the
-    # window — delete_compact (soft-delete lifecycle, new engine feature,
-    # after add_compact) and clean_index_search (end-to-end clean → build
-    # over survivors → search, after crawl_clean). That rotates
-    # ann_ivf_recall and embedding_neardup_lsh to positions 51/52 —
-    # acceptable because four probabilistic-bound gates stay in-window
-    # (ann_lsh_recall, cm_heavy_hitters, hll_error, bloom_flag), the
-    # exact embedding_neardup stays in-window, and both rotated queries
-    # remain hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
-    #
-    # r4 fifth session: search_near (proximity/slop search — new engine
-    # surface on the positional index) enters the window after
-    # search_phrase; cooccur_pmi (driver-green r1–r3, text-stats family
-    # still covered in-window by tfidf_topk) rotates to position 51 and
-    # stays hash-green under tests/driver_emu.py at sf0.01 and sf0.1.
-    # knn_join (table-vs-table kNN graph) replaces embedding_neardup
-    # (driver-green r1–r3; the embedding family stays covered in-window by
-    # ann_cosine_topk + knn_join, and its oracle stays exercised by the
-    # below-window lsh twin) — both rotated queries re-checked green.
+    # r5 rotation (executes the plan written in r4 and mandated by the r4
+    # verdict items 1/2/7/10): the window now holds
+    #   (a) the pinned core build/search/lifecycle set, positions 0–11 —
+    #       tiered_compact joins add_compact/delete_compact permanently
+    #       (the engine.ts:43-99 lifecycle, verdict item 10);
+    #   (b) the 16 sixth-session + 9 fifth-session oracle-bearing queries
+    #       that had only emulator evidence through r4 (verdict item 1) —
+    #       all re-verified hash-green under tests/driver_emu.py at sf0.01
+    #       and sf0.1 this session;
+    #   (c) semdedup, now with a real SQL oracle under deterministic
+    #       centroids (verdict item 2 — the r4 slot burned as no_oracle),
+    #       and pagerank_top, the new rank-order graph oracle (item 7);
+    #   (d) 11 retained rows: pricing_summary (green only once, after two
+    #       red rounds — stays until double-proven) and ten r4 first-check
+    #       greens with distinctive semantics (cluster_best, knn_join,
+    #       clean_index_search, ngram_containment, lang_top_terms,
+    #       vocab_stats, pack_sequences, shard_export, json_field_stats,
+    #       winnow_md5).
+    # Rotated below the window: queries with 2–4 driver-green rounds on
+    # record (minhash_pairs, dup_clusters, dedup_spans, tfidf_topk,
+    # ann_cosine_topk, clean_corpus, crawl_clean, decontaminate, asof_join,
+    # segment_revenue, idle_customers, simhash_neardup, and the r4
+    # relational/windows first-checks) — their history stands and every
+    # one stays hash-green under the emulator at sf0.01.
     return {
-        # --- core build/search (green r1–r3, kept in-window)
+        # --- pinned core build/search/lifecycle (positions 0–11)
         "postings_pairs": q_postings_pairs,
         "exact_dedup": q_exact_dedup,
         "url_dedup": q_url_dedup,
         "search_and": q_search_and,
         "bm25_topk": q_bm25_topk,
         "search_phrase": q_search_phrase,
-        "search_near": q_search_near,  # NEW r4: proximity (slop) search
+        "search_near": q_search_near,
         "wand_or_topk": q_wand_or_topk,
         "batch_bm25": q_batch_bm25,
-        "add_compact": q_add_compact,  # NEW r4: incremental lifecycle
-        "delete_compact": q_delete_compact,  # NEW r4: soft-delete lifecycle
-        # --- dedup / similarity / text-analysis core
+        "add_compact": q_add_compact,
+        "delete_compact": q_delete_compact,
+        "tiered_compact": q_tiered_compact,  # pinned r5 (verdict item 10)
+        # --- sixth-session set, first driver check this round (item 1)
+        "chunk_docs": q_chunk_docs,  # RAG token-window chunking
+        "sparse_knn": q_sparse_knn,  # term-partitioned all-pairs kNN
+        "heavy_hitters_mg": q_heavy_hitters_mg,  # Misra-Gries
+        "search_facets": q_search_facets,  # facet counts
+        "rrf_fuse": q_rrf_fuse,  # reciprocal rank fusion
+        "chunk_dedup": q_chunk_dedup,  # paragraph-level dedup
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "user_moving_sum": q_user_moving_sum,  # sliding frame
+        "ann_pq_recall": q_ann_pq_recall,  # PQ-ADC + rerank
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,  # IVF-PQ
+        "warc_index_search": q_warc_index_search,  # WARC e2e (item 9)
+        "bm25_ndcg": q_bm25_ndcg,  # search-quality eval
+        "cdc_chunks": q_cdc_chunks,  # content-defined chunking
+        "cdc_dedup": q_cdc_dedup,  # CDC chunk dedup
+        "ef_index_search": q_ef_index_search,  # Elias-Fano codec e2e
+        # (bpe_merges is rows-only — an iterative argmax loop has no SQL
+        # oracle; keeping it in-window would burn the slot as no_oracle,
+        # the exact r4 semdedup mistake. normalize_dedup takes the slot:
+        # oracle-bearing, never driver-checked, and its composition
+        # exercises the text_normalize contract too.)
+        "normalize_dedup": q_normalize_dedup,  # unicode normalize -> dedup
+        # --- fifth-session set, first driver check this round (item 1)
+        "source_topk": q_source_topk,  # per-domain quality cap
+        "vocab_coverage": q_vocab_coverage,  # vocab sizing curve
+        "embedding_stats": q_embedding_stats,  # per-dim mean/var
+        "group_centroid": q_group_centroid,  # class prototypes
+        "leakage_split": q_leakage_split,  # domain-keyed split
+        "split_leakage": q_split_leakage,  # leakage audit histogram
+        "hll_window": q_hll_window,  # sketch x window composition
+        "token_drift": q_token_drift,  # slice-drift monitor
+        "blocklist_filter": q_blocklist_filter,  # C4 badwords filter
+        # --- new oracles this round
+        "semdedup": q_semdedup,  # deterministic-centroid oracle (item 2)
+        "pagerank_top": q_pagerank_top,  # NEW r5: graph rank-order (item 7)
+        # --- retained first-check greens + the fragile row
+        "pricing_summary": q_pricing_summary,  # green r4 after red r2/r3
+        "cluster_best": q_cluster_best,
+        "knn_join": q_knn_join,
+        "clean_index_search": q_clean_index_search,
+        "ngram_containment": q_ngram_containment,
+        "lang_top_terms": q_lang_top_terms,
+        "vocab_stats": q_vocab_stats,
+        "pack_sequences": q_pack_sequences,
+        "shard_export": q_shard_export,
+        "json_field_stats": q_json_field_stats,
+        "winnow_md5": q_winnow_md5,
+        # ---------------- below the driver's 50-entry window ----------------
+        # 2–4 driver-green rounds each; all stay registered and hash-green
+        # under tests/driver_emu.py at sf0.01 (re-swept this session)
         "minhash_pairs": q_minhash_pairs,
-        "ngram_containment": q_ngram_containment,  # NEW r4
-        "lang_top_terms": q_lang_top_terms,  # NEW r4
-        "vocab_stats": q_vocab_stats,  # NEW r4
-        "cluster_best": q_cluster_best,  # NEW r4
         "simhash_neardup": q_simhash_neardup,
         "dup_clusters": q_dup_clusters,
         "dedup_spans": q_dedup_spans,
         "tfidf_topk": q_tfidf_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "knn_join": q_knn_join,  # NEW r4: table-vs-table kNN graph
         "clean_corpus": q_clean_corpus,
         "crawl_clean": q_crawl_clean,
-        "clean_index_search": q_clean_index_search,  # NEW r4: end-to-end
         "decontaminate": q_decontaminate,
-        # --- windows / relational core (sessionize/range_join: r2+r3
-        # double-green, rotated below the window to make room for
-        # ann_ivf_recall + semdedup per r3 verdict #7)
         "asof_join": q_asof_join,
         "segment_revenue": q_segment_revenue,
-        "pricing_summary": q_pricing_summary,
         "idle_customers": q_idle_customers,
-        # --- oracle-bearing, first driver check this round (r3 verdict #2)
-        "pack_sequences": q_pack_sequences,
-        "shard_export": q_shard_export,  # NEW r4: shuffled shard layout
         "revenue_rollup": q_revenue_rollup,
         "order_nations": q_order_nations,
         "type_median": q_type_median,
         "segment_orders": q_segment_orders,
-        "json_field_stats": q_json_field_stats,
-        "winnow_md5": q_winnow_md5,
         "skip_consecutive": q_skip_consecutive,
         "domain_mix": q_domain_mix,
         "group_rank": q_group_rank,
@@ -2203,52 +2287,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_flag": q_bloom_flag,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
-        "semdedup": q_semdedup,  # first driver check (r3 verdict #7)
-        # ---------------- below the driver's 50-entry window ----------------
-        # r5 rotation plan: once CORRECTNESS_r04 greens the first-check
-        # entries above (pack_sequences..semdedup), rotate the NEW-r4
-        # oracle-bearing queries in — source_topk, vocab_coverage,
-        # embedding_stats, group_centroid, leakage_split, split_leakage,
-        # hll_window, token_drift, blocklist_filter — plus the sixth
-        # session's oracle-bearing additions: chunk_docs, sparse_knn,
-        # heavy_hitters_mg, search_facets, rrf_fuse, tiered_compact,
-        # chunk_dedup, dup_rate_by_source, user_moving_sum,
-        # ann_pq_recall, ann_ivfpq_recall (all emu hash-green at sf0.01;
-        # the new-op set also re-verified at sf0.1) — and move the
-        # freshly double-proven relational/windows trivia out. Keep the
-        # core build/search set (positions 0-10) pinned.
-        "chunk_docs": q_chunk_docs,  # NEW r4 s6: RAG token-window chunking
-        "sparse_knn": q_sparse_knn,  # NEW r4 s6: term-partitioned all-pairs
-        "heavy_hitters_mg": q_heavy_hitters_mg,  # NEW r4 s6: Misra-Gries
-        "search_facets": q_search_facets,  # NEW r4 s6: facet counts
-        "mmr_rerank": q_mmr_rerank,  # NEW r4 s6: MMR diversification
-        "tiered_compact": q_tiered_compact,  # NEW r4 s6: partial compaction
-        "rrf_fuse": q_rrf_fuse,  # NEW r4 s6: reciprocal rank fusion
-        "chunk_dedup": q_chunk_dedup,  # NEW r4 s6: paragraph-level dedup
-        "dup_rate_by_source": q_dup_rate_by_source,  # NEW r4 s6
-        "ann_pq_recall": q_ann_pq_recall,  # NEW r4 s6: PQ-ADC + rerank
-        "bpe_merges": q_bpe_merges,  # NEW r4 s6: distributed BPE training
-        "user_moving_sum": q_user_moving_sum,  # NEW r4 s6: sliding frame
-        "ann_ivfpq_recall": q_ann_ivfpq_recall,  # NEW r4 s6: IVF-PQ
-        "warc_index_search": q_warc_index_search,  # NEW r4 s6: WARC e2e
-        "bm25_ndcg": q_bm25_ndcg,  # NEW r4 s6: search-quality eval
-        "cdc_chunks": q_cdc_chunks,  # NEW r4 s6: content-defined chunking
-        "cdc_dedup": q_cdc_dedup,  # NEW r4 s6: CDC chunk dedup
-        "ef_index_search": q_ef_index_search,  # NEW r4 s6: EF codec e2e
-        "sessionize": q_sessionize,  # r2+r3 double-green, rotated out r4
-        "range_join": q_range_join,  # r2+r3 double-green, rotated out r4
+        "mmr_rerank": q_mmr_rerank,  # rows-only: MMR diversification
+        "sessionize": q_sessionize,
+        "range_join": q_range_join,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "cooccur_pmi": q_cooccur_pmi,  # three driver-green rounds (r1–r3)
-        "embedding_neardup": q_embedding_neardup,  # three driver-green rounds
-        "logbin_quantiles": q_logbin_quantiles,  # NEW r4: HDR quantile sketch
-        "dsir_weights": q_dsir_weights,  # NEW r4: DSIR importance weights
-        "dsir_resample": q_dsir_resample,  # NEW r4: Gumbel top-k selection
-        # three driver-green rounds each (r1–r3); oracles still exercised
-        # in-window via minhash_pairs (ngram_jaccard's SQL verbatim) and the
-        # r4 supersets lang_top_terms / vocab_stats
+        "cooccur_pmi": q_cooccur_pmi,
+        "embedding_neardup": q_embedding_neardup,
+        "logbin_quantiles": q_logbin_quantiles,  # HDR quantile sketch
+        "dsir_weights": q_dsir_weights,  # DSIR importance weights
+        "dsir_resample": q_dsir_resample,  # Gumbel top-k selection
+        "bpe_merges": q_bpe_merges,  # rows-only: distributed BPE training
+        # oracles still exercised in-window via minhash_pairs
+        # (ngram_jaccard's SQL verbatim) and the r4 supersets
+        # lang_top_terms / vocab_stats
         "token_count": q_token_count,
-        "text_normalize": q_text_normalize,  # NEW r4: unicode normalization
-        "normalize_dedup": q_normalize_dedup,  # NEW r4: normalize -> dedup
+        "text_normalize": q_text_normalize,
+        "normalize_dedup": q_normalize_dedup,
         "term_df": q_term_df,
         "top_terms": q_top_terms,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2270,20 +2324,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete": q_autocomplete,
         "dup_ngram_stats": q_dup_ngram_stats,
         "unigram_lm": q_unigram_lm,
-        "bigram_lm": q_bigram_lm,  # NEW r4: order-1 LM perplexity signal
-        "token_drift": q_token_drift,  # NEW r4: slice-drift monitor
-        "blocklist_filter": q_blocklist_filter,  # NEW r4: C4 badwords filter
-        "source_topk": q_source_topk,  # NEW r4: per-domain quality cap
-        "vocab_coverage": q_vocab_coverage,  # NEW r4: vocab sizing curve
-        "leakage_split": q_leakage_split,  # NEW r4: domain-keyed split
-        "split_leakage": q_split_leakage,  # NEW r4: leakage audit histogram
-        "hll_window": q_hll_window,  # NEW r4: sketch x window composition
-        "group_centroid": q_group_centroid,  # NEW r4: class prototypes
-        "pii_cards": q_pii_cards,  # NEW r4: Luhn PAN redaction, rows-only
-        "embedding_stats": q_embedding_stats,  # NEW r4: per-dim mean/var
-        "whiten_embeddings": q_whiten_embeddings,  # NEW r4: rows-only
-        "pagerank": q_pagerank,  # NEW r4: kNN-graph rank, rows-only
-        "label_propagation": q_label_propagation,  # NEW r4: rows-only
+        "bigram_lm": q_bigram_lm,
+        "pii_cards": q_pii_cards,  # Luhn PAN redaction, rows-only
+        "whiten_embeddings": q_whiten_embeddings,  # rows-only
+        "pagerank": q_pagerank,  # full rank vector, rows-only
+        "label_propagation": q_label_propagation,  # rows-only
         "quantile_bucket": q_quantile_bucket,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
@@ -2313,6 +2358,47 @@ def oracle_sql() -> dict[str, str]:
     )
 
     tok = _TOK_SQL
+
+    # pagerank_top: k=5 kNN edges (the knn_join oracle's construction over
+    # ALL vecs), then 5 UNROLLED power iterations — recursive-CTE-free so
+    # each step is a plain join+groupby; dangling mass kept for exactness
+    # (deg is k for every node here, so the term is 0). Selection key is
+    # the 6-dp ROUNDED rank on both engines (see q_pagerank_top).
+    pr_prev, pr_iters = "pr0", []
+    for i in range(1, 6):
+        pr_iters.append(f"""
+pr{i} AS (
+  SELECT n.node,
+         0.15 / nn.n + 0.85 * (coalesce(c.s, 0) + dg.m / nn.n) AS rank
+  FROM prnodes n CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS m
+              FROM {pr_prev} p LEFT JOIN prdeg d ON p.node = d.node
+              WHERE d.node IS NULL) dg
+  LEFT JOIN (SELECT pe.dst AS node, sum(p.rank / d.deg) AS s
+             FROM predges pe
+             JOIN {pr_prev} p ON pe.src = p.node
+             JOIN prdeg d ON d.node = pe.src
+             GROUP BY pe.dst) c ON c.node = n.node)""")
+        pr_prev = f"pr{i}"
+    pagerank_top = f"""
+WITH ek AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS rk
+  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+predges AS (SELECT src, dst FROM ek WHERE rk <= 5),
+prnodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM predges
+             UNION ALL SELECT dst FROM predges)),
+prdeg AS (SELECT src AS node, count(*)::DOUBLE AS deg
+          FROM predges GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM prnodes),
+pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM prnodes, nn),{",".join(pr_iters)}
+SELECT node, round(rank, 6) AS rank_r6
+FROM pr5 ORDER BY round(rank, 6) DESC, node LIMIT 20
+"""
     bm25 = f"""
 WITH tok AS (SELECT doc_id, {tok} AS ts FROM documents),
 dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
@@ -3051,6 +3137,38 @@ SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 4
             "SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT), (1, 1), (2, 1))"
             " AS t(query_id, recall_ok)"
         ),
+        # SemDeDup under deterministic centroids (q_semdedup): centroids =
+        # embeddings of the 64 smallest vec_ids (cosine is scale-invariant
+        # so the Ray side's L2 normalization needs no mirror); assignment =
+        # argmax cosine with ties to the lowest centroid index; a vector is
+        # dropped iff a lower-vec_id cluster-mate has cosine >= 0.8. Both
+        # engines work in float64 from the same stored float32 values.
+        "semdedup": """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings WHERE vec_id < 64),
+sims AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) AS s
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sims) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vi,
+         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[])) AS cos
+  FROM assign a JOIN assign b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+dropped AS (SELECT DISTINCT vi FROM pairs WHERE cos >= 0.8)
+SELECT a.vec_id, a.list_id, (d.vi IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vi
+ORDER BY a.vec_id
+""",
         "dup_ngram_stats": f"""
 WITH t AS (SELECT doc_id, {tok} AS ts FROM documents),
 sh AS (SELECT DISTINCT doc_id,
@@ -3346,6 +3464,7 @@ r AS (SELECT query_id, vec_id, c,
       FROM s)
 SELECT query_id, vec_id FROM r WHERE rk <= 10 ORDER BY query_id, rk
 """,
+        "pagerank_top": pagerank_top,
         "embedding_neardup": neardup,
         # LSH bucketing at 4 bits x 32 tables misses a cos>=0.5 pair with
         # p < 1e-3 and within-bucket verification is exact cosine; seeded

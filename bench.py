@@ -292,21 +292,112 @@ def _batch_serving_qps(synth: dict, n_queries: int = 2000) -> dict:
     }
 
 
-def _build_documents_sf(sf_dir: str) -> dict:
-    """Index build over the driver's documents table (pages-adapted)."""
-    import __ray_entry__ as e
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
+
+def _build_documents_sf(sf_dir: str) -> dict:
+    """Index build over the driver's documents table (pages-adapted), plus
+    the per-round index-size metric (r4 verdict item 8): on-disk bytes of
+    the varint build vs an Elias-Fano build of the SAME corpus (the
+    reference ships `du -sh .index/*`, package.json:9)."""
+    import ray.data as rd
+
+    import __ray_entry__ as e
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+
+    sf = sf_dir.rstrip("/")
     t0 = time.perf_counter()
     # fresh build (ignore resume cache)
-    idx = e._idx_dir(sf_dir.rstrip("/"))
+    idx = e._idx_dir(sf)
     shutil.rmtree(idx, ignore_errors=True)
     e._docs_searcher(sf_dir)
-    return {"wall_sec": time.perf_counter() - t0}
+    wall = time.perf_counter() - t0
+
+    ef_out = idx + "_ef_bench"
+    shutil.rmtree(ef_out, ignore_errors=True)
+    pages = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(e._docs_to_pages, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    build_index(
+        pages, ef_out, EngineConfig(postings_codec="ef"),
+        doc_id_mode="rank", resume=False,
+    )
+    ef_wall = time.perf_counter() - t0
+    return {
+        "wall_sec": wall,
+        "ef_wall_sec": ef_wall,
+        "index_bytes_varint": _dir_bytes(idx),
+        "index_bytes_ef": _dir_bytes(ef_out),
+    }
+
+
+def _build_warc_sf(sf_dir: str) -> dict:
+    """WARC-source build throughput (r4 verdict item 9): the documents
+    table serialized once (untimed prep) as 8 gzipped WARC shards — the
+    real crawl entry path's file-parallel shape — then timed
+    warc_pages -> build_index."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.sources.warc import warc_pages, write_warc
+
+    sf = sf_dir.rstrip("/")
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    n_docs = len(ids)
+    shard_dir = "/tmp/se_ray_bench/warc_shards"
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir, exist_ok=True)
+    n_shards = 8
+    paths = []
+    for s in range(n_shards):
+        recs = [
+            {
+                "type": "response",
+                "url": f"doc://{i}",
+                "date": "2024-01-01T00:00:00Z",
+                "payload": (
+                    f"<html><head><title></title></head><body>{t}</body></html>"
+                ).encode(),
+            }
+            for i, t in zip(ids[s::n_shards], texts[s::n_shards])
+        ]
+        p = os.path.join(shard_dir, f"shard{s}.warc.gz")
+        write_warc(p, recs, compress=True)
+        paths.append(p)
+    out = "/tmp/se_ray_bench/warc_idx"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        warc_pages(paths), out, EngineConfig(), doc_id_mode="rank", resume=False
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "build_warc_sf_sec": round(wall, 3),
+        "warc_docs_per_sec": round(n_docs / wall, 1),
+    }
 
 
 def _training_data_ops(sf_dir: str) -> dict:
     """Wall time of the headline training-data pipelines at the bench SF
-    (exact dedup, MinHash+LSH near-dup with join verify, ANN top-k)."""
+    (exact dedup, MinHash+LSH near-dup with join verify, ANN top-k).
+
+    Best-of-2 per op (r4 verdict item 3): this host's epoch drift swings
+    single-shot walls 2-5x, so the r4 artifact recorded minhash at 9.7 s
+    while the op actually runs 2-5 s. Each value is the sorted [best,
+    other] pair — the spread IS the epoch-noise error bar."""
     import __ray_entry__ as e
 
     out = {}
@@ -333,10 +424,13 @@ def _training_data_ops(sf_dir: str) -> dict:
     ):
         import ray.data as rd
 
-        t0 = time.perf_counter()
-        res = e.queries()[key](sf_dir)
-        n = res.count() if isinstance(res, rd.Dataset) else len(res)
-        out[f"{key}_sf_sec"] = round(time.perf_counter() - t0, 3)
+        walls, n = [], 0
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            res = e.queries()[key](sf_dir)
+            n = res.count() if isinstance(res, rd.Dataset) else len(res)
+            walls.append(time.perf_counter() - t0)
+        out[f"{key}_sf_sec"] = [round(w, 2) for w in sorted(walls)]
         out[f"{key}_sf_rows"] = int(n)
     return out
 
@@ -399,6 +493,7 @@ def run_default() -> dict:
         build_walls = sorted(r["wall_sec"] for r in reps)
         synth = min(reps, key=lambda r: r["wall_sec"])
         sf_build = _build_documents_sf(SF_DIR)
+        warc_build = _build_warc_sf(SF_DIR)
         td_ops = _training_data_ops(SF_DIR)
         qlat = _query_latencies(synth)
         qps = _batch_serving_qps(synth)
@@ -410,9 +505,13 @@ def run_default() -> dict:
     queries.update(qps)
     queries.update(ref50k)
     queries.update(markers)
+    queries.update(warc_build)
     queries["build_synth_walls"] = [round(w, 3) for w in build_walls]
     queries["build_synth_sec"] = round(synth["wall_sec"], 3)
     queries["build_documents_sf_sec"] = round(sf_build["wall_sec"], 3)
+    queries["build_documents_ef_sec"] = round(sf_build["ef_wall_sec"], 3)
+    queries["index_bytes_varint"] = int(sf_build["index_bytes_varint"])
+    queries["index_bytes_ef"] = int(sf_build["index_bytes_ef"])
     queries["query_p50_sec"] = qlat["p50_sec"]
     queries["query_p95_sec"] = qlat["p95_sec"]
     queries["index_docs_per_sec"] = round(synth["docs_per_sec"], 1)

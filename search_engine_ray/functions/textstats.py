@@ -120,6 +120,38 @@ def md5_id_u32(ids: np.ndarray) -> np.ndarray:
     )
 
 
+def md5_prefix64_arrow(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 8 md5-digest bytes per string as big-endian uint64 — equal to
+    ``int(md5(s).hexdigest()[:16], 16)`` (and ``>> 4`` gives the 15-hex /
+    60-bit prefix), hashed straight off the Arrow utf8 data buffer like
+    ``md5_digests_arrow``: no ``to_pylist`` per-row Python-str
+    materialization, no hex-string detour. For the oracle-pinned md5
+    call sites (winnow fingerprints, CDC boundaries); the non-oracle
+    scale paths use the fully-vectorized ``_hash_utf8_array`` family."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    mv = memoryview(arr.buffers()[2])
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    return np.fromiter(
+        (
+            from_bytes(md5(mv[a:b]).digest()[:8], "big")
+            for a, b in zip(off[:-1].tolist(), off[1:].tolist())
+        ),
+        dtype=np.uint64,
+        count=n,
+    )
+
+
 def quality_metrics(texts: pa.Array) -> dict[str, np.ndarray]:
     """Per-doc quality features: char count, token count, mean token length,
     short-token ratio. Deterministic and SQL-mirrorable."""

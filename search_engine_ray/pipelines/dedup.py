@@ -1587,6 +1587,7 @@ def chunk_dedup_ds(
     method: str = "fixed",
     cdc_k: int = 2,
     cdc_modulus: int = 8,
+    cdc_hash_method: str = "md5",
 ) -> rd.Dataset:
     """Chunk-level exact dedup (the paragraph-dedup analogue for corpora
     whose docs are single blocks): chunk every doc, md5 the chunk texts,
@@ -1601,36 +1602,52 @@ def chunk_dedup_ds(
     yields identical chunks, which fixed windows only match at aligned
     offsets.
 
-    Scale shape: chunking is a no-shuffle map; the dedup is one groupby on
-    the digest's two int64 halves (same key scheme as ``exact_dedup_ds``)
-    with a vectorized per-group count+min; only duplicated groups emit.
-    Output is sorted by fp hex for deterministic comparison."""
+    Scale shape: chunking is a no-shuffle map; the dedup is ONE groupby
+    keyed by a coarse hash BUCKET of the digest (not the digest itself —
+    at crawl scale duplicated fingerprints number in the billions, and a
+    per-fingerprint ``map_groups`` UDF would mean one Python call each;
+    r4 verdict item 5). Every fingerprint lands wholly in one bucket, and
+    each bucket resolves ALL its groups in one vectorized
+    lexsort + run-length pass (the ``sparse_knn`` in-bucket pattern);
+    only duplicated groups emit, hex reconstructed with one whole-buffer
+    ``hexlify``."""
     import binascii
 
     from search_engine_ray.functions.textstats import md5_digests_arrow
     from search_engine_ray.pipelines.text import cdc_chunk_docs_ds, chunk_docs_ds
 
     if method == "cdc":
-        chunks = cdc_chunk_docs_ds(docs, k=cdc_k, modulus=cdc_modulus)
+        # default cdc_hash_method="md5" keeps the SQL-oracle contract
+        # (cdc_dedup); pass "fast" at crawl scale for the zero-Python
+        # boundary hash — dedup correctness is method-agnostic
+        chunks = cdc_chunk_docs_ds(
+            docs, k=cdc_k, modulus=cdc_modulus, hash_method=cdc_hash_method
+        )
     elif method == "fixed":
         chunks = chunk_docs_ds(docs, chunk_tokens=chunk_tokens, stride=stride)
     else:
         raise ValueError(f"unknown chunking method {method!r}")
 
+    n_buckets = _n_pair_buckets()
+
     def fp(batch: pa.Table) -> pa.Table:
         d = md5_digests_arrow(batch.column("chunk_text"))
         h = d.view(">u8")
+        h1 = h[:, 0].astype(np.uint64)
         return pa.table(
             {
-                "h1": pa.array(h[:, 0].astype(np.uint64).view(np.int64), pa.int64()),
+                "_bkt": pa.array(
+                    (h1 % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
                 "h2": pa.array(h[:, 1].astype(np.uint64).view(np.int64), pa.int64()),
                 "doc_id": batch.column("doc_id"),
                 "chunk_id": batch.column("chunk_id"),
             }
         )
 
-    def dups(group: pa.Table) -> pa.Table:
-        n = len(group)
+    def bucket_dups(group: pa.Table) -> pa.Table:
+        """ALL fingerprint groups of one bucket in one vectorized pass."""
         empty = pa.table(
             {
                 "fp": pa.array([], pa.string()),
@@ -1639,34 +1656,41 @@ def chunk_dedup_ds(
                 "keep_chunk_id": pa.array([], pa.int64()),
             }
         )
+        n = len(group)
         if n < 2:
             return empty
+        h1 = group.column("h1").to_numpy(zero_copy_only=False)
+        h2 = group.column("h2").to_numpy(zero_copy_only=False)
         d = group.column("doc_id").to_numpy(zero_copy_only=False)
         c = group.column("chunk_id").to_numpy(zero_copy_only=False)
-        i = np.lexsort((c, d))[0]
-        digest = (
-            np.array([group.column("h1")[0].as_py()], np.int64)
-            .view(np.uint64)
-            .byteswap()
-            .tobytes()
-            + np.array([group.column("h2")[0].as_py()], np.int64)
-            .view(np.uint64)
-            .byteswap()
-            .tobytes()
-        )
+        order = np.lexsort((c, d, h2, h1))
+        h1s, h2s, ds, cs = h1[order], h2[order], d[order], c[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        dup = lens >= 2
+        if not dup.any():
+            return empty
+        gs = starts[dup]  # rows sorted (d, c) within a group -> lex-min
+        dig = np.empty((len(gs), 2), dtype=np.int64)
+        dig[:, 0] = h1s[gs]
+        dig[:, 1] = h2s[gs]
+        hex_all = binascii.hexlify(dig.view(np.uint64).byteswap().tobytes())
+        fps = np.frombuffer(hex_all, dtype="S32").astype("U32")
         return pa.table(
             {
-                "fp": pa.array([binascii.hexlify(digest).decode()], pa.string()),
-                "n_copies": pa.array([n], pa.int64()),
-                "keep_doc_id": pa.array([int(d[i])], pa.int64()),
-                "keep_chunk_id": pa.array([int(c[i])], pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+                "n_copies": pa.array(lens[dup], pa.int64()),
+                "keep_doc_id": pa.array(ds[gs], pa.int64()),
+                "keep_chunk_id": pa.array(cs[gs], pa.int64()),
             }
         )
 
     return (
         chunks.map_batches(fp, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .map_groups(dups, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_dups, batch_format="pyarrow")
     )
 
 

@@ -255,7 +255,6 @@ def winnow_md5_fp_ds(docs: rd.Dataset, k: int = 3, w: int = 4) -> rd.Dataset:
 
     Output: one row per distinct (doc_id, fp), fp = 16-hex-char string.
     Docs with fewer than k+w-1 tokens emit nothing (no full window)."""
-    import hashlib as _hashlib
 
     def f(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -278,15 +277,11 @@ def winnow_md5_fp_ds(docs: rd.Dataset, k: int = 3, w: int = 4) -> rd.Dataset:
         ok = parents[k - 1 :] == gp  # same doc at both ends
         # md5-hex prefix per gram as uint64 (16 hex chars = 64 bits; the
         # integer order equals the fixed-width hex string order the SQL
-        # oracle uses). Per-string md5 — conformance variant.
-        gl = grams.to_pylist()
-        h = np.array(
-            [
-                int(_hashlib.md5(g.encode()).hexdigest()[:16], 16) if m else 0
-                for g, m in zip(gl, ok)
-            ],
-            dtype=np.uint64,
-        )
+        # oracle uses). md5 runs on memoryview slices of the Arrow data
+        # buffer (md5_prefix64_arrow) — no to_pylist, no hex detour.
+        from search_engine_ray.functions.textstats import md5_prefix64_arrow
+
+        h = np.where(ok, md5_prefix64_arrow(grams), np.uint64(0))
         if len(h) < w:
             return empty
         # sliding window min over w consecutive grams, windows fully
@@ -3321,7 +3316,7 @@ def bpe_train_ds(docs: rd.Dataset, n_merges: int = 20) -> rd.Dataset:
 
 
 def cdc_chunk_docs_ds(
-    docs: rd.Dataset, k: int = 2, modulus: int = 8
+    docs: rd.Dataset, k: int = 2, modulus: int = 8, hash_method: str = "fast"
 ) -> rd.Dataset:
     """Content-defined chunking (the rolling-hash boundary rule used by
     dedup systems — FastCDC/LBFS lineage): cut BEFORE token i whenever
@@ -3338,11 +3333,18 @@ def cdc_chunk_docs_ds(
     segmented chunk ids are pure vectorized index arithmetic over the
     flat token array, and chunk text is one ``binary_join`` over a
     list-array VIEW of the flat tokens (chunks are contiguous, so no
-    gather at all). The per-gram md5 matches the SQL oracle
-    (``winnow_md5`` precedent); a crc/splitmix variant would drop the
-    remaining Python loop at crawl scale."""
-    import hashlib as _hashlib
+    gather at all).
 
+    ``hash_method``: the boundary rule only needs a uniform gram hash, so
+    the scale DEFAULT is ``"fast"`` — the fully-vectorized polynomial
+    ``_hash_utf8_array`` over the gram strings, zero per-gram Python.
+    ``"md5"`` is the conformance variant the SQL oracle pins
+    (``winnow_md5`` precedent), computed off the Arrow data buffer
+    (``md5_prefix64_arrow``, no ``to_pylist``); both produce chunks with
+    the same boundary STATISTICS (mean length ~= ``modulus``), pinned in
+    tests/test_textops.py."""
+    if hash_method not in ("fast", "md5"):
+        raise ValueError(f"unknown hash_method {hash_method!r}")
     m = modulus
 
     def f(batch: pa.Table) -> pa.Table:
@@ -3373,16 +3375,19 @@ def cdc_chunk_docs_ds(
             views = [flat.slice(i, n - k + 1) for i in range(k)]
             grams = pc.binary_join_element_wise(*views, " ")
             ok = parents[k - 1 :] == parents[: n - k + 1]
-            gl = grams.to_pylist()
-            # 60-bit md5 prefix (15 hex chars): stays inside a signed
-            # 64-bit lane on BOTH engines (16 hex would overflow BIGINT)
-            h = np.array(
-                [
-                    int(_hashlib.md5(g.encode()).hexdigest()[:15], 16) if o else 1
-                    for g, o in zip(gl, ok)
-                ],
-                dtype=np.uint64,
-            )
+            if hash_method == "md5":
+                # 60-bit md5 prefix (15 hex chars): stays inside a signed
+                # 64-bit lane on BOTH engines (16 hex would overflow
+                # BIGINT); hashed off the Arrow buffer, no to_pylist
+                from search_engine_ray.functions.textstats import (
+                    md5_prefix64_arrow,
+                )
+
+                h = md5_prefix64_arrow(grams) >> np.uint64(4)
+            else:
+                from search_engine_ray.stages.postings import _hash_utf8_array
+
+                h = _hash_utf8_array(grams)
             cut[: n - k + 1] = ok & (i_within[: n - k + 1] >= 1) & (h % m == 0)
         cs = np.cumsum(cut.astype(np.int64))
         first = np.zeros(n, dtype=bool)

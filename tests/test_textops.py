@@ -1928,3 +1928,66 @@ def test_cdc_chunks_partition_and_expected_len(docs):
     assert got.tolist() == want.tolist()
     # mean chunk length is in the ballpark of the modulus (geometric-ish)
     assert 4 <= out["n_tokens"].mean() <= 16
+
+
+def test_md5_prefix64_arrow_matches_hashlib():
+    """The buffer-walk 64-bit md5 prefix equals the hexdigest expression
+    the SQL oracles pin (and >>4 equals the 15-hex / 60-bit form)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from search_engine_ray.functions.textstats import md5_prefix64_arrow
+
+    strs = ["", "a", "hello world", "tok1 tok2", "x" * 1000]
+    got = md5_prefix64_arrow(pa.array(strs))
+    want = [int(hashlib.md5(s.encode()).hexdigest()[:16], 16) for s in strs]
+    assert got.tolist() == want
+    want15 = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in strs]
+    assert (got >> np.uint64(4)).tolist() == want15
+    # sliced arrays walk the right buffer window
+    sl = pa.array(strs).slice(2, 2)
+    assert md5_prefix64_arrow(sl).tolist() == want[2:4]
+
+
+def test_cdc_fast_vs_md5_boundary_stats(docs):
+    """hash_method='fast' (vectorized polynomial, the scale default) and
+    'md5' (oracle conformance) must produce chunkings with the SAME
+    boundary statistics — both are uniform hashes over the same grams —
+    even though the individual cut positions differ."""
+    from search_engine_ray.pipelines.text import cdc_chunk_docs_ds, token_count_ds
+
+    fast = cdc_chunk_docs_ds(docs, k=2, modulus=8).to_pandas()
+    md5v = cdc_chunk_docs_ds(docs, k=2, modulus=8, hash_method="md5").to_pandas()
+    ntok = token_count_ds(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    # both chunkings PARTITION every doc's tokens exactly
+    for df in (fast, md5v):
+        got = df.groupby("doc_id")["n_tokens"].sum().sort_index()
+        assert got.tolist() == ntok.sort_index().tolist()
+        # mean chunk length tracks the modulus (geometric boundary rule)
+        assert 4 <= df["n_tokens"].mean() <= 16
+    # cut densities agree within sampling noise (same expected 1/modulus)
+    assert abs(len(fast) - len(md5v)) <= 0.2 * max(len(fast), len(md5v))
+
+
+def test_cdc_fast_edit_robustness(ray_session):
+    """The content-anchored property holds for the fast hash too."""
+    from search_engine_ray.pipelines.text import cdc_chunk_docs_ds
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = "inserted words here " + base
+    out = (
+        cdc_chunk_docs_ds(
+            rd.from_items(
+                [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": edited}]
+            ),
+            k=2,
+            modulus=4,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    a = out[out.doc_id == 0]["chunk_text"].tolist()
+    b = out[out.doc_id == 1]["chunk_text"].tolist()
+    assert " ".join(a) == base and " ".join(b) == edited
+    assert len(set(a) & set(b)) >= len(a) - 2, (a, b)
