@@ -517,13 +517,25 @@ def label_propagation_ds(
             vd, vl, cnt = k1[~is_node], k2[~is_node], v[~is_node]
             new_lab = lab.copy()
             if len(vd):
-                # winner per dst: max count, tie -> min label (lexsort on
-                # (-cnt, vl) within dst runs; first row of each run wins)
-                o = np.lexsort((vl, -cnt, vd))
-                vd, vl = vd[o], vl[o]
-                first = np.ones(len(vd), bool)
-                first[1:] = vd[1:] != vd[:-1]
-                wd, wl = vd[first], vl[first]
+                # vote rows are PARTIAL counts (one per source bucket the
+                # voters lived in) — sum them per (dst, label) BEFORE the
+                # argmax: winner-of-partials is not winner-of-totals (a
+                # label split 2+1 across two source buckets must beat a
+                # label with a single partial of 2). Caught by the
+                # label_propagation SQL oracle at sf0.01.
+                o = np.lexsort((vl, vd))
+                vd, vl, cnt = vd[o], vl[o], cnt[o]
+                newp = np.ones(len(vd), bool)
+                newp[1:] = (vd[1:] != vd[:-1]) | (vl[1:] != vl[:-1])
+                starts = np.flatnonzero(newp)
+                tot = np.add.reduceat(cnt, starts)
+                gvd, gvl = vd[starts], vl[starts]
+                # winner per dst: max total count, tie -> min label
+                o2 = np.lexsort((gvl, -tot, gvd))
+                gvd, gvl = gvd[o2], gvl[o2]
+                first = np.ones(len(gvd), bool)
+                first[1:] = gvd[1:] != gvd[:-1]
+                wd, wl = gvd[first], gvl[first]
                 pos = np.searchsorted(nodes, wd)
                 upd = np.zeros(len(nodes), bool)
                 upd[pos] = True

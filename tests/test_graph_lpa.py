@@ -54,3 +54,35 @@ def test_lpa_tie_breaks_to_min_label(ray_session):
         _eds(edges), _sds({0: 5, 1: 3}), n_iter=1, n_buckets=4
     ).to_pandas()
     assert dict(zip(got["node"], got["label"]))[2] == 3
+
+
+def test_lpa_partial_votes_split_across_buckets(ray_session):
+    """Regression: vote counts arrive at the update step as PARTIALS (one
+    row per source bucket) and must be summed per (dst, label) before the
+    argmax — a label with voters split 1+1 across two buckets must beat a
+    label with a single partial of 1 (winner-of-partials picked the wrong
+    label before the r5 fix, caught by the label_propagation SQL oracle)."""
+    from search_engine_ray.pipelines.graph import (
+        _bucket_of,
+        label_propagation_ds,
+        label_propagation_reference,
+    )
+
+    n_buckets = 8
+    # find two voter nodes in DIFFERENT buckets and one in either
+    b0 = int(_bucket_of(np.array([10]), n_buckets)[0])
+    u2 = next(
+        u for u in range(11, 200)
+        if int(_bucket_of(np.array([u]), n_buckets)[0]) != b0
+    )
+    u3 = 10_000 + u2
+    # labels: 10 and u2 vote 7 (split across buckets); u3 votes 3 (< 7, so
+    # a tie of partial-maxima would wrongly pick 3)
+    seeds = {10: 7, u2: 7, u3: 3}
+    edges = [(10, 500), (u2, 500), (u3, 500)]
+    got = label_propagation_ds(
+        _eds(edges), _sds(seeds), n_iter=1, n_buckets=n_buckets
+    ).to_pandas()
+    ref = label_propagation_reference(edges, seeds, n_iter=1)
+    assert dict(zip(got["node"], got["label"])) == ref
+    assert ref[500] == 7
