@@ -2383,15 +2383,22 @@ pr{i} AS (
              JOIN prdeg d ON d.node = pe.src
              GROUP BY pe.dst) c ON c.node = n.node)""")
         pr_prev = f"pr{i}"
-    # the k=5 kNN edge construction shared by the two graph oracles
+    # the k=5 kNN edge construction shared by the two graph oracles. Two
+    # deliberate plan choices keep the n^2 cross join cheap: the DOUBLE[]
+    # cast happens ONCE per vector (inline casts re-materialize each
+    # 64-dim list per PAIR), and the window sort runs over a CTE of
+    # SCALAR similarities — windowing rows that still carry the two list
+    # payloads spilled DuckDB to tens of GB of temp at sf0.1
     knn5_edges = """
-WITH ek AS (
+WITH embd AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+esims AS (
   SELECT q.vec_id AS src, e.vec_id AS dst,
-         row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                             q.embedding::DOUBLE[]) DESC,
-                      e.vec_id) AS rk
-  FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),"""
+         list_cosine_similarity(e.emb, q.emb) AS c
+  FROM embd e, embd q WHERE e.vec_id <> q.vec_id),
+ek AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
+  FROM esims),"""
 
     # label_propagation: clamped integer-vote LPA, 3 UNROLLED iterations —
     # bit-deterministic (integer counts, ties -> smallest label), so the

@@ -1700,51 +1700,63 @@ def dup_rate_by_source_ds(docs: rd.Dataset) -> rd.Dataset:
     them are exact-text duplicates of an earlier doc (not the min-doc_id
     keeper of their text group).
 
-    Scale shape: one digest-keyed groupby (int64 half keys); each group
-    emits at most one row per source present in the group (vectorized
-    run-length count over the sorted sources), then a tiny groupby-sum
-    over sources. Exact integers end-to-end."""
+    Scale shape: ONE groupby keyed by a coarse digest BUCKET (the
+    ``chunk_dedup_ds`` plan — a per-fingerprint ``map_groups`` UDF would
+    cost one Python call per duplicated text at crawl scale); each bucket
+    resolves all its fingerprint groups with one lexsort + run-length
+    pass (a row is a dup iff it is not its group's min-doc_id row) and
+    emits per-source partial counts via two bincounts, then a tiny
+    groupby-sum over sources. Exact integers end-to-end."""
     from search_engine_ray.functions.textstats import md5_digests_arrow
+
+    n_buckets = _n_pair_buckets()
 
     def fp(batch: pa.Table) -> pa.Table:
         d = md5_digests_arrow(batch.column("text"))
         h = d.view(">u8")
+        h1 = h[:, 0].astype(np.uint64)
         return pa.table(
             {
-                "h1": pa.array(h[:, 0].astype(np.uint64).view(np.int64), pa.int64()),
+                "_bkt": pa.array(
+                    (h1 % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
                 "h2": pa.array(h[:, 1].astype(np.uint64).view(np.int64), pa.int64()),
                 "doc_id": batch.column("doc_id"),
                 "source": batch.column("source"),
             }
         )
 
-    def per_group(group: pa.Table) -> pa.Table:
+    def bucket_rates(group: pa.Table) -> pa.Table:
+        h1 = group.column("h1").to_numpy(zero_copy_only=False)
+        h2 = group.column("h2").to_numpy(zero_copy_only=False)
         d = group.column("doc_id").to_numpy(zero_copy_only=False)
-        s = group.column("source").to_numpy(zero_copy_only=False)
-        keep = d.argmin()
-        order = np.argsort(s, kind="stable")
-        ss = s[order]
-        n = len(ss)
-        new = np.concatenate(([True], ss[1:] != ss[:-1]))
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, n))
-        dups = counts.copy()
-        # the keeper's source has one non-dup doc in this group
-        keep_src = s[keep]
-        ki = np.searchsorted(ss[starts], keep_src)
-        dups[ki] -= 1
+        s = group.column("source")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        enc = s.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(h1)
+        order = np.lexsort((d, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(n, dtype=bool)  # group keeper: min doc_id, sorted in
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        cs = codes[order]
+        n_src = len(enc.dictionary)
+        n_docs = np.bincount(cs, minlength=n_src)
+        n_dups = np.bincount(cs[~first], minlength=n_src)
         return pa.table(
             {
-                "source": pa.array(ss[starts]),
-                "n_docs": pa.array(counts, pa.int64()),
-                "n_dups": pa.array(dups, pa.int64()),
+                "source": enc.dictionary,
+                "n_docs": pa.array(n_docs.astype(np.int64), pa.int64()),
+                "n_dups": pa.array(n_dups.astype(np.int64), pa.int64()),
             }
         )
 
     return (
         docs.map_batches(fp, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .map_groups(per_group, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(bucket_rates, batch_format="pyarrow")
         .groupby("source")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
