@@ -1907,6 +1907,49 @@ def q_warc_index_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in rows), pa.int64())})
 
 
+def q_jsonl_index_search(sf_dir: str):
+    """End-to-end JSONL training-dump lifecycle (the C4/Pile/Dolma
+    interchange format, sources/jsonl.py): the documents table serialized
+    as gzipped NDJSON, parsed back with one vectorized
+    pyarrow.json.read_json per file, html-enveloped, indexed, and
+    searched — rank == doc_id by construction, so it shares the
+    search_and SQL oracle (the warc_index_search twin)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.serving import SegmentSearcher
+    from search_engine_ray.sources.jsonl import jsonl_pages, write_jsonl
+
+    sf_dir = sf_dir.rstrip("/")
+    tbl = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .sort_by("doc_id")
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    assert ids == list(range(len(ids))), "rank==doc_id needs consecutive ids"
+    rows = [
+        {"url": f"doc://{i}", "text": t}
+        for i, t in zip(ids, tbl.column("text").to_pylist())
+    ]
+    jsonl_path = (
+        "/tmp/se_ray_jsonl_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + ".jsonl.gz"
+    )
+    write_jsonl(jsonl_path, rows, compress=True)
+    out = _idx_dir(sf_dir) + "_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    config = EngineConfig()
+    build_index(
+        jsonl_pages([jsonl_path]), out, config, doc_id_mode="rank", resume=False
+    )
+    res = SegmentSearcher(out, config).search("table query", max_count=100)
+    return pa.table({"doc_id": pa.array(sorted(r.doc_id for r in res), pa.int64())})
+
+
 def q_user_moving_sum(sf_dir: str):
     """3-row sliding-frame window aggregate per user (ROWS BETWEEN 2
     PRECEDING AND CURRENT ROW) over the cent-quantized value — int64
@@ -2264,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_md5": q_winnow_md5,
         # 2–4 driver-green rounds each; all stay registered and hash-green
         # under tests/driver_emu.py at sf0.01 (re-swept this session)
+        "jsonl_index_search": q_jsonl_index_search,  # NEW r5: NDJSON e2e
         "minhash_pairs": q_minhash_pairs,
         "simhash_neardup": q_simhash_neardup,
         "dup_clusters": q_dup_clusters,
@@ -3361,6 +3405,16 @@ SELECT doc_id FROM (
         # (byte-identical extraction + rank==doc_id), so search_and's
         # oracle applies
         "warc_index_search": f"""
+SELECT doc_id FROM (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest({tok}) AS term FROM documents)
+    WHERE term IN ('table', 'query'))
+  GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY doc_id LIMIT 100)""",
+        # JSONL round-trip build must serve identically too (same
+        # wrap-the-payload contract as WARC; rank==doc_id)
+        "jsonl_index_search": f"""
 SELECT doc_id FROM (
   SELECT doc_id FROM (
     SELECT DISTINCT doc_id, term FROM (

@@ -64,6 +64,10 @@ def cmd_build(args: argparse.Namespace) -> int:
             fmt = "wiki-xml"
         elif args.input.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
             fmt = "warc"
+        elif args.input.endswith(
+            (".jsonl", ".ndjson", ".jsonl.gz", ".ndjson.gz", ".json.gz")
+        ):
+            fmt = "jsonl"
         else:
             fmt = "parquet"
     if fmt == "wiki-xml":
@@ -80,6 +84,13 @@ def cmd_build(args: argparse.Namespace) -> int:
 
         files = sorted(glob.glob(args.input)) or [args.input]
         pages = warc_pages(files)
+    elif fmt == "jsonl":
+        import glob
+
+        from search_engine_ray.sources.jsonl import jsonl_pages
+
+        files = sorted(glob.glob(args.input)) or [args.input]
+        pages = jsonl_pages(files)
     else:
         pages = rd.read_parquet(args.input)
     if args.limit:
@@ -388,7 +399,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument(
         "--format",
-        choices=["auto", "parquet", "wiki-xml", "warc"],
+        choices=["auto", "parquet", "wiki-xml", "warc", "jsonl"],
         default="auto",
         help="input format (wiki-xml = the reference demo's abstract dump; "
         "warc = WARC/WET crawl archives, .gz ok)",
